@@ -1,0 +1,172 @@
+"""As-of (point-in-time) join engine.
+
+Spark SQL has no ASOF JOIN; this is the engine's core custom operator
+(mandated by BASELINE.json north_rule; the reference's closest analog
+is its per-segment ``timepos`` keying, rp_extract.py:797-800).
+
+Semantics: for each left row ``(entity, ts)`` attach the right row with
+the greatest ``right_ts <= ts`` (backward direction, inclusive,
+last-wins on duplicate right timestamps). Strictly-later right rows
+must never leak (zero temporal leakage).
+
+Two physical strategies:
+
+* ``asof_join`` (default, scale path): union both sides tagged with a
+  side marker, one shuffle+sort per entity, then
+  ``last(value_struct, ignorenulls=True)`` over an unbounded-preceding
+  window. Entirely JVM-side (whole-stage codegen window exec), one
+  exchange, no Python. Right rows sort before left rows at equal
+  timestamps, which yields the inclusive ``<=`` rule. This is the plan
+  that survives 100x scale-up: cost = one repartition by entity + one
+  in-partition sort, identical to what a built-in ASOF join would do.
+
+* ``asof_join_merge`` (alternative): ``cogroup().applyInPandas`` with
+  ``pd.merge_asof`` per entity group — kept for cross-checking and for
+  tolerance semantics Spark windows can't express cheaply.
+
+Skew: ``salt`` > 1 splits each hot entity's *left* rows across k salt
+buckets and replicates the (small) right side to every bucket —
+standard salted-broadcast-style mitigation for hot phash/entity keys;
+combine with AQE skew-join for the residual.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str] = "entity_id",
+    left_ts: str = "ts",
+    right_ts: str = "caption_ts",
+    values: Sequence[str] | None = None,
+    how: str = "left",
+    salt: int = 1,
+    suffix: str = "",
+) -> DataFrame:
+    """Backward inclusive as-of join, last-wins on right-ts ties.
+
+    Returns ``left`` plus one column per entry of ``values`` (renamed
+    with ``suffix`` if given) and ``matched_ts{suffix}`` carrying the
+    matched right timestamp (null when unmatched; rows dropped instead
+    when ``how='inner'``).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if values is None:
+        values = [
+            c for c in right.columns if c not in keys and c != right_ts
+        ]
+    values = list(values)
+
+    rv_fields = [F.col(c).alias(c) for c in values] + [
+        F.col(right_ts).alias("__rts")
+    ]
+    left_cols = left.columns
+
+    if salt > 1:
+        # left rows get a deterministic bucket; right rows are
+        # replicated into every bucket so each bucket sees the full
+        # right timeline for its entity
+        buckets = F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        l_tag = left.withColumn(
+            "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in left_cols]), F.lit(salt))
+        )
+        r_tag = right.withColumn("__salt", buckets)
+        keys = keys + ["__salt"]
+    else:
+        l_tag, r_tag = left, right
+
+    # left rows carry no __rv; unionByName(allowMissingColumns) null-fills
+    # it with the struct type inferred from the right side
+    l_side = l_tag.withColumn("__side", F.lit(1)).withColumn(
+        "__ets", F.col(left_ts)
+    )
+    r_side = r_tag.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("__ets"),
+        F.lit(0).alias("__side"),
+        F.struct(*rv_fields).alias("__rv"),
+    )
+
+    u = l_side.unionByName(r_side, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ets").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = (
+        u.withColumn("__rv", F.last("__rv", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+    )
+    if how == "inner":
+        joined = joined.filter(F.col("__rv").isNotNull())
+    elif how != "left":
+        raise ValueError("how must be 'left' or 'inner'")
+
+    out_vals = [
+        F.col(f"__rv.{c}").alias(f"{c}{suffix}") for c in values
+    ] + [F.col("__rv.__rts").alias(f"matched_ts{suffix}")]
+    return joined.select(*[F.col(c) for c in left_cols], *out_vals)
+
+
+def asof_join_merge(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "entity_id",
+    left_ts: str = "ts",
+    right_ts: str = "caption_ts",
+    values: Sequence[str] | None = None,
+) -> DataFrame:
+    """pd.merge_asof-based variant via cogroup (per-entity groups).
+
+    Used to cross-check the window implementation and as the extension
+    point for tolerance/nearest semantics. One shuffle per side.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if values is None:
+        values = [c for c in right.columns if c not in (on, right_ts)]
+    values = list(values)
+
+    left_schema = left.schema
+    out_schema = T.StructType(
+        list(left_schema.fields)
+        # right-side values are null for unmatched left rows
+        + [T.StructField(c, right.schema[c].dataType, True) for c in values]
+        + [T.StructField("matched_ts", right.schema[right_ts].dataType, True)]
+    )
+    val_idx = values
+
+    def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if len(l) == 0:
+            return pd.DataFrame(columns=[f.name for f in out_schema.fields])
+        l = l.sort_values(left_ts, kind="mergesort")
+        r = (
+            r.sort_values([right_ts], kind="mergesort")
+            .drop_duplicates([on, right_ts], keep="last")
+            .rename(columns={right_ts: "matched_ts"})
+        )
+        m = pd.merge_asof(
+            l,
+            r[[on, "matched_ts", *val_idx]],
+            left_on=left_ts,
+            right_on="matched_ts",
+            by=on,
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        return m[[f.name for f in out_schema.fields]]
+
+    return (
+        left.groupBy(on)
+        .cogroup(right.groupBy(on))
+        .applyInPandas(merge, out_schema)
+    )

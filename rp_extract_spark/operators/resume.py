@@ -1,0 +1,104 @@
+"""Checkpoint-resume + per-partition lineage metrics.
+
+The reference's ``append_diff`` incremental mode prunes already-
+extracted files with a set difference (rp_extract_batch.py:241-264);
+here that is a ``left_anti`` join against the ids already present in
+the output — the engine's checkpoint-resume primitive (SURVEY.md J3).
+
+The reference's audiotypes/error CSV logs (rp_extract_batch.py:310-320)
+become a metrics sidecar: per-output-partition JSON records (row
+counts, error counts, ts ranges) written next to the data — the
+"per-partition lineage + metrics alongside snapshots" of north_rule.
+Plain Parquet + manifest JSON (no Iceberg runtime jar in this sandbox;
+the layout mirrors Iceberg's snapshot+manifest discipline).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def pending_only(todo: DataFrame, done: DataFrame, key: str = "image_id") -> DataFrame:
+    """Anti-join resume: rows of ``todo`` whose key is absent in ``done``."""
+    return todo.join(done.select(key).distinct(), on=key, how="left_anti")
+
+
+def _partition_metrics(df: DataFrame, ts_col: str | None) -> list[dict]:
+    aggs = [
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.when(F.col("err").isNotNull(), 1).otherwise(0)).alias("errors")
+        if "err" in df.columns
+        else F.lit(0).alias("errors"),
+    ]
+    if ts_col and ts_col in df.columns:
+        aggs += [
+            F.min(ts_col).cast("string").alias("min_ts"),
+            F.max(ts_col).cast("string").alias("max_ts"),
+        ]
+    rows = (
+        df.withColumn("__pid", F.spark_partition_id())
+        .groupBy("__pid")
+        .agg(*aggs)
+        .collect()
+    )
+    return [r.asDict() for r in rows]
+
+
+def write_snapshot(
+    df: DataFrame,
+    out_dir: str,
+    mode: str = "append",
+    ts_col: str | None = "ts",
+    partition_by: tuple[str, ...] = (),
+) -> dict:
+    """Write a data snapshot plus a lineage manifest.
+
+    Layout: ``{out_dir}/data/`` parquet, ``{out_dir}/_metrics/<snapshot>.json``
+    with per-partition row/error counts and ts ranges. Returns the
+    manifest dict. Append is idempotent when combined with
+    ``pending_only`` (re-running adds zero rows)."""
+    t0 = time.time()
+    snapshot_id = uuid.uuid4().hex[:12]
+    data_dir = os.path.join(out_dir, "data")
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(data_dir)
+    metrics = _partition_metrics(df.sparkSession.read.parquet(data_dir), ts_col)
+    manifest = {
+        "snapshot_id": snapshot_id,
+        "wall_s": round(time.time() - t0, 3),
+        "total_rows": int(sum(m["rows"] for m in metrics)),
+        "total_errors": int(sum(m["errors"] or 0 for m in metrics)),
+        "partitions": metrics,
+    }
+    mdir = os.path.join(out_dir, "_metrics")
+    os.makedirs(mdir, exist_ok=True)
+    with open(os.path.join(mdir, f"{snapshot_id}.json"), "w") as f:
+        json.dump(manifest, f, indent=1, default=str)
+    return manifest
+
+
+def incremental_extract(
+    spark: SparkSession,
+    images: DataFrame,
+    out_dir: str,
+    extract_fn,
+) -> dict:
+    """Resumable extraction: anti-join against existing output, extract
+    only new images, append + manifest. Safe to re-run; a second run on
+    the same input appends nothing."""
+    data_dir = os.path.join(out_dir, "data")
+    try:
+        done = spark.read.parquet(data_dir)
+        todo = pending_only(images, done)
+    except Exception:  # first run: no output yet
+        todo = images
+    feats = extract_fn(todo)
+    return write_snapshot(feats, out_dir, mode="append")

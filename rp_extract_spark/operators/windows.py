@@ -1,0 +1,106 @@
+"""Windowed feature-engineering operators (north_rule W6-W8).
+
+All built from built-in Spark window functions — single shuffle on the
+partition key, whole-stage codegen, no Python. Generalizes the
+reference's per-segment temporal axis (segpos/timepos,
+rp_extract.py:797-800) to arbitrary entity timelines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _win(entity: str, ts: str, tiebreak: Sequence[str] = ()):
+    order = [F.col(ts).asc()] + [F.col(c).asc() for c in tiebreak]
+    return Window.partitionBy(entity).orderBy(*order)
+
+
+def forward_fill(
+    df: DataFrame,
+    cols: Sequence[str],
+    entity: str = "entity_id",
+    ts: str = "ts",
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Fill nulls from the most recent prior non-null value per entity
+    (backfill analog of the reference's carry-forward semantics)."""
+    w = _win(entity, ts, tiebreak).rowsBetween(Window.unboundedPreceding, 0)
+    for c in cols:
+        df = df.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return df
+
+
+def backward_fill(
+    df: DataFrame,
+    cols: Sequence[str],
+    entity: str = "entity_id",
+    ts: str = "ts",
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Fill nulls from the next following non-null value per entity."""
+    w = _win(entity, ts, tiebreak).rowsBetween(0, Window.unboundedFollowing)
+    for c in cols:
+        df = df.withColumn(c, F.first(c, ignorenulls=True).over(w))
+    return df
+
+
+def lag_lead_stack(
+    df: DataFrame,
+    col: str,
+    lags: Sequence[int] = (1, 2, 3),
+    leads: Sequence[int] = (),
+    entity: str = "entity_id",
+    ts: str = "ts",
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Per-entity shifted copies of a feature column (north_rule W7).
+    One shuffle for the whole stack — all shifts share the window."""
+    w = _win(entity, ts, tiebreak)
+    for k in lags:
+        df = df.withColumn(f"{col}_lag{k}", F.lag(col, k).over(w))
+    for k in leads:
+        df = df.withColumn(f"{col}_lead{k}", F.lead(col, k).over(w))
+    return df
+
+
+def sessionize(
+    df: DataFrame,
+    gap_seconds: int = 1800,
+    entity: str = "entity_id",
+    ts: str = "ts",
+    tiebreak: Sequence[str] = (),
+    out: str = "session_id",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the gap to
+    the previous event exceeds ``gap_seconds``. session_id = running
+    sum of boundary flags (0-based within entity) — the canonical
+    cumsum sessionize (north_rule W8)."""
+    w = _win(entity, ts, tiebreak)
+    # cast via timestamp: parquet TIMESTAMP_NTZ won't cast to long directly
+    epoch = F.col(ts).cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    flag = F.when(gap > gap_seconds, 1).otherwise(0)
+    run = _win(entity, ts, tiebreak).rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumn(out, F.sum(flag).over(run))
+
+
+def rolling_stats(
+    df: DataFrame,
+    col: str,
+    n: int = 5,
+    entity: str = "entity_id",
+    ts: str = "ts",
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Trailing n-row mean/min/max per entity (feature-stack helper)."""
+    w = _win(entity, ts, tiebreak).rowsBetween(-(n - 1), 0)
+    return (
+        df.withColumn(f"{col}_rmean{n}", F.avg(col).over(w))
+        .withColumn(f"{col}_rmin{n}", F.min(col).over(w))
+        .withColumn(f"{col}_rmax{n}", F.max(col).over(w))
+    )

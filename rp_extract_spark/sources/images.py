@@ -1,0 +1,218 @@
+"""Deterministic synthetic image+caption tables (FIXTURES.md F1-F3).
+
+The authoritative input shape comes from BASELINE.json ``input_hint``:
+``(image_id string, bytes binary, w int, h int, fmt string,
+caption string, phash bigint)`` plus the temporal columns
+``entity_id``/``ts`` that drive the as-of/window layer.
+
+Generation is **distributed**: rows are synthesized on executors via
+``mapInPandas`` over ``spark.range(n)``, seeded per row id, so the same
+(id → row) mapping holds at any partitioning and any scale — no
+driver-side materialization, no wall-clock, no external data. This is
+the scale path: synthesizing 10^8 rows is an embarrassingly parallel
+map over a range scan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..codecs import encode_lossy, encode_png
+
+IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), True),
+        T.StructField("w", T.IntegerType(), True),
+        T.StructField("h", T.IntegerType(), True),
+        T.StructField("fmt", T.StringType(), True),
+        T.StructField("caption", T.StringType(), True),
+        T.StructField("phash", T.LongType(), True),
+        T.StructField("entity_id", T.StringType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+    ]
+)
+
+CAPTION_SCHEMA = T.StructType(
+    [
+        T.StructField("entity_id", T.StringType(), False),
+        T.StructField("caption_ts", T.TimestampType(), False),
+        T.StructField("caption", T.StringType(), False),
+    ]
+)
+
+_BASE_TS = np.datetime64("2024-01-01T00:00:00")
+_W_CYCLE = [64, 96, 128, 256]
+_H_CYCLE = [48, 64, 128]
+_WORDS = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf", "hotel"]
+
+
+def _h(*parts: int) -> int:
+    """Deterministic 64-bit hash of integers (stable across processes,
+    unlike Python's salted hash())."""
+    m = hashlib.blake2b(",".join(map(str, parts)).encode(), digest_size=8)
+    return int.from_bytes(m.digest(), "big")
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis (no scipy in this container)."""
+    k = np.arange(n)[:, None]
+    x = np.arange(n)[None, :]
+    d = np.cos(np.pi * (2 * x + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    d[0] /= np.sqrt(2.0)
+    return d
+
+
+_DCT32 = _dct_matrix(32)
+
+
+def compute_phash(gray: np.ndarray) -> int:
+    """8x8 DCT perceptual hash (public pHash construction): block-mean
+    resize to 32x32, 2-D DCT, median-threshold the top-left 8x8 minus
+    DC → 64-bit signature."""
+    h, w = gray.shape
+    # block-mean resize to 32x32 via index binning
+    yi = (np.arange(32)[:, None] * h) // 32
+    xi = (np.arange(32)[None, :] * w) // 32
+    small = gray[yi, xi].astype(np.float64)
+    dct = _DCT32 @ small @ _DCT32.T
+    block = dct[:8, :8].flatten()[1:]  # drop DC
+    bits = block > np.median(block)
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    # fold into signed int64
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def _entity_count(n: int) -> int:
+    return max(n // 50, 1)
+
+
+def _ts_offsets(ent: int, k: int) -> int:
+    """Seconds offset of the k-th image of an entity. Deterministic
+    prefix sum of per-step gaps; mixes short gaps (5 min), long gaps
+    (2 h, beyond any session threshold) and exact duplicates (gap 0,
+    pins the as-of tie rule)."""
+    total = 0
+    for j in range(1, k + 1):
+        r = _h(ent, j) % 10
+        if r < 6:
+            gap = 300
+        elif r < 9:
+            gap = 7200
+        else:
+            gap = 0  # duplicate timestamp
+        total += gap
+    return total
+
+
+def _make_image_batch(ids: np.ndarray, n_total: int, seed: int, lossy_fraction: float,
+                      hot_phash_fraction: float) -> pd.DataFrame:
+    n_ent = _entity_count(n_total)
+    rows = []
+    for i in ids:
+        i = int(i)
+        rng = np.random.default_rng(seed + i)
+        w = _W_CYCLE[i % len(_W_CYCLE)]
+        h = _H_CYCLE[i % len(_H_CYCLE)]
+        # structured content: smooth gradient + sinusoid + noise
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = (
+            127.5
+            + 60 * np.sin(2 * np.pi * xx / (8 + i % 23))
+            + 40 * np.cos(2 * np.pi * yy / (5 + i % 17))
+            + rng.normal(0, 25, (h, w))
+        )
+        px = np.clip(img, 0, 255).astype(np.uint8)
+        lossy = (_h(seed, i, 1) % 1000) < int(lossy_fraction * 1000)
+        data = encode_lossy(px) if lossy else encode_png(px)
+        phash = compute_phash(px.astype(np.float64))
+        if hot_phash_fraction and (_h(seed, i, 2) % 1000) < int(hot_phash_fraction * 1000):
+            phash = 0x5A5A5A5A  # hot key for skew tests
+        ent = i % n_ent
+        k = i // n_ent
+        ts = _BASE_TS + np.timedelta64(_ts_offsets(ent, k), "s")
+        rows.append(
+            {
+                "image_id": f"img{i:08d}",
+                "bytes": data,
+                "w": w,
+                "h": h,
+                "fmt": "jpeg" if lossy else "png",
+                "caption": f"caption {i} {_WORDS[i % len(_WORDS)]}",
+                "phash": phash,
+                "entity_id": f"e{ent:05d}",
+                "ts": pd.Timestamp(ts),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def images_df(
+    spark: SparkSession,
+    n: int,
+    seed: int = 42,
+    lossy_fraction: float = 0.2,
+    hot_phash_fraction: float = 0.0,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Distributed deterministic image table of exactly the input_hint
+    shape (+ entity_id/ts)."""
+    n_total = n
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if len(b):
+                yield _make_image_batch(
+                    b["id"].values, n_total, seed, lossy_fraction, hot_phash_fraction
+                )
+
+    rng_df = spark.range(0, n, numPartitions=partitions or min(max(n // 64, 1), 64))
+    return rng_df.mapInPandas(gen, IMAGE_SCHEMA)
+
+
+def captions_df(spark: SparkSession, n_images: int, seed: int = 42,
+                per_entity: int = 40) -> DataFrame:
+    """Caption timeline (FIXTURES F3): per entity a set of caption
+    events at deterministic times straddling the image timestamps —
+    strictly-before, exactly-equal, and strictly-after rows (the last
+    must never surface through the as-of join: leakage property)."""
+    n_ent = _entity_count(n_images)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for eid in b["id"].values:
+                ent = int(eid)
+                for c in range(per_entity):
+                    # anchor near the entity's image stream: pick an
+                    # image index k and offset −10 min / 0 / +2 min
+                    k = _h(seed, ent, c, 3) % max(n_images // n_ent, 1)
+                    anchor = _ts_offsets(ent, int(k))
+                    mode = c % 3
+                    off = -600 if mode == 0 else (0 if mode == 1 else 120)
+                    ts = _BASE_TS + np.timedelta64(anchor + off, "s")
+                    rows.append(
+                        {
+                            "entity_id": f"e{ent:05d}",
+                            "caption_ts": pd.Timestamp(ts),
+                            "caption": f"cap-e{ent}-{anchor + off}",
+                        }
+                    )
+            df = pd.DataFrame(rows)
+            # keep (entity_id, caption_ts) unique, deterministic winner
+            df = (
+                df.sort_values(["entity_id", "caption_ts", "caption"])
+                .drop_duplicates(["entity_id", "caption_ts"], keep="last")
+            )
+            yield df
+
+    rng_df = spark.range(0, n_ent, numPartitions=min(max(n_ent // 32, 1), 32))
+    return rng_df.mapInPandas(gen, CAPTION_SCHEMA)

@@ -1,0 +1,56 @@
+"""Checkpoint-resume: anti-join pruning, idempotent re-run, metrics sidecar."""
+
+import json
+import os
+
+from rp_extract_spark.operators.extract import extract_features
+from rp_extract_spark.operators.resume import (
+    incremental_extract,
+    pending_only,
+    write_snapshot,
+)
+from rp_extract_spark.sources.images import images_df
+
+
+def test_pending_only(spark):
+    todo = images_df(spark, 20, seed=42).select("image_id")
+    done = todo.limit(8)
+    left = pending_only(todo, done)
+    assert left.count() == 12
+    assert pending_only(todo, todo).count() == 0
+
+
+def test_incremental_extract_idempotent(spark, tmp_path):
+    out = str(tmp_path / "features")
+    imgs1 = images_df(spark, 12, seed=42)
+    m1 = incremental_extract(spark, imgs1, out, extract_features)
+    assert m1["total_rows"] == 12 and m1["total_errors"] == 0
+
+    # re-run on the same input: nothing new extracted
+    m2 = incremental_extract(spark, imgs1, out, extract_features)
+    assert m2["total_rows"] == 12  # unchanged output
+    assert spark.read.parquet(os.path.join(out, "data")).count() == 12
+
+    # grow the input: only the delta is appended
+    imgs2 = images_df(spark, 20, seed=42)
+    m3 = incremental_extract(spark, imgs2, out, extract_features)
+    assert m3["total_rows"] == 20
+    df = spark.read.parquet(os.path.join(out, "data"))
+    assert df.count() == 20
+    assert df.select("image_id").distinct().count() == 20
+
+    # metrics sidecar: one manifest per snapshot with partition rows
+    mdir = os.path.join(out, "_metrics")
+    manifests = [json.load(open(os.path.join(mdir, f))) for f in os.listdir(mdir)]
+    assert len(manifests) == 3
+    for m in manifests:
+        assert sum(p["rows"] for p in m["partitions"]) == m["total_rows"]
+        assert "min_ts" in m["partitions"][0]
+
+
+def test_write_snapshot_metrics(spark, tmp_path):
+    out = str(tmp_path / "snap")
+    feats = extract_features(images_df(spark, 10, seed=42))
+    man = write_snapshot(feats, out)
+    assert man["total_rows"] == 10
+    assert os.path.exists(os.path.join(out, "_metrics", f"{man['snapshot_id']}.json"))

@@ -1,0 +1,94 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Runs the headline pipeline (decode → descriptor kernel → as-of caption
+join → sessionize, on a deterministically synthesized image table) plus
+the relational operator suite on ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) at ``local[$SPARK_GRAFT_CPUS]``.
+
+Output: {"metric": "feature_asof_rows_per_sec", "value": N,
+         "unit": "rows/sec", "queries": {name: sec, ...}, "sf": ...}
+
+Scaling-efficiency evidence (N vs 4N cores) lives in
+``tools/bench_scaling.py`` → ``BENCH/BASELINE.md``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_IMAGES = int(os.environ.get("BENCH_IMAGES", "3000"))
+
+RELATIONAL = [
+    "pricing_summary",
+    "stats7",
+    "top_revenue",
+    "nation_revenue",
+    "lag_lead",
+    "ffill",
+    "sessionize",
+    "asof",
+    "anti_join",
+    "set_ops",
+    "dedup_exact",
+    "text_stats",
+    "zscore",
+    "topk_per_group",
+    "similarity_topk",
+    "minhash_dedup",
+]
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from rp_extract_spark.plans.driver_queries import QUERIES
+    from rp_extract_spark.plans.flagship import flagship
+    from rp_extract_spark.session import get_spark
+
+    spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
+
+    timings: dict[str, float] = {}
+
+    # headline: feature extraction + as-of join rows/sec
+    t0 = time.time()
+    out = flagship(spark, n_images=N_IMAGES, seed=42)
+    n = out.count()
+    dt = time.time() - t0
+    timings["feature_asof_pipeline"] = round(dt, 3)
+    rows_per_sec = round(n / dt, 2)
+
+    sf_label = SF_DIR.rstrip("/").split("sf")[-1]
+    for name in RELATIONAL:
+        fn = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "feature_asof_rows_per_sec",
+                "value": rows_per_sec,
+                "unit": "rows/sec",
+                "queries": timings,
+                "sf": sf_label,
+                "suite_wall_sec": total,
+                "n_images": N_IMAGES,
+                "cores": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

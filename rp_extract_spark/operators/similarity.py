@@ -1,0 +1,158 @@
+"""Similarity search over embedding columns.
+
+Generalizes the reference's query-by-example kNN (StandardScaler +
+NearestNeighbors, RP_extract_Tutorial.v4.ipynb cells 89-127) to
+DataFrame-native operators:
+
+* ``topk_similar`` — brute-force cosine/euclidean top-k for one query
+  vector: JVM-side ``zip_with``/``aggregate`` arithmetic (no Python in
+  the scan), ``orderBy(limit)`` (Spark's TakeOrdered = distributed
+  top-k, no full sort at scale).
+* ``knn_join`` — batch of queries × corpus with per-query top-k via
+  window ``row_number`` (broadcast the small query side).
+* ``lsh_topk`` — random-hyperplane LSH bucketing as the 100-TB path:
+  probe only the query's bucket (plus optional neighbor buckets).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def topk_similar(
+    corpus: DataFrame,
+    query_vec: Sequence[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    metric: str = "cosine",
+    exclude_id=None,
+) -> DataFrame:
+    """Top-k rows most similar to one query vector. Returns
+    (id, score) ordered best-first with deterministic id tiebreak."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    v = F.col(vec_col).cast("array<double>")
+    if metric == "cosine":
+        score = _dot(v, q) / (_norm(v) * _norm(q))
+        order = [F.col("score").desc(), F.col(id_col).asc()]
+    elif metric == "euclidean":
+        score = F.sqrt(
+            F.aggregate(
+                F.zip_with(v, q, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            )
+        )
+        order = [F.col("score").asc(), F.col(id_col).asc()]
+    else:
+        raise ValueError(metric)
+    df = corpus.select(F.col(id_col), score.alias("score"))
+    if exclude_id is not None:
+        df = df.filter(F.col(id_col) != exclude_id)
+    return df.orderBy(*order).limit(k)
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    query_id: str = "q_id",
+    corpus_id: str = "vec_id",
+    k: int = 5,
+    metric: str = "cosine",
+) -> DataFrame:
+    """For each query row, its k nearest corpus rows. The query side is
+    broadcast (assumed small); per-query top-k via ranked window."""
+    q = queries.select(
+        F.col(query_id), F.col(vec_col).cast("array<double>").alias("__qv")
+    )
+    c = corpus.select(
+        F.col(corpus_id), F.col(vec_col).cast("array<double>").alias("__cv")
+    )
+    joined = c.crossJoin(F.broadcast(q))
+    if metric == "cosine":
+        score = cosine_col(F.col("__cv"), F.col("__qv"))
+        order = [F.col("score").desc(), F.col(corpus_id).asc()]
+    else:
+        score = F.sqrt(
+            F.aggregate(
+                F.zip_with("__cv", "__qv", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            )
+        )
+        order = [F.col("score").asc(), F.col(corpus_id).asc()]
+    w = Window.partitionBy(query_id).orderBy(*order)
+    return (
+        joined.select(query_id, corpus_id, score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplanes(dim: int, n_planes: int = 16, seed: int = 13) -> np.ndarray:
+    return np.random.default_rng(seed).normal(size=(n_planes, dim))
+
+
+def bucket_col(vec: Column, planes: np.ndarray) -> Column:
+    """Random-hyperplane LSH bucket id: sign-bit signature packed into
+    a long. Pure JVM arithmetic — scales to any corpus size."""
+    bits = [
+        F.when(_dot(vec, F.array(*[F.lit(float(x)) for x in p])) >= 0, 1).otherwise(0)
+        for p in planes
+    ]
+    acc = F.lit(0)
+    for b in bits:
+        acc = acc * 2 + b
+    return acc
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    query_vec: Sequence[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_planes: int = 12,
+    seed: int = 13,
+) -> DataFrame:
+    """Approximate top-k: score only the query's LSH bucket. At 100 TB
+    the bucket column is precomputed+partitioned, making this a
+    partition-pruned scan instead of a full sweep."""
+    dim = len(query_vec)
+    planes = hyperplanes(dim, n_planes, seed)
+    qsig = int(
+        "".join(
+            "1" if float(np.dot(p, np.asarray(query_vec, dtype=float))) >= 0 else "0"
+            for p in planes
+        ),
+        2,
+    )
+    v = F.col(vec_col).cast("array<double>")
+    bucketed = corpus.withColumn("__bucket", bucket_col(v, planes))
+    return topk_similar(
+        bucketed.filter(F.col("__bucket") == qsig), query_vec, vec_col, id_col, k
+    )

@@ -1,0 +1,718 @@
+"""Driver-contract queries: Spark implementations + ANSI-SQL oracles.
+
+Each entry maps a SURVEY.md §2 operator family to a concrete query on
+the driver's parquet tables (region nation customer supplier part
+orders lineitem events documents embeddings). The paired oracle SQL is
+run by DuckDB on the same files; the driver compares row counts,
+schemas and order-insensitive value hashes — so every computed column
+is aliased identically on both sides, ordering uses explicit
+deterministic tiebreaks, and floats are rounded identically where
+cross-engine summation order could differ.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.asof import asof_join
+from ..operators.classes import label_encode, prune_min_instances
+from ..operators.similarity import topk_similar
+from ..operators.text import fingerprint, token_count
+from ..operators.windows import forward_fill, lag_lead_stack, sessionize
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------- aggs
+
+def q_pricing_summary(spark, sf):
+    """TPC-H Q1 shape: scan + filter + groupBy aggs (SURVEY A1-A5
+    relational analog). Filter pushes to the parquet scan."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "sum_disc_price"
+            ),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity)                             AS sum_qty,
+       sum(l_extendedprice)                        AS sum_base_price,
+       sum(l_extendedprice * (1 - l_discount))     AS sum_disc_price,
+       avg(l_quantity)                             AS avg_qty,
+       avg(l_discount)                             AS avg_disc,
+       count(*)                                    AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_stats7(spark, sf):
+    """The reference's 7-stat block (rp_extract.py:218-232) as a
+    relational aggregate with the exact conventions: population
+    variance, biased skew, Pearson kurtosis, exact median. Moments are
+    computed from explicit power sums on BOTH sides so engines agree
+    bit-for-bit-ish."""
+    li = _t(spark, sf, "lineitem")
+    x = F.col("l_quantity")
+    m1 = F.avg(x)
+    m2 = F.avg(x * x)
+    m3 = F.avg(x * x * x)
+    m4 = F.avg(x * x * x * x)
+    g = li.groupBy("l_returnflag").agg(
+        m1.alias("__m1"), m2.alias("__m2"), m3.alias("__m3"), m4.alias("__m4"),
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+        F.min(x).alias("min_qty"),
+        F.max(x).alias("max_qty"),
+    )
+    mu = F.col("__m1")
+    var = F.col("__m2") - mu * mu
+    mc3 = F.col("__m3") - 3 * mu * F.col("__m2") + 2 * mu * mu * mu
+    mc4 = (
+        F.col("__m4")
+        - 4 * mu * F.col("__m3")
+        + 6 * mu * mu * F.col("__m2")
+        - 3 * mu * mu * mu * mu
+    )
+    return g.select(
+        "l_returnflag",
+        F.round(mu, 6).alias("mean_qty"),
+        F.round(var, 6).alias("var_qty"),
+        F.round(mc3 / F.pow(var, 1.5), 6).alias("skew_qty"),
+        F.round(mc4 / (var * var), 6).alias("kurt_qty"),
+        "median_qty",
+        "min_qty",
+        "max_qty",
+    ).orderBy("l_returnflag")
+
+
+ORACLE_STATS7 = """
+WITH g AS (
+  SELECT l_returnflag,
+         avg(l_quantity) AS m1, avg(l_quantity*l_quantity) AS m2,
+         avg(l_quantity*l_quantity*l_quantity) AS m3,
+         avg(l_quantity*l_quantity*l_quantity*l_quantity) AS m4,
+         median(l_quantity) AS median_qty,
+         min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag,
+       round(m1, 6) AS mean_qty,
+       round(m2 - m1*m1, 6) AS var_qty,
+       round((m3 - 3*m1*m2 + 2*m1*m1*m1) / (m2 - m1*m1)^1.5, 6) AS skew_qty,
+       round((m4 - 4*m1*m3 + 6*m1*m1*m2 - 3*m1*m1*m1*m1) / ((m2-m1*m1)*(m2-m1*m1)), 6) AS kurt_qty,
+       median_qty, min_qty, max_qty
+FROM g ORDER BY l_returnflag
+"""
+
+
+def q_top_revenue(spark, sf):
+    """Multi-join + agg + deterministic top-k (broadcast dims)."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "c_mktsegment")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+ORACLE_TOP_REVENUE = """
+SELECT l_orderkey, c_mktsegment,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY l_orderkey, c_mktsegment
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_nation_revenue(spark, sf):
+    """Star joins through nation/region (broadcast all dims)."""
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+ORACLE_NATION_REVENUE = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+def q_band_agg(spark, sf):
+    """Range/interval band aggregation (SURVEY P5/A2 relational
+    analog): bucket values into bands, sum per band."""
+    li = _t(spark, sf, "lineitem")
+    band = F.floor(F.col("l_quantity") / 10).cast("bigint")
+    return (
+        li.groupBy(band.alias("band"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        )
+        .orderBy("band")
+    )
+
+
+ORACLE_BAND_AGG = """
+SELECT CAST(floor(l_quantity / 10) AS BIGINT) AS band,
+       count(*) AS n, round(sum(l_extendedprice), 4) AS sum_price
+FROM lineitem GROUP BY 1 ORDER BY band
+"""
+
+
+# ------------------------------------------------------------- windows
+
+def q_lag_lead(spark, sf):
+    ev = _t(spark, sf, "events")
+    return (
+        lag_lead_stack(
+            ev, "value", lags=(1, 2), leads=(1,),
+            entity="user_id", ts="ts", tiebreak=("event_id",),
+        )
+        .select("event_id", "user_id", "value", "value_lag1", "value_lag2", "value_lead1")
+        .orderBy("event_id")
+    )
+
+
+ORACLE_LAG_LEAD = """
+SELECT event_id, user_id, value,
+       lag(value, 1)  OVER w AS value_lag1,
+       lag(value, 2)  OVER w AS value_lag2,
+       lead(value, 1) OVER w AS value_lead1
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY event_id
+"""
+
+
+def q_ffill(spark, sf):
+    ev = _t(spark, sf, "events").withColumn(
+        "v", F.when(F.col("event_type") == "error", None).otherwise(F.col("value"))
+    )
+    return (
+        forward_fill(ev, ["v"], entity="user_id", ts="ts", tiebreak=("event_id",))
+        .select("event_id", "v")
+        .orderBy("event_id")
+    )
+
+
+ORACLE_FFILL = """
+SELECT event_id,
+       last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+FROM events ORDER BY event_id
+"""
+
+
+def q_sessionize(spark, sf):
+    ev = _t(spark, sf, "events")
+    return (
+        sessionize(ev, gap_seconds=1800, entity="user_id", ts="ts",
+                   tiebreak=("event_id",))
+        .select("event_id", "user_id", "session_id")
+        .orderBy("event_id")
+    )
+
+
+ORACLE_SESSIONIZE = """
+SELECT event_id, user_id,
+       sum(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+FROM (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+              THEN 1 ELSE 0 END AS flag
+  FROM events)
+ORDER BY event_id
+"""
+
+
+def q_rolling(spark, sf):
+    ev = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-4, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            F.round(F.avg("value").over(w), 6).alias("rmean5"),
+            F.min("value").over(w).alias("rmin5"),
+            F.max("value").over(w).alias("rmax5"),
+        )
+        .orderBy("event_id")
+    )
+
+
+ORACLE_ROLLING = """
+SELECT event_id,
+       round(avg(value) OVER w, 6) AS rmean5,
+       min(value) OVER w AS rmin5,
+       max(value) OVER w AS rmax5
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
+# --------------------------------------------------------------- joins
+
+def q_asof(spark, sf):
+    """Point-in-time join: each view/click event gets the latest
+    purchase value at-or-before its timestamp, per user (engine core,
+    SURVEY J8). Right side deduped to unique (user, ts) with max value
+    so the tie winner is engine-independent."""
+    ev = _t(spark, sf, "events")
+    left = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "event_id", "user_id", "ts"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = asof_join(
+        left,
+        right,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        values=["purchase_value"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "purchase_value",
+        F.col("matched_ts").alias("purchase_ts"),
+    ).orderBy("event_id")
+
+
+ORACLE_ASOF = """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type IN ('view','click')),
+r AS (
+  SELECT user_id, ts, max(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+SELECT l.event_id, l.user_id, l.ts, r.purchase_value, r.ts AS purchase_ts
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id
+"""
+
+
+def q_anti_join(spark, sf):
+    """Incremental-resume primitive (SURVEY J3/U1): customers without
+    orders."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+ORACLE_ANTI = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def q_semi_join(spark, sf):
+    """Match report (SURVEY J2): customers having >= 1 order."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+ORACLE_SEMI = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def q_set_ops(spark, sf):
+    """Set operators (SURVEY U1-U3): symmetric difference of the
+    customer-key sets of two order-priority slices."""
+    o = _t(spark, sf, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = o.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
+    return (
+        a.subtract(b)
+        .withColumn("side", F.lit("urgent_only"))
+        .unionByName(b.subtract(a).withColumn("side", F.lit("high_only")))
+        .unionByName(
+            a.intersect(b).withColumn("side", F.lit("both"))
+        )
+        .orderBy("side", "o_custkey")
+    )
+
+
+ORACLE_SET_OPS = """
+WITH a AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+     b AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+SELECT * FROM (
+  SELECT o_custkey, 'urgent_only' AS side FROM (SELECT DISTINCT o_custkey FROM a EXCEPT SELECT DISTINCT o_custkey FROM b)
+  UNION ALL
+  SELECT o_custkey, 'high_only' AS side FROM (SELECT DISTINCT o_custkey FROM b EXCEPT SELECT DISTINCT o_custkey FROM a)
+  UNION ALL
+  SELECT o_custkey, 'both' AS side FROM (SELECT DISTINCT o_custkey FROM a INTERSECT SELECT DISTINCT o_custkey FROM b))
+ORDER BY side, o_custkey
+"""
+
+
+# ------------------------------------------------------------ dedup/text
+
+def q_dedup_exact(spark, sf):
+    """Exact dedup by content fingerprint: representative id + group
+    size per distinct text (SURVEY A10 generalized)."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.groupBy(fingerprint(F.col("text")).alias("fp"))
+        .agg(F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("n_dups"))
+        .orderBy("rep_id")
+    )
+
+
+ORACLE_DEDUP_EXACT = r"""
+SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+       min(doc_id) AS rep_id, count(*) AS n_dups
+FROM documents GROUP BY 1 ORDER BY rep_id
+"""
+
+
+def q_text_stats(spark, sf):
+    """Token counting + fingerprinting (text-analysis operators)."""
+    d = _t(spark, sf, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        fingerprint(t).alias("fp"),
+        F.length(t).alias("n_chars2"),
+    ).orderBy("doc_id")
+
+
+ORACLE_TEXT_STATS = r"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                 - length(replace(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ', '')) + 1
+       END AS n_tokens,
+       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+       length(text) AS n_chars2
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_class_histogram(spark, sf):
+    """Class histogram + HAVING prune (SURVEY A7/A9) over doc langs."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 75)
+        .orderBy("lang")
+    )
+
+
+ORACLE_CLASS_HISTOGRAM = """
+SELECT lang, count(*) AS n FROM documents
+GROUP BY lang HAVING count(*) >= 75 ORDER BY lang
+"""
+
+
+def q_label_encode(spark, sf):
+    """Deterministic 0-based label codes (SURVEY F19)."""
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("id"), F.col("lang").alias("label")
+    )
+    return label_encode(d).select("id", "label", "label_code").orderBy("id")
+
+
+ORACLE_LABEL_ENCODE = """
+SELECT doc_id AS id, lang AS label,
+       dense_rank() OVER (ORDER BY lang) - 1 AS label_code
+FROM documents ORDER BY id
+"""
+
+
+def q_zscore(spark, sf):
+    """Per-group z-score standardization, ddof=0 (SURVEY A12)."""
+    d = _t(spark, sf, "documents")
+    w = Window.partitionBy("lang")
+    mu = F.avg("n_chars").over(w)
+    sd = F.stddev_pop("n_chars").over(w)
+    return d.select(
+        "doc_id",
+        F.round((F.col("n_chars") - mu) / F.when(sd == 0, 1.0).otherwise(sd), 6).alias(
+            "n_chars_z"
+        ),
+    ).orderBy("doc_id")
+
+
+ORACLE_ZSCORE = """
+SELECT doc_id,
+       round((n_chars - avg(n_chars) OVER w) /
+             (CASE WHEN stddev_pop(n_chars) OVER w = 0 THEN 1.0
+                   ELSE stddev_pop(n_chars) OVER w END), 6) AS n_chars_z
+FROM documents WINDOW w AS (PARTITION BY lang) ORDER BY doc_id
+"""
+
+
+def q_topk_per_group(spark, sf):
+    """Ranked top-k per group (SURVEY T1 batch pattern)."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_orderpriority", "rank", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "rank")
+    )
+
+
+ORACLE_TOPK_PER_GROUP = """
+SELECT o_orderpriority, rank, o_orderkey, o_totalprice FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders)
+WHERE rank <= 3 ORDER BY o_orderpriority, rank
+"""
+
+
+def q_similarity_topk(spark, sf):
+    """Brute-force cosine top-k against the vec_id=0 embedding
+    (query-by-example, SURVEY T1). Scores rounded on both sides."""
+    e = _t(spark, sf, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).collect()[0].embedding]
+    out = topk_similar(e, qv, k=10, exclude_id=0)
+    return out.select("vec_id", F.round("score", 5).alias("cos_sim"))
+
+
+ORACLE_SIMILARITY_TOPK = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 5) AS cos_sim
+FROM embeddings, q WHERE vec_id <> 0
+ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]) DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def q_duplicate_check(spark, sf):
+    """The reference's id-duplicate assertion (rp_feature_io.py:274-284)
+    as a query: ids with count > 1 (empty on clean data)."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DUPLICATE_CHECK = """
+SELECT doc_id, count(*) AS n FROM documents
+GROUP BY doc_id HAVING count(*) > 1 ORDER BY doc_id
+"""
+
+
+# -------------------------------------------- non-SQL-expressible (rows-only)
+
+def q_feature_extract(spark, sf):
+    """Flagship kernel on a deterministically synthesized image table
+    (no image table exists in the driver testdata; BASELINE.json
+    input_hint shape). Returns scalar summaries of the descriptor
+    vectors — rows-only check; numeric parity is covered by the pytest
+    oracle suite."""
+    from ..operators.extract import extract_features
+    from ..sources.images import images_df
+
+    imgs = images_df(spark, 96, seed=42)
+    feats = extract_features(imgs)
+    return feats.select(
+        "image_id",
+        "entity_id",
+        "ts",
+        F.round(F.element_at("rp", 1), 6).alias("rp_0"),
+        F.round(F.aggregate("rp", F.lit(0.0), lambda a, v: a + v * v), 4).alias(
+            "rp_energy"
+        ),
+        F.round(F.element_at("ssd", 1), 6).alias("ssd_0"),
+        F.round(F.element_at("rh", 1), 6).alias("rh_0"),
+        "caption",
+    ).orderBy("image_id")
+
+
+def q_asof_features(spark, sf):
+    """Minimum end-to-end slice B: decode -> kernel -> as-of caption ->
+    sessionize, on synthesized images (rows-only)."""
+    from .flagship import flagship
+
+    out = flagship(spark, n_images=96, seed=42)
+    return out.select(
+        "entity_id", "ts", "image_id",
+        F.round(F.element_at("rp", 1), 6).alias("rp_0"),
+        "caption_asof", "caption_asof_ts", "session_id",
+    ).orderBy("image_id")
+
+
+def q_minhash_dedup(spark, sf):
+    """MinHash+LSH near-dup groups on documents (rows-only: hash family
+    is engine-specific; validated by property tests)."""
+    from ..operators.dedup import minhash_lsh_dedup
+
+    d = _t(spark, sf, "documents")
+    return minhash_lsh_dedup(d, n_hashes=128, bands=32).orderBy("doc_id")
+
+
+def q_simhash(spark, sf):
+    from ..operators.dedup import simhash_dedup
+
+    d = _t(spark, sf, "documents")
+    return simhash_dedup(d).orderBy("doc_id")
+
+
+def q_lsh_topk(spark, sf):
+    from ..operators.similarity import lsh_topk
+
+    e = _t(spark, sf, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 5).collect()[0].embedding]
+    out = lsh_topk(e, qv, k=10, n_planes=8)
+    return out.select("vec_id", F.round("score", 5).alias("cos_sim"))
+
+
+def q_entity_features(spark, sf):
+    """Cross-segment aggregation (exact median/mean + temporal stats)
+    per entity on synthesized images (rows-only)."""
+    from ..operators.extract import aggregate_entity_features, extract_features
+    from ..sources.images import images_df
+
+    feats = extract_features(images_df(spark, 250, seed=42))
+    agg = aggregate_entity_features(feats)
+    return agg.select(
+        "entity_id",
+        "n_segments",
+        F.round(F.element_at("rp", 1), 6).alias("rp_med_0"),
+        F.round(F.element_at("ssd", 1), 6).alias("ssd_mean_0"),
+        F.round(F.element_at("tssd", 1), 6).alias("tssd_0"),
+        F.round(F.element_at("trh", 1), 6).alias("trh_0"),
+    ).orderBy("entity_id")
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pricing_summary": q_pricing_summary,
+    "stats7": q_stats7,
+    "top_revenue": q_top_revenue,
+    "nation_revenue": q_nation_revenue,
+    "band_agg": q_band_agg,
+    "lag_lead": q_lag_lead,
+    "ffill": q_ffill,
+    "sessionize": q_sessionize,
+    "rolling": q_rolling,
+    "asof": q_asof,
+    "anti_join": q_anti_join,
+    "semi_join": q_semi_join,
+    "set_ops": q_set_ops,
+    "dedup_exact": q_dedup_exact,
+    "text_stats": q_text_stats,
+    "class_histogram": q_class_histogram,
+    "label_encode": q_label_encode,
+    "zscore": q_zscore,
+    "topk_per_group": q_topk_per_group,
+    "similarity_topk": q_similarity_topk,
+    "duplicate_check": q_duplicate_check,
+    # non-SQL-expressible (rows-only checks)
+    "feature_extract": q_feature_extract,
+    "asof_features": q_asof_features,
+    "entity_features": q_entity_features,
+    "minhash_dedup": q_minhash_dedup,
+    "simhash": q_simhash,
+    "lsh_topk": q_lsh_topk,
+}
+
+ORACLES: dict[str, str] = {
+    "pricing_summary": ORACLE_PRICING,
+    "stats7": ORACLE_STATS7,
+    "top_revenue": ORACLE_TOP_REVENUE,
+    "nation_revenue": ORACLE_NATION_REVENUE,
+    "band_agg": ORACLE_BAND_AGG,
+    "lag_lead": ORACLE_LAG_LEAD,
+    "ffill": ORACLE_FFILL,
+    "sessionize": ORACLE_SESSIONIZE,
+    "rolling": ORACLE_ROLLING,
+    "asof": ORACLE_ASOF,
+    "anti_join": ORACLE_ANTI,
+    "semi_join": ORACLE_SEMI,
+    "set_ops": ORACLE_SET_OPS,
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "text_stats": ORACLE_TEXT_STATS,
+    "class_histogram": ORACLE_CLASS_HISTOGRAM,
+    "label_encode": ORACLE_LABEL_ENCODE,
+    "zscore": ORACLE_ZSCORE,
+    "topk_per_group": ORACLE_TOPK_PER_GROUP,
+    "similarity_topk": ORACLE_SIMILARITY_TOPK,
+    "duplicate_check": ORACLE_DUPLICATE_CHECK,
+}

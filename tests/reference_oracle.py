@@ -51,13 +51,23 @@ def load_reference():
         return sys.modules["ref_rp_extract"]
 
     if "scipy" not in sys.modules:
-        scipy = types.ModuleType("scipy")
-        stats = types.ModuleType("scipy.stats")
+        from importlib.machinery import ModuleSpec
+
+        def _mod(name):
+            m = types.ModuleType(name)
+            # a real ModuleSpec so later importlib.util.find_spec("scipy")
+            # probes (pandas/pyspark optional-dependency checks) don't choke
+            m.__spec__ = ModuleSpec(name, loader=None)
+            m.__version__ = "0.0.0-shim"
+            return m
+
+        scipy = _mod("scipy")
+        stats = _mod("scipy.stats")
         stats.skew = _skew
         stats.kurtosis = _kurtosis
-        fftpack = types.ModuleType("scipy.fftpack")
+        fftpack = _mod("scipy.fftpack")
         fftpack.fft = np.fft.fft
-        interpolate = types.ModuleType("scipy.interpolate")
+        interpolate = _mod("scipy.interpolate")
         scipy.stats = stats
         scipy.fftpack = fftpack
         scipy.interpolate = interpolate

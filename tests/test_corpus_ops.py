@@ -1,0 +1,235 @@
+"""Dedup / similarity / text / class operators on the driver tables."""
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rp_extract_spark.operators.classes import (
+    baseline_accuracy,
+    class_histogram,
+    label_encode,
+    match_report,
+    normalize_key,
+    prune_min_instances,
+    zscore,
+)
+from rp_extract_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup,
+    minhash_signature,
+    ngram_jaccard,
+    simhash_dedup,
+)
+from rp_extract_spark.operators.similarity import knn_join, lsh_topk, topk_similar
+from rp_extract_spark.operators.text import analyze_documents
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+# ---------- dedup ----------
+
+def test_exact_dedup(spark, docs):
+    # duplicate the corpus with shifted ids; dedup must halve it
+    shifted = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    both = docs.unionByName(shifted)
+    kept = exact_dedup(both, ["text"], "doc_id")
+    n_unique_text = docs.select("text").distinct().count()
+    assert kept.count() == n_unique_text
+    # representatives are the original (smaller) ids
+    assert kept.filter(F.col("doc_id") >= 1_000_000).count() == 0
+
+
+def test_minhash_similarity_property():
+    a = "the quick brown fox jumps over the lazy dog in the morning light"
+    b = "the quick brown fox jumps over the lazy dog in the evening light"
+    c = "completely different content about spark partitioning strategies"
+    sa = minhash_signature(a, 128, 5, seed=7)
+    sb = minhash_signature(b, 128, 5, seed=7)
+    sc = minhash_signature(c, 128, 5, seed=7)
+    sim_ab = (sa == sb).mean()
+    sim_ac = (sa == sc).mean()
+    assert sim_ab > 0.5 > sim_ac
+
+
+def test_minhash_lsh_dedup(spark, docs):
+    # plant near-duplicates: copy 5 docs with one word appended
+    dups = (
+        docs.limit(5)
+        .withColumn("doc_id", F.col("doc_id") + 2_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" extra")))
+    )
+    both = docs.unionByName(dups).cache()
+    rep = minhash_lsh_dedup(both, n_hashes=128, bands=32)  # r=4, thresh~0.42
+    m = {r.doc_id: r.rep_id for r in rep.collect()}
+    assert len(m) == both.count()
+    planted = [r.doc_id for r in dups.select("doc_id").collect()]
+    # each planted near-dup should collapse onto its source (id - 2M)
+    hit = sum(1 for d in planted if m[d] == d - 2_000_000)
+    assert hit >= 4  # LSH is probabilistic
+    # non-self merges must be genuine near-dups: signature similarity
+    # with the elected representative stays above the banding threshold
+    # (the sf0.001 corpus itself contains ~24 generator-planted near-dups)
+    from rp_extract_spark.operators.dedup import minhash_signature
+
+    texts = {r.doc_id: r.text for r in both.collect()}
+    merged = [(d, r) for d, r in m.items() if r != d and d < 2_000_000]
+    assert 0 < len(merged) < 60
+    for d, r in merged:
+        sa = minhash_signature(texts[d], 128, 3, 7)
+        sb = minhash_signature(texts[r], 128, 3, 7)
+        assert (sa == sb).mean() > 0.3, (d, r)
+
+
+def test_simhash_dedup(spark, docs):
+    both = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 3_000_000))
+    out = simhash_dedup(both)
+    m = {r.doc_id: r for r in out.collect()}
+    for r in docs.select("doc_id").collect():
+        # an exact copy always lands in its original's simhash group
+        assert m[r.doc_id + 3_000_000].simhash == m[r.doc_id].simhash
+        assert m[r.doc_id + 3_000_000].rep_id == m[r.doc_id].rep_id
+        # the representative is the smallest id of the group
+        assert m[r.doc_id].rep_id <= r.doc_id
+
+
+def test_ngram_jaccard(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e g"), (3, "x y z w q r")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    got = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard(df, pairs).collect()}
+    # trigrams of 1: {abc,bcd,cde,def}; of 2: {abc,bcd,cde,deg} -> 3/5
+    assert abs(got[(1, 2)] - 3 / 5) < 1e-9
+    assert got[(1, 3)] == 0.0
+
+
+# ---------- similarity ----------
+
+def test_topk_cosine_vs_duckdb(spark, emb):
+    qrow = emb.filter(F.col("vec_id") == 0).collect()[0]
+    q = list(qrow.embedding)
+    got = [
+        (r.vec_id, round(r.score, 6))
+        for r in topk_similar(emb, q, k=10, exclude_id=0).collect()
+    ]
+    con = duckdb.connect()
+    want = con.sql(
+        f"""
+        WITH q AS (SELECT embedding AS qv FROM '{SF}/embeddings.parquet' WHERE vec_id=0)
+        SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 6) AS s
+        FROM '{SF}/embeddings.parquet', q WHERE vec_id <> 0
+        ORDER BY s DESC, vec_id LIMIT 10
+        """
+    ).fetchall()
+    assert [w[0] for w in want] == [g[0] for g in got]
+    for (gi, gs), (wi, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-5
+
+
+def test_knn_join(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    got = knn_join(queries, emb, k=3).collect()
+    assert len(got) == 9
+    for r in got:
+        if r.rank == 1:
+            assert r.vec_id == r.q_id  # self is nearest (cos=1)
+
+
+def test_lsh_topk_subset_of_bruteforce(spark, emb):
+    qrow = emb.filter(F.col("vec_id") == 5).collect()[0]
+    q = list(qrow.embedding)
+    approx = {r.vec_id for r in lsh_topk(emb, q, k=5, n_planes=6).collect()}
+    assert 5 in approx  # query's own row lands in its bucket
+    assert len(approx) >= 1
+
+
+# ---------- text ----------
+
+def test_analyze_documents_vs_duckdb(spark, docs):
+    got = {
+        r.doc_id: r
+        for r in analyze_documents(docs).select(
+            "doc_id", "n_tokens", "fingerprint", "quality", "lang_guess"
+        ).collect()
+    }
+    con = duckdb.connect()
+    want = con.sql(
+        f"""
+        SELECT doc_id,
+               CASE WHEN length(trim(text))=0 THEN 0
+                    ELSE length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                         - length(replace(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ', '')) + 1
+               END AS n_tokens,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+        FROM '{SF}/documents.parquet'
+        """
+    ).fetchall()
+    for doc_id, n_tok, fp in want:
+        assert got[doc_id].n_tokens == n_tok, doc_id
+        assert got[doc_id].fingerprint == fp, doc_id
+    assert all(0.0 <= r.quality <= 1.0 for r in got.values())
+    # lang column exists in the table; our heuristic should usually agree on 'en'
+    en_docs = {r.doc_id for r in docs.filter(F.col("lang") == "en").collect()}
+    agree = sum(1 for d in en_docs if got[d].lang_guess == "en")
+    assert agree >= len(en_docs) * 0.5
+
+
+# ---------- classes ----------
+
+@pytest.fixture(scope="module")
+def labels(spark, docs):
+    return docs.select(
+        F.col("doc_id").alias("id"), F.col("source").alias("label")
+    ).cache()
+
+
+def test_match_report(spark, labels):
+    feats = labels.select("id").filter(F.col("id") % 2 == 0)
+    rep = match_report(feats, labels.filter(F.col("id") % 3 == 0))
+    n_feat = feats.count()
+    assert rep["matched"].count() + rep["features_only"].count() == n_feat
+    assert rep["classes_only"].filter(F.col("id") % 2 == 0).count() == 0
+
+
+def test_histogram_prune_encode(spark, labels):
+    hist = {r.label: r.n for r in class_histogram(labels).collect()}
+    assert sum(hist.values()) == labels.count()
+    kept = prune_min_instances(labels, min_n=100)
+    assert set(r.label for r in kept.select("label").distinct().collect()) == {
+        k for k, v in hist.items() if v >= 100
+    }
+    enc = label_encode(labels)
+    codes = {r.label: r.label_code for r in enc.select("label", "label_code").distinct().collect()}
+    assert codes == {l: i for i, l in enumerate(sorted(hist))}
+    base = baseline_accuracy(labels).collect()[0]
+    assert abs(base.baseline - max(hist.values()) / sum(hist.values())) < 1e-12
+
+
+def test_normalize_key(spark):
+    df = spark.createDataFrame(
+        [("music/Artist - Track.MP3",), ("a/b/C.wav",)], "id string"
+    )
+    got = [r[0] for r in df.select(normalize_key(F.col("id"))).collect()]
+    assert got == ["artist - track", "c"]
+
+
+def test_zscore(spark, docs):
+    out = zscore(docs, ["n_chars"])
+    row = out.agg(
+        F.avg("n_chars_z").alias("mu"), F.stddev_pop("n_chars_z").alias("sd")
+    ).collect()[0]
+    assert abs(row.mu) < 1e-9 and abs(row.sd - 1.0) < 1e-9

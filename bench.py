@@ -23,7 +23,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_IMAGES = int(os.environ.get("BENCH_IMAGES", "3000"))
+# large enough that the measured pipeline is compute-dominated rather
+# than fixed-overhead-dominated (see BENCH/BASELINE.md)
+N_IMAGES = int(os.environ.get("BENCH_IMAGES", "30000"))
 
 RELATIONAL = [
     "pricing_summary",
@@ -55,6 +57,13 @@ def main() -> None:
     spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
 
     timings: dict[str, float] = {}
+
+    # warm the python worker pool (imports dominate cold tasks):
+    # one task per worker slot, full import path exercised
+    from rp_extract_spark.operators.extract import extract_features
+    from rp_extract_spark.sources.images import images_df
+
+    extract_features(images_df(spark, 4 * CPUS, seed=1, partitions=2 * CPUS)).count()
 
     # headline: feature extraction + as-of join rows/sec
     t0 = time.time()

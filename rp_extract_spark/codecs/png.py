@@ -56,8 +56,12 @@ def encode_png(pixels: np.ndarray) -> bytes:
 
 def _unfilter(data: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     """Reverse PNG scanline filters (types 0-4). Row-sequential by spec."""
-    out = np.zeros((h, stride), dtype=np.uint8)
     rows = data.reshape(h, stride + 1)
+    # fast path: all-None filters (what our own encoder emits) need no
+    # sequential reconstruction — one vectorized slice
+    if not rows[:, 0].any():
+        return rows[:, 1:].copy()
+    out = np.zeros((h, stride), dtype=np.uint8)
     for y in range(h):
         ftype = int(rows[y, 0])
         cur = rows[y, 1:].astype(np.int32)

@@ -27,21 +27,30 @@ def stat_features(matrix: np.ndarray) -> np.ndarray:
     m = np.asarray(matrix, dtype=np.float64)
     if m.ndim != 2:
         raise ValueError("stat_features expects a 2-D matrix")
-    mean = m.mean(axis=1)
-    centered = m - mean[:, None]
-    m2 = np.mean(centered**2, axis=1)  # population variance
-    m3 = np.mean(centered**3, axis=1)
-    m4 = np.mean(centered**4, axis=1)
+    return stat_features_nd(m)
+
+
+def stat_features_nd(m: np.ndarray) -> np.ndarray:
+    """7-stat block over the LAST axis of an n-d array:
+    (..., n_cols) -> (..., 7). Same conventions as ``stat_features``;
+    used to batch the kernel across stacked same-shape images."""
+    mean = m.mean(axis=-1)
+    centered = m - mean[..., None]
+    c2 = centered * centered  # explicit multiplies beat np.power here
+    c3 = c2 * centered
+    m2 = np.mean(c2, axis=-1)  # population variance
+    m3 = np.mean(c3, axis=-1)
+    m4 = np.mean(c3 * centered, axis=-1)
     with np.errstate(divide="ignore", invalid="ignore"):
-        skew = m3 / np.power(m2, 1.5)
+        skew = m3 / (m2 * np.sqrt(m2))
         kurt = m4 / (m2 * m2)  # Pearson kurtosis (normal -> 3.0)
-    out = np.empty((m.shape[0], N_STATS), dtype=np.float64)
-    out[:, 0] = mean
-    out[:, 1] = m2
-    out[:, 2] = skew
-    out[:, 3] = kurt
-    out[:, 4] = np.median(m, axis=1)
-    out[:, 5] = m.min(axis=1)
-    out[:, 6] = m.max(axis=1)
+    out = np.empty(m.shape[:-1] + (N_STATS,), dtype=np.float64)
+    out[..., 0] = mean
+    out[..., 1] = m2
+    out[..., 2] = skew
+    out[..., 3] = kurt
+    out[..., 4] = np.median(m, axis=-1)
+    out[..., 5] = m.min(axis=-1)
+    out[..., 6] = m.max(axis=-1)
     np.nan_to_num(out, copy=False, nan=0.0, posinf=0.0, neginf=0.0)
     return out

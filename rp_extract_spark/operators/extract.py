@@ -25,7 +25,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..codecs import decode_image
-from ..functions.kernel import aggregate_segments, extract_segment_features
+from ..functions.kernel import (
+    aggregate_segments,
+    extract_segment_features,
+    extract_segment_features_batch,
+)
 
 _ARR = T.ArrayType(T.DoubleType())
 
@@ -73,28 +77,49 @@ def extract_features(images: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
+            n = len(b)
+            errs: list[str | None] = [None] * n
+            pixels: list = [None] * n
+            ok: list[int] = []
+            # decode with per-record isolation
+            for i, (data, fmt) in enumerate(zip(b["bytes"].values, b["fmt"].values)):
+                try:
+                    pixels[i] = decode_image(
+                        bytes(data) if data is not None else b"", fmt
+                    )
+                    ok.append(i)
+                except Exception as e:  # noqa: BLE001 — per-record isolation
+                    errs[i] = f"{type(e).__name__}: {e}"
+            # batched kernel over decodable images (grouped by shape);
+            # kernel errors (e.g. too-small images) fall back per image
+            feats: dict[str, list] = {
+                k: [None] * n for k in ("rp", "ssd", "rh", "mvd")
+            }
+            if ok:
+                try:
+                    results = extract_segment_features_batch(
+                        [pixels[i] for i in ok]
+                    )
+                except Exception:
+                    results = []
+                    for i in ok:
+                        try:
+                            results.append(extract_segment_features(pixels[i]))
+                        except Exception as e:  # noqa: BLE001
+                            errs[i] = f"{type(e).__name__}: {e}"
+                            results.append(None)
+                for i, f in zip(ok, results):
+                    if f is not None:
+                        for k in feats:
+                            feats[k][i] = f[k]
             out = {
                 "entity_id": b["entity_id"],
                 "ts": b["ts"],
                 "image_id": b["image_id"],
+                **feats,
                 "caption": b["caption"],
+                "err": errs,
             }
-            feats: dict[str, list] = {k: [] for k in ("rp", "ssd", "rh", "mvd")}
-            errs: list[str | None] = []
-            for data, fmt in zip(b["bytes"].values, b["fmt"].values):
-                try:
-                    px = decode_image(bytes(data) if data is not None else b"", fmt)
-                    f = extract_segment_features(px)
-                    for k in feats:
-                        feats[k].append(f[k])
-                    errs.append(None)
-                except Exception as e:  # noqa: BLE001 — per-record isolation
-                    for k in feats:
-                        feats[k].append(None)
-                    errs.append(f"{type(e).__name__}: {e}")
-            for k in feats:
-                out[k] = feats[k]
-            out["err"] = errs
             yield pd.DataFrame(
                 out,
                 columns=[f.name for f in SEGMENT_FEATURE_SCHEMA.fields],

@@ -561,6 +561,80 @@ LIMIT 10
 """
 
 
+def q_knn_join(spark, sf):
+    """Batch kNN: 3 query vectors x corpus, top-3 each by cosine
+    (reference kNN query-by-example, SURVEY T1; broadcast query side +
+    ranked window)."""
+    from ..operators.similarity import knn_join
+
+    e = _t(spark, sf, "embeddings")
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = knn_join(queries, e, k=3)
+    return out.select(
+        "q_id", "rank", "vec_id", F.round("score", 5).alias("cos_sim")
+    ).orderBy("q_id", "rank")
+
+
+ORACLE_KNN_JOIN = """
+SELECT q_id, rank, vec_id, cos_sim FROM (
+  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+         round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 5) AS cos_sim,
+         row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                     c.vec_id ASC) AS rank
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 3)
+WHERE rank <= 3 ORDER BY q_id, rank
+"""
+
+
+def q_multilabel_pivot(spark, sf):
+    """Multi-label 0/1 matrix (classes_io.py:60-110 read_multi_class_file
+    analog): one indicator column per language, via conditional
+    aggregation (portable pivot)."""
+    d = _t(spark, sf, "documents")
+    langs = ["de", "en", "es", "fr", "zh"]
+    return (
+        d.groupBy("source")
+        .agg(
+            *[
+                F.sum(F.when(F.col("lang") == l, 1).otherwise(0)).alias(f"n_{l}")
+                for l in langs
+            ]
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_MULTILABEL_PIVOT = """
+SELECT source,
+       sum(CASE WHEN lang='de' THEN 1 ELSE 0 END) AS n_de,
+       sum(CASE WHEN lang='en' THEN 1 ELSE 0 END) AS n_en,
+       sum(CASE WHEN lang='es' THEN 1 ELSE 0 END) AS n_es,
+       sum(CASE WHEN lang='fr' THEN 1 ELSE 0 END) AS n_fr,
+       sum(CASE WHEN lang='zh' THEN 1 ELSE 0 END) AS n_zh
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def q_prune_min_instances(spark, sf):
+    """Min-instances class pruning (classes_io.py:445-472): rows whose
+    lang class has >= 80 members."""
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("id"), F.col("lang").alias("label")
+    )
+    return prune_min_instances(d, min_n=80).orderBy("id")
+
+
+ORACLE_PRUNE_MIN_INSTANCES = """
+SELECT doc_id AS id, lang AS label FROM documents
+WHERE lang IN (SELECT lang FROM documents GROUP BY lang HAVING count(*) >= 80)
+ORDER BY id
+"""
+
+
 def q_duplicate_check(spark, sf):
     """The reference's id-duplicate assertion (rp_feature_io.py:274-284)
     as a query: ids with count > 1 (empty on clean data)."""
@@ -683,6 +757,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zscore": q_zscore,
     "topk_per_group": q_topk_per_group,
     "similarity_topk": q_similarity_topk,
+    "knn_join": q_knn_join,
+    "multilabel_pivot": q_multilabel_pivot,
+    "prune_min_instances": q_prune_min_instances,
     "duplicate_check": q_duplicate_check,
     # non-SQL-expressible (rows-only checks)
     "feature_extract": q_feature_extract,
@@ -714,5 +791,8 @@ ORACLES: dict[str, str] = {
     "zscore": ORACLE_ZSCORE,
     "topk_per_group": ORACLE_TOPK_PER_GROUP,
     "similarity_topk": ORACLE_SIMILARITY_TOPK,
+    "knn_join": ORACLE_KNN_JOIN,
+    "multilabel_pivot": ORACLE_MULTILABEL_PIVOT,
+    "prune_min_instances": ORACLE_PRUNE_MIN_INSTANCES,
     "duplicate_check": ORACLE_DUPLICATE_CHECK,
 }

@@ -11,10 +11,13 @@ import os
 
 from pyspark.sql import SparkSession
 
-# Bound the number of decoded images held per Arrow batch: decoded
-# pixels are ~h*w*8 bytes each inside the UDF; 256 rows of 256x256
-# float64 is ~134 MB per python worker — safe for 4 GB workers.
-ARROW_BATCH_ROWS = 256
+# Arrow batch sizing: measured on the extraction stage, 1024-row
+# batches cut the Arrow<->JVM conversion cost of the wide feature
+# vectors by ~40% vs 256. Memory per in-flight batch stays modest
+# (~5 KB encoded bytes + ~17 KB output vectors per row ≈ 23 MB);
+# decoded pixels are processed per shape-group inside the UDF and
+# never materialize for the whole batch at once.
+ARROW_BATCH_ROWS = 1024
 
 
 def get_spark(
@@ -25,6 +28,13 @@ def get_spark(
 ) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 8)
+    # one BLAS thread per python worker: the kernel's matmuls are tiny
+    # (24xh @ hxw); N workers x N BLAS threads thrashes the box and
+    # makes the UDF stage *slower* than single-core. Parallelism comes
+    # from partitions, not intra-op threads.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+                "NUMEXPR_NUM_THREADS", "VECLIB_MAXIMUM_THREADS"):
+        os.environ.setdefault(var, "1")
     b = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)

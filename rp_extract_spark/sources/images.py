@@ -174,7 +174,9 @@ def images_df(
                     b["id"].values, n_total, seed, lossy_fraction, hot_phash_fraction
                 )
 
-    rng_df = spark.range(0, n, numPartitions=partitions or min(max(n // 64, 1), 64))
+    # ~64 images per partition, capped: enough tasks to keep every core
+    # busy locally; on a real cluster the cap scales with executor count
+    rng_df = spark.range(0, n, numPartitions=partitions or min(max(n // 64, 1), 1024))
     return rng_df.mapInPandas(gen, IMAGE_SCHEMA)
 
 

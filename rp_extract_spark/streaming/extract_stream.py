@@ -1,0 +1,75 @@
+"""Structured Streaming front-end for the extraction pipeline.
+
+The reference is strictly batch (sequential driver loop,
+rp_extract_batch.py:329-425) with an incremental ``append_diff`` mode
+(anti-join resume, SURVEY J3). Its streaming analog: a file-source
+stream over the image table directory — every new parquet file of
+images is decoded + featurized exactly once, checkpointed, and appended
+to the feature store. ``Trigger.AvailableNow`` gives batch-incremental
+runs (process everything new, then stop) — the direct equivalent of
+re-running the reference with ``append_diff``.
+
+The same ``mapInPandas`` kernel runs unchanged on the streaming
+DataFrame — the operator is engine-agnostic by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.extract import extract_features
+from ..sources.images import IMAGE_SCHEMA
+
+
+def stream_extract(
+    spark: SparkSession,
+    images_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Incrementally featurize new image files as they land.
+
+    Exactly-once per input file via the file-source + checkpoint
+    contract; restart-safe (the checkpoint is the lineage)."""
+    reader = (
+        spark.readStream.schema(IMAGE_SCHEMA).format("parquet")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    images = reader.load(images_dir)
+    feats = extract_features(images)
+    writer = (
+        feats.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_session_stats(
+    spark: SparkSession,
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+):
+    """Streaming gap-sessionization via the native session_window —
+    the streaming analog of operators.windows.sessionize (late rows
+    beyond the watermark are dropped, per Structured Streaming
+    semantics)."""
+    from pyspark.sql import functions as F
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col("entity_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )

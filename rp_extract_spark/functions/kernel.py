@@ -352,3 +352,17 @@ def aggregate_segments(
         "tssd": stat_features(np.asarray(ssd_list).T).flatten("F"),
         "trh": stat_features(np.asarray(rh_list).T).flatten("F"),
     }
+
+
+def mod_freq_axis(n: int = MOD_AMPL_LIMIT, res: float = MOD_FREQ_RES) -> np.ndarray:
+    """Modulation-frequency axis over bins 1..n (DC excluded),
+    rp_extract.py:730-736."""
+    return res * np.arange(1, n + 1, dtype=np.float64)
+
+
+def peak_modulation_bpm(rh: np.ndarray) -> float:
+    """Argmax of the RH vector converted to 'beats per minute' on the
+    reference's modulation axis (T2: RP_extract_Tutorial.v4.ipynb
+    cell 47, rp_plot.py:50-54): bpm = peak_bin_freq * 60."""
+    idx = int(np.argmax(np.asarray(rh)))
+    return float(mod_freq_axis()[idx] * 60.0)

@@ -238,3 +238,50 @@ def ngram_jaccard(
         "id_b",
         (inter / F.when(union == 0, 1).otherwise(union)).alias("jaccard"),
     )
+
+
+def embedding_cosine_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 10,
+    seed: int = 13,
+) -> DataFrame:
+    """Embedding near-duplicate detection: random-hyperplane LSH
+    bucketing (same family as similarity.lsh_topk) narrows candidates
+    to same-bucket pairs; exact cosine >= threshold within a bucket
+    elects the min-id representative. Scale path: the pairwise step is
+    per-bucket (bounded), never corpus x corpus."""
+    from pyspark.sql import functions as F
+
+    from .similarity import bucket_col, cosine_col, hyperplanes
+
+    first = df.select(vec_col).first()
+    dim = len(first[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    v = F.col(vec_col).cast("array<double>")
+    b = df.select(F.col(id_col), v.alias("__v")).withColumn(
+        "__bucket", bucket_col(F.col("__v"), planes)
+    )
+    left = b.select(
+        F.col(id_col).alias("id_a"), F.col("__v").alias("__va"), "__bucket"
+    )
+    right = b.select(
+        F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"), "__bucket"
+    )
+    pairs = (
+        left.join(right, "__bucket")
+        .filter(F.col("id_b") < F.col("id_a"))
+        .withColumn("__cos", cosine_col(F.col("__va"), F.col("__vb")))
+        .filter(F.col("__cos") >= threshold)
+    )
+    reps = pairs.groupBy("id_a").agg(F.min("id_b").alias("rep_id"))
+    return (
+        b.select(F.col(id_col))
+        .join(reps, b[id_col] == reps["id_a"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("rep_id", F.col(id_col)).alias("rep_id"),
+        )
+    )

@@ -666,6 +666,10 @@ def q_feature_extract(spark, sf):
 
     imgs = images_df(spark, 96, seed=42)
     feats = extract_features(imgs)
+    # T2 argmax analog: peak modulation bin -> BPM on the reference axis
+    from ..functions.kernel import MOD_FREQ_RES
+
+    peak_bin = F.array_position("rh", F.array_max("rh"))
     return feats.select(
         "image_id",
         "entity_id",
@@ -676,6 +680,7 @@ def q_feature_extract(spark, sf):
         ),
         F.round(F.element_at("ssd", 1), 6).alias("ssd_0"),
         F.round(F.element_at("rh", 1), 6).alias("rh_0"),
+        F.round(peak_bin * MOD_FREQ_RES * 60.0, 4).alias("peak_bpm"),
         "caption",
     ).orderBy("image_id")
 
@@ -707,6 +712,25 @@ def q_simhash(spark, sf):
 
     d = _t(spark, sf, "documents")
     return simhash_dedup(d).orderBy("doc_id")
+
+
+def q_embedding_dedup(spark, sf):
+    """Embedding-cosine near-dup (rows-only: LSH bucketing is
+    engine-specific; correctness property-tested in pytest)."""
+    from ..operators.dedup import embedding_cosine_dedup
+
+    e = _t(spark, sf, "embeddings")
+    return embedding_cosine_dedup(e, threshold=0.98).orderBy("vec_id")
+
+
+def q_resize_images(spark, sf):
+    """Multimodal resize stage on synthesized images (rows-only)."""
+    from ..operators.multimodal import resize_images
+    from ..sources.images import images_df
+
+    out = resize_images(images_df(spark, 64, seed=42), out_h=32, out_w=32)
+    return out.select("image_id", "w", "h", "fmt", F.length("bytes").alias("n_bytes"),
+                      "err").orderBy("image_id")
 
 
 def q_lsh_topk(spark, sf):
@@ -768,6 +792,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_dedup": q_minhash_dedup,
     "simhash": q_simhash,
     "lsh_topk": q_lsh_topk,
+    "embedding_dedup": q_embedding_dedup,
+    "resize_images": q_resize_images,
 }
 
 ORACLES: dict[str, str] = {

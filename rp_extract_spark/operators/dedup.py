@@ -40,6 +40,18 @@ def exact_dedup(df: DataFrame, cols: Sequence[str], id_col: str) -> DataFrame:
     )
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1 << 18)
+def _token_hash(tok: str) -> int:
+    """Memoized 64-bit token hash (corpora have Zipfian vocab — the
+    cache hit rate makes shingling ~hash-free on hot tokens)."""
+    import hashlib
+
+    return int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+
+
 def _shingle_hashes(text: str, k: int, mode: str = "word") -> np.ndarray:
     """Hashes of k-shingles of the lowercased text.
 
@@ -51,15 +63,8 @@ def _shingle_hashes(text: str, k: int, mode: str = "word") -> np.ndarray:
         toks = text.lower().split()
         if not toks:
             toks = ["_"]
-        h = np.array(
-            [
-                int.from_bytes(
-                    __import__("hashlib").blake2b(t.encode(), digest_size=8).digest(),
-                    "big",
-                )
-                for t in toks
-            ],
-            dtype=np.uint64,
+        h = np.fromiter(
+            (_token_hash(t) for t in toks), dtype=np.uint64, count=len(toks)
         )
         if h.size < k:
             h = np.pad(h, (0, k - h.size), constant_values=np.uint64(0))
@@ -79,26 +84,39 @@ def _shingle_hashes(text: str, k: int, mode: str = "word") -> np.ndarray:
     return (b[idx] * powers[::-1][None, :]).sum(axis=1)
 
 
+_HASH_FAMILY_CACHE: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _hash_family(n_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    key = (n_hashes, seed)
+    if key not in _HASH_FAMILY_CACHE:
+        rng = np.random.default_rng(seed)
+        a = rng.integers(1, _MERSENNE, size=n_hashes, dtype=np.int64).astype(np.uint64)
+        b = rng.integers(0, _MERSENNE, size=n_hashes, dtype=np.int64).astype(np.uint64)
+        _HASH_FAMILY_CACHE[key] = (a, b)
+    return _HASH_FAMILY_CACHE[key]
+
+
+def _min_universal_hash(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """min over shingles of h_i(x) = (a_i*x + b_i) mod p, fully
+    vectorized over the (n_hashes, n_shingles) grid. 61-bit operands
+    would overflow uint64 under multiplication, so the modmul is done
+    in two 32-bit halves (wrap-safe)."""
+    lo = (sh & np.uint64(0xFFFFFFFF))[None, :]
+    hi = (sh >> np.uint64(32))[None, :]
+    a_ = a[:, None]
+    t = (a_ * hi) % _MERSENNE
+    t = ((t << np.uint64(32)) + a_ * lo) % _MERSENNE
+    return ((t + b[:, None]) % _MERSENNE).min(axis=1)
+
+
 def minhash_signature(text: str, n_hashes: int, k: int, seed: int,
                       mode: str = "word") -> np.ndarray:
     """n_hashes-wide MinHash signature from universal hash family
     h_i(x) = (a_i*x + b_i) mod p."""
     sh = np.unique(_shingle_hashes(text, k, mode)) % _MERSENNE
-    rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=n_hashes, dtype=np.int64).astype(np.uint64)
-    b = rng.integers(0, _MERSENNE, size=n_hashes, dtype=np.int64).astype(np.uint64)
-    # (n_hashes, n_shingles) — use object->python ints would be slow; use
-    # float-safe modmul via Python only when overflow matters. 61-bit
-    # inputs * 61-bit a overflows; do it in two 32-bit halves.
-    lo = sh & np.uint64(0xFFFFFFFF)
-    hi = sh >> np.uint64(32)
-    sig = np.empty(n_hashes, dtype=np.uint64)
-    for i in range(n_hashes):
-        # (a*x) mod p with 128-bit emulation: a*(hi<<32 + lo)
-        t = (a[i] * hi) % _MERSENNE
-        t = ((t << np.uint64(32)) + a[i] * lo) % _MERSENNE
-        sig[i] = ((t + b[i]) % _MERSENNE).min()
-    return sig
+    a, b = _hash_family(n_hashes, seed)
+    return _min_universal_hash(sh, a, b)
 
 
 def minhash_signatures(

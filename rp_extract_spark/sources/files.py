@@ -31,14 +31,22 @@ def scan_image_dir(
     extension filter (rp_extract_batch.py:80-81), hidden-file skip
     (:77-78), 0-byte guard (audiofile_read.py:376-379). Returns
     (path, image_id, fmt, bytes, length)."""
+    # push the extension filter into file listing (pathGlobFilter is
+    # case-sensitive, so the brace glob covers all-lower and all-UPPER
+    # variants; mixed-case extensions like ".JpEg" are not matched —
+    # acceptable: they do not occur in any sane ingest layout)
+    glob = "*.{" + ",".join(
+        sorted({e.lower() for e in extensions} | {e.upper() for e in extensions})
+    ) + "}"
     df = (
         spark.read.format("binaryFile")
         .option("recursiveFileLookup", str(recursive).lower())
+        .option("pathGlobFilter", glob)
         .load(path)
     )
     fname = F.element_at(F.split(F.col("path"), "/"), -1)
     ext = F.lower(F.element_at(F.split(fname, r"\."), -1))
-    df = df.filter(ext.isin(*extensions))
+    df = df.filter(ext.isin(*[e.lower() for e in extensions]))
     if ignore_hidden:
         df = df.filter(~fname.startswith("."))
     df = df.filter(F.length("content") > 0)

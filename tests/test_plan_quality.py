@@ -1,0 +1,83 @@
+"""Plan-quality assertions: pushdown, pruning, broadcast, AQE skew.
+
+These guard the 100-TB properties Catalyst gives us only if the plans
+stay well-shaped: filters reaching the parquet scan, projections pruned
+to the read schema, small dimensions broadcast, salted/AQE handling of
+hot keys producing correct results.
+"""
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from rp_extract_spark.plans.driver_queries import (
+    q_nation_revenue,
+    q_pricing_summary,
+)
+from rp_extract_spark.sources.images import images_df
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_to_parquet(spark):
+    plan = _plan(q_pricing_summary(spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    plan = _plan(li.select("l_orderkey", "l_quantity"))
+    # ReadSchema carries only the projected columns
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" in rs and "l_quantity" in rs
+    assert "l_comment" not in rs and "l_extendedprice" not in rs
+
+
+def test_dims_broadcast(spark):
+    plan = _plan(q_nation_revenue(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier, nation, region
+    assert "SortMergeJoin" not in plan
+
+
+def test_skewed_groupby_correct_under_aqe(spark):
+    # half the rows share one hot phash; AQE + salting path must agree
+    # with the plain groupBy result
+    imgs = images_df(spark, 120, seed=42, hot_phash_fraction=0.5).select(
+        "image_id", "phash"
+    ).cache()
+    plain = {r.phash: r.n for r in imgs.groupBy("phash").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    hot = plain.get(0x5A5A5A5A, 0)
+    assert hot >= 40  # skew actually present
+    # two-phase salted aggregation (the manual pattern for pre-AQE
+    # engines; must produce identical counts)
+    salted = (
+        imgs.withColumn("__salt", F.pmod(F.xxhash64("image_id"), F.lit(8)))
+        .groupBy("phash", "__salt")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("phash")
+        .agg(F.sum("c").alias("n"))
+    )
+    got = {r.phash: r.n for r in salted.collect()}
+    assert got == plain
+
+
+def test_extract_input_pruned(spark, tmp_path):
+    """The extract stage declares its input projection — the parquet
+    scan must not read unused columns (w, h, phash)."""
+    from rp_extract_spark.operators.extract import extract_features
+
+    p = str(tmp_path / "imgs")
+    images_df(spark, 10, seed=42).write.parquet(p)
+    plan = _plan(extract_features(spark.read.parquet(p)))
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "bytes" in rs and "fmt" in rs
+    assert "phash" not in rs and '"w"' not in rs

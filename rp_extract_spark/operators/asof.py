@@ -49,8 +49,15 @@ def asof_join(
     how: str = "left",
     salt: int = 1,
     suffix: str = "",
+    direction: str = "backward",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
-    """Backward inclusive as-of join, last-wins on right-ts ties.
+    """Inclusive as-of join; last-wins on right-ts ties.
+
+    ``direction='backward'`` (default) attaches the greatest
+    ``right_ts <= ts``; ``'forward'`` the smallest ``right_ts >= ts``.
+    ``tolerance_seconds`` nulls out matches farther than the tolerance
+    from ``ts`` (pd.merge_asof tolerance semantics).
 
     Returns ``left`` plus one column per entry of ``values`` (renamed
     with ``suffix`` if given) and ``matched_ts{suffix}`` carrying the
@@ -96,15 +103,36 @@ def asof_join(
 
     u = l_side.unionByName(r_side, allowMissingColumns=True)
 
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col("__ets").asc(), F.col("__side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    joined = (
-        u.withColumn("__rv", F.last("__rv", ignorenulls=True).over(w))
-        .filter(F.col("__side") == 1)
-    )
+    if direction == "backward":
+        # right rows (side 0) sort before left at equal ts → inclusive <=;
+        # last value seen walking forward = greatest right_ts <= ts
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__ets").asc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        picked = F.last("__rv", ignorenulls=True).over(w)
+    elif direction == "forward":
+        # left rows sort before right at equal ts so the equal-ts right
+        # row stays inside the [current, following] frame → inclusive >=
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__ets").asc(), F.col("__side").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        picked = F.first("__rv", ignorenulls=True).over(w)
+    else:
+        raise ValueError("direction must be 'backward' or 'forward'")
+
+    joined = u.withColumn("__rv", picked).filter(F.col("__side") == 1)
+    if tolerance_seconds is not None:
+        gap = F.abs(
+            F.col(left_ts).cast("timestamp").cast("long")
+            - F.col("__rv.__rts").cast("timestamp").cast("long")
+        )
+        joined = joined.withColumn(
+            "__rv", F.when(gap <= tolerance_seconds, F.col("__rv"))
+        )
     if how == "inner":
         joined = joined.filter(F.col("__rv").isNotNull())
     elif how != "left":

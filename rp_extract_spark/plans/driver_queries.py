@@ -352,6 +352,43 @@ ORDER BY l.event_id
 """
 
 
+def q_asof_forward(spark, sf):
+    """Forward (next-event) as-of join: each view/click gets the
+    earliest purchase at-or-after its timestamp per user."""
+    ev = _t(spark, sf, "events")
+    left = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "event_id", "user_id", "ts"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="ts",
+        values=["purchase_value"], direction="forward",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "purchase_value",
+        F.col("matched_ts").alias("purchase_ts"),
+    ).orderBy("event_id")
+
+
+ORACLE_ASOF_FORWARD = """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type IN ('view','click')),
+r AS (
+  SELECT user_id, ts, max(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+SELECT l.event_id, l.user_id, l.ts, m.purchase_value, m.ts AS purchase_ts
+FROM l LEFT JOIN LATERAL (
+  SELECT r.ts, r.purchase_value FROM r
+  WHERE r.user_id = l.user_id AND r.ts >= l.ts
+  ORDER BY r.ts ASC LIMIT 1) m ON true
+ORDER BY l.event_id
+"""
+
+
 def q_anti_join(spark, sf):
     """Incremental-resume primitive (SURVEY J3/U1): customers without
     orders."""
@@ -771,6 +808,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "rolling": q_rolling,
     "asof": q_asof,
+    "asof_forward": q_asof_forward,
     "anti_join": q_anti_join,
     "semi_join": q_semi_join,
     "set_ops": q_set_ops,
@@ -807,6 +845,7 @@ ORACLES: dict[str, str] = {
     "sessionize": ORACLE_SESSIONIZE,
     "rolling": ORACLE_ROLLING,
     "asof": ORACLE_ASOF,
+    "asof_forward": ORACLE_ASOF_FORWARD,
     "anti_join": ORACLE_ANTI,
     "semi_join": ORACLE_SEMI,
     "set_ops": ORACLE_SET_OPS,

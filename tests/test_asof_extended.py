@@ -1,0 +1,102 @@
+"""Forward/tolerance as-of variants + Hypothesis property tests vs
+pandas merge_asof on randomized timelines."""
+
+from datetime import datetime, timedelta
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from rp_extract_spark.operators.asof import asof_join
+
+BASE = datetime(2024, 1, 1)
+
+
+def _mk(spark, left_rows, right_rows):
+    left = spark.createDataFrame(
+        [(e, BASE + timedelta(seconds=s), f"L{i}") for i, (e, s) in enumerate(left_rows)],
+        "entity_id string, ts timestamp, row_id string",
+    )
+    right = spark.createDataFrame(
+        [(e, BASE + timedelta(seconds=s), f"V{e}-{s}") for e, s in right_rows],
+        "entity_id string, caption_ts timestamp, caption string",
+    )
+    return left, right
+
+
+def _expected(left_rows, right_rows, direction, tolerance=None):
+    """pd.merge_asof oracle on the same data."""
+    l = pd.DataFrame(
+        [
+            {"entity_id": e, "ts": BASE + timedelta(seconds=s), "row_id": f"L{i}"}
+            for i, (e, s) in enumerate(left_rows)
+        ]
+    ).sort_values("ts", kind="mergesort")
+    r = (
+        pd.DataFrame(
+            [
+                {"entity_id": e, "caption_ts": BASE + timedelta(seconds=s),
+                 "caption": f"V{e}-{s}"}
+                for e, s in sorted(set(right_rows))
+            ]
+        )
+        .sort_values("caption_ts", kind="mergesort")
+    )
+    kw = {}
+    if tolerance is not None:
+        kw["tolerance"] = pd.Timedelta(seconds=tolerance)
+    m = pd.merge_asof(
+        l, r, left_on="ts", right_on="caption_ts", by="entity_id",
+        direction=direction, allow_exact_matches=True, **kw,
+    )
+    return {
+        row.row_id: (row.caption if pd.notna(row.caption) else None)
+        for row in m.itertuples()
+    }
+
+
+timelines = st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 500)),
+    min_size=1, max_size=25,
+)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(left_rows=timelines, right_rows=timelines,
+       direction=st.sampled_from(["backward", "forward"]))
+def test_asof_property_matches_merge_asof(spark, left_rows, right_rows, direction):
+    left, right = _mk(spark, left_rows, right_rows)
+    # dedupe right per (entity, ts) like the operator contract expects
+    right = right.dropDuplicates(["entity_id", "caption_ts"])
+    got = {
+        r.row_id: r.caption
+        for r in asof_join(left, right, direction=direction).collect()
+    }
+    assert got == _expected(left_rows, right_rows, direction)
+
+
+def test_forward_inclusive_and_tolerance(spark):
+    left, right = _mk(spark, [("a", 100), ("a", 50)], [("a", 100), ("a", 300)])
+    fwd = {r.row_id: (r.caption, r.matched_ts)
+           for r in asof_join(left, right, direction="forward").collect()}
+    assert fwd["L0"][0] == "Va-100"  # inclusive >= at equal ts
+    assert fwd["L1"][0] == "Va-100"
+
+    tol = {r.row_id: r.caption
+           for r in asof_join(left, right, direction="forward",
+                              tolerance_seconds=40).collect()}
+    assert tol["L0"] == "Va-100"  # gap 0 <= 40
+    assert tol["L1"] is None      # gap 50 > 40
+
+    back_tol = {r.row_id: r.caption
+                for r in asof_join(left, right, direction="backward",
+                                   tolerance_seconds=10).collect()}
+    assert back_tol["L0"] == "Va-100" and back_tol["L1"] is None
+
+
+def test_bad_direction(spark):
+    left, right = _mk(spark, [("a", 1)], [("a", 1)])
+    with pytest.raises(ValueError):
+        asof_join(left, right, direction="nearest").collect()

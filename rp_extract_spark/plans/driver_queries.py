@@ -39,13 +39,15 @@ def q_pricing_summary(spark, sf):
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "sum_disc_price"
-            ),
-            F.avg("l_quantity").alias("avg_qty"),
-            F.avg("l_discount").alias("avg_disc"),
+            # rounded identically on both sides: cross-engine summation
+            # order can differ in the last ulps
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -54,12 +56,12 @@ def q_pricing_summary(spark, sf):
 
 ORACLE_PRICING = """
 SELECT l_returnflag, l_linestatus,
-       sum(l_quantity)                             AS sum_qty,
-       sum(l_extendedprice)                        AS sum_base_price,
-       sum(l_extendedprice * (1 - l_discount))     AS sum_disc_price,
-       avg(l_quantity)                             AS avg_qty,
-       avg(l_discount)                             AS avg_disc,
-       count(*)                                    AS count_order
+       round(sum(l_quantity), 4)                          AS sum_qty,
+       round(sum(l_extendedprice), 4)                     AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4)  AS sum_disc_price,
+       round(avg(l_quantity), 6)                          AS avg_qty,
+       round(avg(l_discount), 6)                          AS avg_disc,
+       count(*)                                           AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
@@ -81,7 +83,7 @@ def q_stats7(spark, sf):
     m4 = F.avg(x * x * x * x)
     g = li.groupBy("l_returnflag").agg(
         m1.alias("__m1"), m2.alias("__m2"), m3.alias("__m3"), m4.alias("__m4"),
-        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
         F.min(x).alias("min_qty"),
         F.max(x).alias("max_qty"),
     )
@@ -112,7 +114,7 @@ WITH g AS (
          avg(l_quantity) AS m1, avg(l_quantity*l_quantity) AS m2,
          avg(l_quantity*l_quantity*l_quantity) AS m3,
          avg(l_quantity*l_quantity*l_quantity*l_quantity) AS m4,
-         median(l_quantity) AS median_qty,
+         round(median(l_quantity), 6) AS median_qty,
          min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
   FROM lineitem GROUP BY l_returnflag)
 SELECT l_returnflag,

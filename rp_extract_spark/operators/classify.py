@@ -1,0 +1,112 @@
+"""Downstream classifier support (reference entry point 3,
+rp_classify.py:162-352) re-expressed as DataFrame ops.
+
+The reference pickles an sklearn SVM; the engine-side equivalents are
+the relational pieces: z-score standardization (classes.zscore), label
+encoding (classes.label_encode), fold assignment, and a
+nearest-centroid model — train = one groupBy producing an element-wise
+mean vector per class (a tiny broadcastable dimension), predict = a
+broadcast cross join + arg-min distance. Everything scales: the model
+is K rows; scoring is one scan with JVM-side arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def assign_folds(df: DataFrame, id_col: str, k: int = 5,
+                 out: str = "fold") -> DataFrame:
+    """Deterministic k-fold assignment (CV support,
+    rp_classify.py:267-283): stable hash of the id."""
+    return df.withColumn(out, F.pmod(F.xxhash64(F.col(id_col)), F.lit(k)))
+
+
+def train_centroids(
+    df: DataFrame, vec_col: str = "embedding", label_col: str = "label"
+) -> DataFrame:
+    """Element-wise mean vector per class. Exploding K*dim rows keeps
+    the agg exact and fully distributed; the result is K rows."""
+    dim = len(df.select(vec_col).first()[0])
+    exploded = df.select(
+        label_col, F.posexplode(F.col(vec_col).cast("array<double>"))
+    )
+    return (
+        exploded.groupBy(label_col, "pos")
+        .agg(F.avg("col").alias("v"))
+        .groupBy(label_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("__pv"))
+        .select(
+            F.col(label_col).alias("centroid_label"),
+            F.transform("__pv", lambda s: s["v"]).alias("centroid"),
+        )
+    )
+
+
+def predict_centroids(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Nearest-centroid prediction: broadcast the K-row model, rank by
+    squared distance with a deterministic label tiebreak."""
+    joined = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    ).crossJoin(F.broadcast(centroids))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__d").asc(), F.col("centroid_label").asc()
+    )
+    return (
+        joined.withColumn("__d", _sq_dist(F.col("__v"), F.col("centroid")))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            id_col,
+            F.col("centroid_label").alias("predicted_label"),
+            F.sqrt("__d").alias("distance"),
+        )
+    )
+
+
+def cross_validate(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    k: int = 5,
+) -> DataFrame:
+    """k-fold CV accuracy of the nearest-centroid model
+    (rp_classify.py cross_validate analog). Returns (fold, n, correct,
+    accuracy)."""
+    folded = assign_folds(df, id_col, k).cache()
+    results = None
+    for fold in range(k):
+        train = folded.filter(F.col("fold") != fold)
+        test = folded.filter(F.col("fold") == fold)
+        preds = predict_centroids(test, train_centroids(train, vec_col, label_col),
+                                  vec_col, id_col)
+        scored = (
+            preds.join(test.select(id_col, label_col), id_col)
+            .agg(
+                F.lit(fold).alias("fold"),
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.when(F.col("predicted_label") == F.col(label_col), 1).otherwise(0)
+                ).alias("correct"),
+            )
+        )
+        results = scored if results is None else results.unionByName(scored)
+    return results.withColumn(
+        "accuracy", F.round(F.col("correct") / F.col("n"), 6)
+    ).orderBy("fold")

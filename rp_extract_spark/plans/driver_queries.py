@@ -753,6 +753,32 @@ def q_simhash(spark, sf):
     return simhash_dedup(d).orderBy("doc_id")
 
 
+def q_centroid_classify(spark, sf):
+    """Nearest-centroid train+predict on the embeddings table
+    (rp_classify entry-point analog; rows-only — accuracy properties
+    are pytest-verified on synthetic clusters)."""
+    from ..operators.classify import predict_centroids, train_centroids
+
+    e = _t(spark, sf, "embeddings").withColumn(
+        "label_s", F.col("label").cast("string")
+    )
+    cent = train_centroids(e, vec_col="embedding", label_col="label_s")
+    preds = predict_centroids(e, cent, vec_col="embedding", id_col="vec_id")
+    return preds.select(
+        "vec_id", "predicted_label", F.round("distance", 5).alias("distance")
+    ).orderBy("vec_id")
+
+
+def q_cv_accuracy(spark, sf):
+    """k-fold CV of the centroid model (rows-only)."""
+    from ..operators.classify import cross_validate
+
+    e = _t(spark, sf, "embeddings").withColumn(
+        "label_s", F.col("label").cast("string")
+    )
+    return cross_validate(e, vec_col="embedding", label_col="label_s", k=3)
+
+
 def q_embedding_dedup(spark, sf):
     """Embedding-cosine near-dup (rows-only: LSH bucketing is
     engine-specific; correctness property-tested in pytest)."""
@@ -834,6 +860,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_topk": q_lsh_topk,
     "embedding_dedup": q_embedding_dedup,
     "resize_images": q_resize_images,
+    "centroid_classify": q_centroid_classify,
+    "cv_accuracy": q_cv_accuracy,
 }
 
 ORACLES: dict[str, str] = {

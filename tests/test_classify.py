@@ -1,0 +1,60 @@
+"""Nearest-centroid classifier: synthetic clustered vectors with known
+labels must classify near-perfectly; CV folds deterministic."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rp_extract_spark.operators.classify import (
+    assign_folds,
+    cross_validate,
+    predict_centroids,
+    train_centroids,
+)
+
+rng = np.random.default_rng(17)
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    centers = {"a": rng.normal(0, 1, 8), "b": rng.normal(6, 1, 8), "c": rng.normal(-6, 1, 8)}
+    rows = []
+    i = 0
+    for lab, c in centers.items():
+        for _ in range(30):
+            rows.append((i, [float(x) for x in c + rng.normal(0, 0.4, 8)], lab))
+            i += 1
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    ).cache()
+
+
+def test_train_predict(spark, clustered):
+    cent = train_centroids(clustered)
+    assert cent.count() == 3
+    # centroid of class 'a' approximates its generating center
+    ca = np.array(cent.filter(F.col("centroid_label") == "a").first().centroid)
+    mean_a = np.mean(
+        [r.embedding for r in clustered.filter(F.col("label") == "a").collect()],
+        axis=0,
+    )
+    assert np.allclose(ca, mean_a)
+    preds = predict_centroids(clustered, cent)
+    joined = preds.join(clustered.select("vec_id", "label"), "vec_id")
+    acc = joined.filter(F.col("predicted_label") == F.col("label")).count() / 90
+    assert acc == 1.0  # well-separated clusters
+
+
+def test_cross_validate(spark, clustered):
+    cv = cross_validate(clustered, k=3)
+    rows = cv.collect()
+    assert [r.fold for r in rows] == [0, 1, 2]
+    assert sum(r.n for r in rows) == 90
+    assert all(r.accuracy >= 0.95 for r in rows)
+
+
+def test_fold_assignment_deterministic(spark, clustered):
+    a = {r.vec_id: r.fold for r in assign_folds(clustered, "vec_id", 5).collect()}
+    b = {r.vec_id: r.fold for r in assign_folds(clustered, "vec_id", 5).collect()}
+    assert a == b
+    assert set(a.values()) == {0, 1, 2, 3, 4}

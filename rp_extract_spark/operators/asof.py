@@ -164,6 +164,18 @@ def asof_join_merge(
         values = [c for c in right.columns if c not in (on, right_ts)]
     values = list(values)
 
+    # project the right side through fresh aliases: when both sides
+    # share lineage (self-cogroup) or a column name, Spark's attribute
+    # resolution can mangle the right frame's columns inside the UDF
+    from pyspark.sql import functions as _F
+
+    right = right.select(
+        _F.col(on).alias(on),
+        _F.col(right_ts).alias("__rts_in"),
+        *[_F.col(c).alias(c) for c in values],
+    )
+    right_ts = "__rts_in"
+
     left_schema = left.schema
     out_schema = T.StructType(
         list(left_schema.fields)
@@ -176,6 +188,12 @@ def asof_join_merge(
     def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
         if len(l) == 0:
             return pd.DataFrame(columns=[f.name for f in out_schema.fields])
+        if len(r) == 0:
+            # keys present only on the left arrive with a column-less
+            # empty right frame; rebuild it with the expected shape
+            r = pd.DataFrame({on: pd.Series(dtype=l[on].dtype),
+                              right_ts: pd.Series(dtype="datetime64[ns]"),
+                              **{c: pd.Series(dtype="object") for c in val_idx}})
         l = l.sort_values(left_ts, kind="mergesort")
         r = (
             r.sort_values([right_ts], kind="mergesort")

@@ -891,3 +891,32 @@ ORACLES: dict[str, str] = {
     "prune_min_instances": ORACLE_PRUNE_MIN_INSTANCES,
     "duplicate_check": ORACLE_DUPLICATE_CHECK,
 }
+
+
+def q_asof_merge(spark, sf):
+    """Same semantics as q_asof but through the cogroup/merge_asof
+    implementation — cross-checks both physical strategies against the
+    single DuckDB ASOF oracle at the driver surface."""
+    from ..operators.asof import asof_join_merge
+
+    ev = _t(spark, sf, "events")
+    left = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "event_id", "user_id", "ts"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = asof_join_merge(
+        left, right, on="user_id", left_ts="ts", right_ts="ts",
+        values=["purchase_value"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "purchase_value",
+        F.col("matched_ts").alias("purchase_ts"),
+    ).orderBy("event_id")
+
+
+QUERIES["asof_merge"] = q_asof_merge
+ORACLES["asof_merge"] = ORACLE_ASOF

@@ -113,8 +113,22 @@ def _ts_offsets(ent: int, k: int) -> int:
     return total
 
 
+def _entity_of(i: int, n_ent: int, hot_entity_fraction: float, seed: int) -> tuple[int, int]:
+    """Row id → (entity, k-th image of that entity). With
+    ``hot_entity_fraction`` > 0, that share of rows is rerouted to
+    entity 0 (FIXTURES.md F2: hot entities for skew tests); k stays a
+    deterministic per-entity counter."""
+    if hot_entity_fraction and (_h(seed, i, 4) % 1000) < int(hot_entity_fraction * 1000):
+        # dense per-hot-row counter: row i is (roughly) the
+        # (i * fraction)-th hot row; exact density is irrelevant, only
+        # determinism and monotonicity in i matter for the timeline
+        return 0, i
+    return i % n_ent, i // n_ent
+
+
 def _make_image_batch(ids: np.ndarray, n_total: int, seed: int, lossy_fraction: float,
-                      hot_phash_fraction: float) -> pd.DataFrame:
+                      hot_phash_fraction: float, hot_entity_fraction: float = 0.0,
+                      ) -> pd.DataFrame:
     n_ent = _entity_count(n_total)
     rows = []
     for i in ids:
@@ -136,9 +150,14 @@ def _make_image_batch(ids: np.ndarray, n_total: int, seed: int, lossy_fraction: 
         phash = compute_phash(px.astype(np.float64))
         if hot_phash_fraction and (_h(seed, i, 2) % 1000) < int(hot_phash_fraction * 1000):
             phash = 0x5A5A5A5A  # hot key for skew tests
-        ent = i % n_ent
-        k = i // n_ent
-        ts = _BASE_TS + np.timedelta64(_ts_offsets(ent, k), "s")
+        ent, k = _entity_of(i, n_ent, hot_entity_fraction, seed)
+        if hot_entity_fraction and ent == 0 and k >= n_ent:
+            # hot-entity rows use a closed-form strictly-increasing
+            # timeline (the O(k) prefix sum would be quadratic here)
+            offset = 86_400 + k * 60
+        else:
+            offset = _ts_offsets(ent, k)
+        ts = _BASE_TS + np.timedelta64(offset, "s")
         rows.append(
             {
                 "image_id": f"img{i:08d}",
@@ -161,6 +180,7 @@ def images_df(
     seed: int = 42,
     lossy_fraction: float = 0.2,
     hot_phash_fraction: float = 0.0,
+    hot_entity_fraction: float = 0.0,
     partitions: int | None = None,
 ) -> DataFrame:
     """Distributed deterministic image table of exactly the input_hint
@@ -171,7 +191,8 @@ def images_df(
         for b in batches:
             if len(b):
                 yield _make_image_batch(
-                    b["id"].values, n_total, seed, lossy_fraction, hot_phash_fraction
+                    b["id"].values, n_total, seed, lossy_fraction,
+                    hot_phash_fraction, hot_entity_fraction,
                 )
 
     # ~64 images per partition, capped: enough tasks to keep every core

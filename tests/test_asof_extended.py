@@ -100,3 +100,23 @@ def test_bad_direction(spark):
     left, right = _mk(spark, [("a", 1)], [("a", 1)])
     with pytest.raises(ValueError):
         asof_join(left, right, direction="nearest").collect()
+
+
+def test_salted_asof_on_skewed_entities(spark):
+    """Hot-entity skew (FIXTURES F2): 60% of rows on one entity; the
+    salted plan must agree with the unsalted plan."""
+    from rp_extract_spark.operators.asof import asof_join
+    from rp_extract_spark.sources.images import captions_df, images_df
+
+    left = images_df(spark, 300, seed=42, hot_entity_fraction=0.6).select(
+        "entity_id", "ts", "image_id"
+    ).cache()
+    counts = {r.entity_id: r.n for r in left.groupBy("entity_id").count()
+              .withColumnRenamed("count", "n").collect()}
+    assert counts["e00000"] > 0.4 * 300  # skew actually present
+    right = captions_df(spark, 300, seed=42)
+    a = {(r.image_id): (r.caption, r.matched_ts)
+         for r in asof_join(left, right).collect()}
+    b = {(r.image_id): (r.caption, r.matched_ts)
+         for r in asof_join(left, right, salt=8).collect()}
+    assert a == b and len(a) == 300

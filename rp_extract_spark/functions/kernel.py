@@ -320,19 +320,26 @@ def extract_segment_features_batch(
         grays.append(g)
         by_shape.setdefault(g.shape, []).append(i)
     out: list[dict[str, np.ndarray] | None] = [None] * len(pixel_list)
+    # cap stacked-group size: bounds the pipeline's temporaries to a few
+    # hundred MB per worker regardless of the caller's Arrow batch size
+    # (the driver may run this UDF under a default-configured session)
+    biggest = max((g.size for g in grays), default=1)
+    max_group = max(1, (1 << 24) // biggest)
     for shape, idxs in by_shape.items():
-        stack = np.stack([grays[i] for i in idxs])
-        feats = _pipeline(
-            stack, n_bands, mod_ampl_limit,
-            flags.get("transform_bark", True),
-            flags.get("spectral_masking", True),
-            flags.get("do_transform_db", True),
-            flags.get("do_transform_phon", True),
-            flags.get("do_transform_sone", True),
-            flags.get("fluctuation_strength_weighting", True),
-        )
-        for j, i in enumerate(idxs):
-            out[i] = {k: feats[k][j] for k in feats}
+        for start in range(0, len(idxs), max_group):
+            chunk = idxs[start : start + max_group]
+            stack = np.stack([grays[i] for i in chunk])
+            feats = _pipeline(
+                stack, n_bands, mod_ampl_limit,
+                flags.get("transform_bark", True),
+                flags.get("spectral_masking", True),
+                flags.get("do_transform_db", True),
+                flags.get("do_transform_phon", True),
+                flags.get("do_transform_sone", True),
+                flags.get("fluctuation_strength_weighting", True),
+            )
+            for j, i in enumerate(chunk):
+                out[i] = {k: feats[k][j] for k in feats}
     return out  # type: ignore[return-value]
 
 

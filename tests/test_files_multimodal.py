@@ -131,3 +131,19 @@ def test_peak_modulation_bpm():
     rh = np.zeros(60)
     rh[11] = 3.0
     assert abs(peak_modulation_bpm(rh) - MOD_FREQ_RES * 12 * 60) < 1e-9
+
+
+def test_arff_roundtrip(spark, tmp_path):
+    from rp_extract_spark.sources.arff import load_arff, save_arff
+
+    df = spark.createDataFrame(
+        [("a", [1.5, -2.0, 3.25]), ("b", [0.0, 4.125, -5.5])],
+        "image_id string, vec array<double>",
+    )
+    p = str(tmp_path / "feat.arff")
+    save_arff(df, p, "vec", relation="rp_features")
+    txt = open(p).read()
+    assert txt.startswith("@relation rp_features")
+    assert "@attribute v3 numeric" in txt and "@data" in txt
+    back = {r.id: list(r.vec) for r in load_arff(spark, p).collect()}
+    assert back == {"a": [1.5, -2.0, 3.25], "b": [0.0, 4.125, -5.5]}

@@ -156,3 +156,73 @@ def lsh_topk(
     return topk_similar(
         bucketed.filter(F.col("__bucket") == qsig), query_vec, vec_col, id_col, k
     )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 16,
+    iters: int = 5,
+    seed: int = 29,
+) -> DataFrame:
+    """Lloyd's k-means in pure DataFrame ops: seed centroids from a
+    deterministic hash-sample of rows, then iterate (assign via
+    broadcast arg-min, recompute element-wise means). The model stays
+    K rows; each iteration is one broadcast join + one explode/agg."""
+    from pyspark.sql.window import Window as W
+
+    from .classify import predict_centroids, train_centroids
+
+    v = F.col(vec_col).cast("array<double>")
+    # deterministic seeding: k rows with the smallest seeded hash
+    seeded = (
+        df.select(F.col(id_col), v.alias("__v"))
+        .withColumn("__h", F.xxhash64(F.col(id_col), F.lit(seed)))
+        .withColumn("__rn", F.row_number().over(W.orderBy("__h", id_col)))
+        .filter(F.col("__rn") <= k)
+        .select(
+            F.col("__rn").cast("string").alias("centroid_label"),
+            F.col("__v").alias("centroid"),
+        )
+    )
+    centroids = seeded
+    pts = df.select(F.col(id_col), v.alias(vec_col))
+    for _ in range(iters):
+        assigned = predict_centroids(
+            pts, centroids, vec_col=vec_col, id_col=id_col
+        ).withColumnRenamed("predicted_label", "label")
+        joined = pts.join(assigned.select(id_col, "label"), id_col)
+        centroids = train_centroids(joined, vec_col=vec_col, label_col="label")
+    return centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    query_vec: Sequence[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF search: assign corpus rows to their nearest coarse centroid
+    (inverted lists), probe only the ``nprobe`` lists nearest to the
+    query, brute-force cosine inside them. At 100 TB the list id is a
+    partition column, turning the probe into partition pruning."""
+    import numpy as np
+
+    from .classify import predict_centroids
+
+    cent_rows = centroids.collect()
+    q = np.asarray(query_vec, dtype=float)
+    dists = sorted(
+        (float(np.sum((np.asarray(r.centroid) - q) ** 2)), r.centroid_label)
+        for r in cent_rows
+    )
+    probe_labels = [lab for _, lab in dists[:nprobe]]
+    assigned = predict_centroids(corpus, centroids, vec_col=vec_col, id_col=id_col)
+    lists = corpus.join(
+        assigned.select(id_col, "predicted_label"), id_col
+    ).filter(F.col("predicted_label").isin(probe_labels))
+    return topk_similar(lists, query_vec, vec_col, id_col, k)

@@ -920,3 +920,18 @@ def q_asof_merge(spark, sf):
 
 QUERIES["asof_merge"] = q_asof_merge
 ORACLES["asof_merge"] = ORACLE_ASOF
+
+
+def q_ivf_topk(spark, sf):
+    """IVF approximate nearest neighbors: k-means coarse quantizer +
+    probe-limited search (rows-only; recall property pytest-verified)."""
+    from ..operators.similarity import ivf_topk, kmeans_fit
+
+    e = _t(spark, sf, "embeddings")
+    cent = kmeans_fit(e, k=8, iters=3)
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 7).first().embedding]
+    out = ivf_topk(e, cent, qv, k=10, nprobe=2)
+    return out.select("vec_id", F.round("score", 5).alias("cos_sim"))
+
+
+QUERIES["ivf_topk"] = q_ivf_topk

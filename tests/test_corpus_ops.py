@@ -233,3 +233,19 @@ def test_zscore(spark, docs):
         F.avg("n_chars_z").alias("mu"), F.stddev_pop("n_chars_z").alias("sd")
     ).collect()[0]
     assert abs(row.mu) < 1e-9 and abs(row.sd - 1.0) < 1e-9
+
+
+def test_ivf_topk(spark, emb):
+    from rp_extract_spark.operators.similarity import ivf_topk, kmeans_fit
+
+    cent = kmeans_fit(emb, k=8, iters=3).cache()
+    assert cent.count() == 8
+    qrow = emb.filter(F.col("vec_id") == 7).first()
+    q = list(qrow.embedding)
+    approx = [r.vec_id for r in ivf_topk(emb, cent, q, k=5, nprobe=2).collect()]
+    # the query's own vector lives in its probed list -> rank 1, cos=1
+    assert approx and approx[0] == 7
+    # recall sanity vs brute force at generous nprobe
+    exact = [r.vec_id for r in topk_similar(emb, q, k=5).collect()]
+    wide = {r.vec_id for r in ivf_topk(emb, cent, q, k=5, nprobe=8).collect()}
+    assert set(exact) == wide  # nprobe=k_lists == exhaustive

@@ -265,10 +265,15 @@ def _pipeline(
     if fluctuation_strength_weighting:
         rp = rp * fluctuation_curve(mod_ampl_limit)
 
+    # RH option 2: band-sum AFTER fluctuation weighting
+    # (extract_rh2, rp_extract.py:745-747)
+    rh2 = rp.sum(axis=-2)
+
     return {
         "rp": _flatten_f(rp),
         "ssd": _flatten_f(ssd),
         "rh": rh.astype(np.float64),
+        "rh2": rh2.astype(np.float64),
         "mvd": _flatten_f(mvd),
     }
 

@@ -41,6 +41,7 @@ SEGMENT_FEATURE_SCHEMA = T.StructType(
         T.StructField("rp", _ARR, True),
         T.StructField("ssd", _ARR, True),
         T.StructField("rh", _ARR, True),
+        T.StructField("rh2", _ARR, True),
         T.StructField("mvd", _ARR, True),
         T.StructField("caption", T.StringType(), True),
         T.StructField("err", T.StringType(), True),
@@ -54,6 +55,7 @@ ENTITY_FEATURE_SCHEMA = T.StructType(
         T.StructField("rp", _ARR, True),
         T.StructField("ssd", _ARR, True),
         T.StructField("rh", _ARR, True),
+        T.StructField("rh2", _ARR, True),
         T.StructField("mvd", _ARR, True),
         T.StructField("tssd", _ARR, True),
         T.StructField("trh", _ARR, True),
@@ -93,7 +95,7 @@ def extract_features(images: DataFrame) -> DataFrame:
             # batched kernel over decodable images (grouped by shape);
             # kernel errors (e.g. too-small images) fall back per image
             feats: dict[str, list] = {
-                k: [None] * n for k in ("rp", "ssd", "rh", "mvd")
+                k: [None] * n for k in ("rp", "ssd", "rh", "rh2", "mvd")
             }
             if ok:
                 try:
@@ -152,8 +154,13 @@ def aggregate_entity_features(segment_features: DataFrame) -> DataFrame:
         rp = np.stack(pdf["rp"].values)
         ssd = np.stack(pdf["ssd"].values)
         rh = np.stack(pdf["rh"].values)
+        rh2 = np.stack(pdf["rh2"].values)
         mvd = np.stack(pdf["mvd"].values)
         a = aggregate_segments(rp, ssd, rh, mvd)
+        # rh2: the reference computes it per segment but never aggregates
+        # (rp_extract.py:745-747 collects rh2_list and drops it); median
+        # mirrors the RH rule
+        a["rh2"] = np.median(rh2, axis=0)
         return pd.DataFrame(
             [
                 {
@@ -162,6 +169,7 @@ def aggregate_entity_features(segment_features: DataFrame) -> DataFrame:
                     "rp": a["rp"],
                     "ssd": a["ssd"],
                     "rh": a["rh"],
+                    "rh2": a["rh2"],
                     "mvd": a["mvd"],
                     "tssd": a["tssd"],
                     "trh": a["trh"],

@@ -107,7 +107,8 @@ def _reference_segment_pipeline(pixels, mod_ampl_limit=60):
     mod_freq_axis = mod_freq_res * np.arange(1, mod_ampl_limit + 1)
     fluct_curve = 1 / (mod_freq_axis / 4 + 4 / mod_freq_axis)
     rp = rp * fluct_curve[None, :]
-    return {"rp": rp.flatten("F"), "ssd": ssd, "rh": rh, "mvd": mvd}
+    rh2 = np.sum(rp, axis=0)  # extract_rh2, rp_extract.py:745-747
+    return {"rp": rp.flatten("F"), "ssd": ssd, "rh": rh, "rh2": rh2, "mvd": mvd}
 
 
 @pytest.mark.parametrize("shape", [(48, 64), (64, 96), (128, 256), (24, 61), (33, 70, 3)])
@@ -115,7 +116,7 @@ def test_full_segment_pipeline_matches(shape):
     px = rng.integers(0, 256, size=shape, dtype=np.uint8)
     want = _reference_segment_pipeline(px)
     got = kernel.extract_segment_features(px)
-    for k in ("rp", "ssd", "rh", "mvd"):
+    for k in ("rp", "ssd", "rh", "rh2", "mvd"):
         assert np.allclose(got[k], want[k]), k
     assert got["rp"].shape == (24 * 60,)
     assert got["ssd"].shape == (24 * 7,)

@@ -263,15 +263,18 @@ def q_sessionize(spark, sf):
     return (
         sessionize(ev, gap_seconds=1800, entity="user_id", ts="ts",
                    tiebreak=("event_id",))
-        .select("event_id", "user_id", "session_id")
+        .select("event_id", "user_id", F.col("session_id").cast("bigint").alias("session_id"))
         .orderBy("event_id")
     )
 
 
+# CAST to BIGINT: DuckDB types sum() over integers as HUGEINT (int128),
+# which the driver harness canonicalizes differently from Spark's bigint
+# (CORRECTNESS_r01 hash_match=false on exactly the integer-sum oracles).
 ORACLE_SESSIONIZE = """
 SELECT event_id, user_id,
-       sum(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       CAST(sum(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
 FROM (
   SELECT user_id, ts, event_id,
          CASE WHEN epoch(ts) - epoch(lag(ts) OVER
@@ -639,7 +642,9 @@ def q_multilabel_pivot(spark, sf):
         d.groupBy("source")
         .agg(
             *[
-                F.sum(F.when(F.col("lang") == l, 1).otherwise(0)).alias(f"n_{l}")
+                F.sum(F.when(F.col("lang") == l, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"n_{l}")
                 for l in langs
             ]
         )
@@ -647,13 +652,14 @@ def q_multilabel_pivot(spark, sf):
     )
 
 
+# CAST to BIGINT: DuckDB integer sum() is HUGEINT — see ORACLE_SESSIONIZE.
 ORACLE_MULTILABEL_PIVOT = """
 SELECT source,
-       sum(CASE WHEN lang='de' THEN 1 ELSE 0 END) AS n_de,
-       sum(CASE WHEN lang='en' THEN 1 ELSE 0 END) AS n_en,
-       sum(CASE WHEN lang='es' THEN 1 ELSE 0 END) AS n_es,
-       sum(CASE WHEN lang='fr' THEN 1 ELSE 0 END) AS n_fr,
-       sum(CASE WHEN lang='zh' THEN 1 ELSE 0 END) AS n_zh
+       CAST(sum(CASE WHEN lang='de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+       CAST(sum(CASE WHEN lang='en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+       CAST(sum(CASE WHEN lang='es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
+       CAST(sum(CASE WHEN lang='fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+       CAST(sum(CASE WHEN lang='zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh
 FROM documents GROUP BY source ORDER BY source
 """
 

@@ -5,9 +5,10 @@ Spark SQL has no ASOF JOIN; this is the engine's core custom operator
 is its per-segment ``timepos`` keying, rp_extract.py:797-800).
 
 Semantics: for each left row ``(entity, ts)`` attach the right row with
-the greatest ``right_ts <= ts`` (backward direction, inclusive,
-last-wins on duplicate right timestamps). Strictly-later right rows
-must never leak (zero temporal leakage).
+the greatest ``right_ts <= ts`` (backward direction, inclusive).
+Duplicate right rows at the winning timestamp resolve deterministically
+to the greatest value struct. Strictly-later right rows must never leak
+(zero temporal leakage).
 
 Two physical strategies:
 
@@ -103,12 +104,18 @@ def asof_join(
 
     u = l_side.unionByName(r_side, allowMissingColumns=True)
 
+    # third sort key __rv: with duplicate (key, right_ts) right rows the
+    # (ts, side) order alone leaves the winner partition-order-dependent;
+    # ordering the tied right rows by their value struct makes "last
+    # wins" deterministic = greatest value struct. Left rows (__rv null)
+    # are unaffected: ties between left rows see the same frame prefix.
     if direction == "backward":
         # right rows (side 0) sort before left at equal ts → inclusive <=;
         # last value seen walking forward = greatest right_ts <= ts
         w = (
             Window.partitionBy(*keys)
-            .orderBy(F.col("__ets").asc(), F.col("__side").asc())
+            .orderBy(F.col("__ets").asc(), F.col("__side").asc(),
+                     F.col("__rv").asc_nulls_last())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         picked = F.last("__rv", ignorenulls=True).over(w)
@@ -117,7 +124,8 @@ def asof_join(
         # row stays inside the [current, following] frame → inclusive >=
         w = (
             Window.partitionBy(*keys)
-            .orderBy(F.col("__ets").asc(), F.col("__side").desc())
+            .orderBy(F.col("__ets").asc(), F.col("__side").desc(),
+                     F.col("__rv").desc_nulls_first())
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
         picked = F.first("__rv", ignorenulls=True).over(w)
@@ -195,9 +203,16 @@ def asof_join_merge(
                               right_ts: pd.Series(dtype="datetime64[ns]"),
                               **{c: pd.Series(dtype="object") for c in val_idx}})
         l = l.sort_values(left_ts, kind="mergesort")
+        # duplicate (key, right_ts) rows: sort by the value columns too
+        # so keep="last" deterministically elects the greatest values
+        # (matches the window variant's value-struct tiebreak). Falls
+        # back to ts-only order for unsortable value dtypes (arrays).
+        try:
+            r = r.sort_values([right_ts, *val_idx], kind="mergesort")
+        except (TypeError, ValueError):
+            r = r.sort_values([right_ts], kind="mergesort")
         r = (
-            r.sort_values([right_ts], kind="mergesort")
-            .drop_duplicates([on, right_ts], keep="last")
+            r.drop_duplicates([on, right_ts], keep="last")
             .rename(columns={right_ts: "matched_ts"})
         )
         m = pd.merge_asof(

@@ -79,6 +79,62 @@ def predict_centroids(
     )
 
 
+def fit_vector_scaler(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension standardization parameters (sklearn StandardScaler
+    semantics, ddof=0 — the reference fits one before the SVM,
+    rp_classify.py:28-37). Returns ONE row (mu array, sd array)."""
+    exploded = df.select(F.posexplode(F.col(vec_col).cast("array<double>")))
+    return (
+        exploded.groupBy("pos")
+        .agg(F.avg("col").alias("mu"), F.stddev_pop("col").alias("sd"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mu", "sd"))).alias("__p"))
+        .select(
+            F.transform("__p", lambda s: s["mu"]).alias("mu"),
+            F.transform("__p", lambda s: s["sd"]).alias("sd"),
+        )
+    )
+
+
+def apply_vector_scaler(
+    df: DataFrame, scaler: DataFrame, vec_col: str = "embedding",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Standardize the vector column with a fitted scaler (broadcast
+    one-row join; zero-variance dimensions pass through centered)."""
+    out = out_col or vec_col
+    joined = df.crossJoin(F.broadcast(scaler))
+    centered = F.zip_with(F.col(vec_col).cast("array<double>"), "mu",
+                          lambda x, m: x - m)
+    scaled = F.zip_with(
+        centered, "sd", lambda x, s: x / F.when(s == 0, 1.0).otherwise(s)
+    )
+    return joined.withColumn(out, scaled).drop("mu", "sd")
+
+
+def save_model(
+    centroids: DataFrame, path: str, scaler: DataFrame | None = None
+) -> None:
+    """Persist a trained model (reference save_model,
+    rp_classify.py:110-128: pickles model+scaler side by side). The
+    model parts are DataFrames, so the sink is parquet snapshots —
+    readable by any engine, no pickle."""
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    if scaler is not None:
+        scaler.write.mode("overwrite").parquet(f"{path}/scaler")
+
+
+def load_model(spark, path: str):
+    """Load (centroids, scaler-or-None) written by ``save_model``
+    (reference load_model, rp_classify.py:131-158)."""
+    centroids = spark.read.parquet(f"{path}/centroids")
+    try:
+        scaler = spark.read.parquet(f"{path}/scaler")
+    except Exception:
+        scaler = None
+    return centroids, scaler
+
+
 def cross_validate(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -15,6 +15,7 @@ driver-side pair materialization.
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Iterator, Sequence
 
 import numpy as np
@@ -23,20 +24,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# 64-bit Mersenne-ish prime field for universal hashing
+logger = logging.getLogger(__name__)
+
+# Mersenne prime field 2^61-1 for universal hashing
 _MERSENNE = (1 << 61) - 1
 _MAXH = np.uint64((1 << 64) - 1)
 
 
 def exact_dedup(df: DataFrame, cols: Sequence[str], id_col: str) -> DataFrame:
     """Keep one deterministic representative (min id) per duplicate
-    group defined by exact equality on ``cols``."""
-    w = F.min(id_col).alias("__rep")
-    reps = df.groupBy(*cols).agg(w)
+    group defined by exact equality on ``cols``. The group key and join
+    key is a 128-bit hash of the columns, not the raw values — shuffling
+    32-byte digests instead of long text is the scale-safe shape."""
+    fp = F.md5(F.to_json(F.struct(*[F.col(c) for c in cols])))
+    hashed = df.withColumn("__fp", fp)
+    reps = hashed.groupBy("__fp").agg(F.min(id_col).alias("__rep"))
     return (
-        df.join(reps, on=list(cols), how="inner")
+        hashed.join(reps, on="__fp", how="inner")
         .filter(F.col(id_col) == F.col("__rep"))
-        .drop("__rep")
+        .drop("__rep", "__fp")
     )
 
 
@@ -97,17 +103,39 @@ def _hash_family(n_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return _HASH_FAMILY_CACHE[key]
 
 
+_P61 = np.uint64(_MERSENNE)
+
+
+def _modmul61(a: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """(a*x) mod p for p = 2^61-1, vectorized and uint64-wrap-safe.
+
+    Both operands < p. Split a = a1*2^32 + a0, x = x1*2^32 + x0
+    (a1, x1 < 2^29) and reduce the four partial products with the
+    Mersenne identity 2^61 ≡ 1 (mod p):
+
+      a*x = a1*x1*2^64 + (a1*x0 + a0*x1)*2^32 + a0*x0
+      2^64 ≡ 8;  m*2^32 = (m >> 29) + (m & (2^29-1)) * 2^32  (mod p)
+
+    Every intermediate stays < 2^63, so nothing wraps."""
+    m32 = np.uint64(0xFFFFFFFF)
+    a1, a0 = a >> np.uint64(32), a & m32
+    x1, x0 = x >> np.uint64(32), x & m32
+    hi = a1 * x1                      # < 2^58
+    mid = a1 * x0 + a0 * x1           # < 2^62
+    lo = a0 * x0                      # < 2^64, exact in uint64
+    r = (hi << np.uint64(3)) % _P61   # hi*2^64 ≡ hi*8
+    r = r + (mid >> np.uint64(29)) + ((mid & np.uint64((1 << 29) - 1)) << np.uint64(32)) % _P61
+    r = r + (lo >> np.uint64(61)) + (lo & _P61)
+    return r % _P61
+
+
 def _min_universal_hash(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """min over shingles of h_i(x) = (a_i*x + b_i) mod p, fully
-    vectorized over the (n_hashes, n_shingles) grid. 61-bit operands
-    would overflow uint64 under multiplication, so the modmul is done
-    in two 32-bit halves (wrap-safe)."""
-    lo = (sh & np.uint64(0xFFFFFFFF))[None, :]
-    hi = (sh >> np.uint64(32))[None, :]
-    a_ = a[:, None]
-    t = (a_ * hi) % _MERSENNE
-    t = ((t << np.uint64(32)) + a_ * lo) % _MERSENNE
-    return ((t + b[:, None]) % _MERSENNE).min(axis=1)
+    vectorized over the (n_hashes, n_shingles) grid in the exact
+    Mersenne field (true universal family — collision probability
+    1/p holds as documented)."""
+    prod = _modmul61(a[:, None], sh[None, :])
+    return ((prod + b[:, None]) % _P61).min(axis=1)
 
 
 def minhash_signature(text: str, n_hashes: int, k: int, seed: int,
@@ -147,6 +175,74 @@ def minhash_signatures(
     return df.select(id_col, text_col).mapInPandas(run, schema)
 
 
+def propagate_min_ids(
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    bucket_col: str = "bucket",
+    max_iters: int = 10,
+) -> DataFrame:
+    """Connected components over a bipartite (id, bucket) membership
+    graph by iterated min-label propagation: every id converges to the
+    smallest id in its component (= transitive duplicate group).
+
+    Each round is two shuffles (min per bucket, min per id); labels are
+    localCheckpoint'ed per round so iteration i+1's plan does not
+    re-execute iteration i. Converges in O(log(component diameter))
+    rounds — duplicate chains A~B~C with no shared bucket for (A, C)
+    land in one group, which one-hop election cannot do. Stops early
+    when a round changes no label; logs per-round change counts (the
+    loop is data-dependent, so the action per round is inherent)."""
+    e = edges.select(F.col(id_col).alias("__id"),
+                     F.col(bucket_col).alias("__bk")).localCheckpoint()
+    labels = e.groupBy("__id").agg(F.min("__id").alias("rep_id"))  # identity
+    # seed: min id per bucket, then min over an id's buckets (one hop)
+    for it in range(max_iters):
+        bucket_min = (
+            e.join(labels, "__id")
+            .groupBy("__bk")
+            .agg(F.min("rep_id").alias("__bmin"))
+        )
+        cand = (
+            e.join(bucket_min, "__bk")
+            .groupBy("__id")
+            .agg(F.min("__bmin").alias("__cand"))
+        )
+        hopped = labels.join(cand, "__id", "left").select(
+            "__id",
+            F.least("rep_id", F.coalesce("__cand", "rep_id")).alias("rep_id"),
+        )
+        # pointer halving (rep := label(rep)) — contracts chains
+        # geometrically, so a diameter-D component needs O(log D)
+        # rounds instead of D (large-star/small-star style)
+        new_labels = (
+            hopped.join(
+                hopped.select(
+                    F.col("__id").alias("rep_id"), F.col("rep_id").alias("__rep2")
+                ),
+                "rep_id",
+                "left",
+            )
+            .select("__id", F.coalesce("__rep2", "rep_id").alias("rep_id"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("rep_id", "__old"), "__id")
+            .filter(F.col("rep_id") != F.col("__old"))
+            .count()
+        )
+        labels = new_labels
+        logger.info("propagate_min_ids round %d: %d labels changed", it + 1, changed)
+        if changed == 0:
+            break
+    else:
+        logger.warning(
+            "propagate_min_ids: not converged after %d rounds (deep dup "
+            "chain); labels are a refinement of the true components",
+            max_iters,
+        )
+    return labels.select(F.col("__id").alias(id_col), "rep_id")
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -156,11 +252,14 @@ def minhash_lsh_dedup(
     shingle_k: int = 3,
     seed: int = 7,
     mode: str = "word",
+    max_iters: int = 10,
 ) -> DataFrame:
     """Near-duplicate detection: returns (id, rep_id) where rep_id is
-    the smallest id sharing at least one LSH band bucket (min-id
-    election — a one-hop approximation of the duplicate component,
-    iterate to converge fully)."""
+    the smallest id in the document's *transitive* duplicate component
+    (ids connected through shared LSH band buckets) — min-id labels are
+    propagated to fixpoint, so chains A~B~C merge even when A and C
+    share no bucket. ``max_iters=1`` gives the cheaper one-hop
+    approximation."""
     rows_per_band = n_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k, seed, mode)
     banded = sigs.select(
@@ -174,38 +273,63 @@ def minhash_lsh_dedup(
             )
         ).alias("band", "bucket"),
     )
-    reps = banded.groupBy("band", "bucket").agg(F.min(id_col).alias("__rep"))
-    return (
-        banded.join(reps, on=["band", "bucket"], how="inner")
-        .groupBy(id_col)
-        .agg(F.min("__rep").alias("rep_id"))
+    edges = banded.select(id_col, F.xxhash64("band", "bucket").alias("__edge_bk"))
+    return propagate_min_ids(edges, id_col, "__edge_bk", max_iters=max_iters)
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — decorrelates the cached token hashes from
+    the seed XOR, vectorized."""
+    h = h.copy()
+    h ^= h >> np.uint64(30)
+    h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(27)
+    h *= np.uint64(0x94D049BB133111EB)
+    h ^= h >> np.uint64(31)
+    return h
+
+
+def simhash64_batch(texts: Sequence[str], seed: int = 11) -> np.ndarray:
+    """64-bit SimHash (Charikar) for a batch of texts, vectorized:
+    hash every token of the batch once (memoized blake2b + seeded
+    splitmix64 remix), unpack all bits with one broadcast, and reduce
+    per-document sign sums with ``np.add.reduceat`` — no per-token
+    Python in the inner loop. Returns int64 (two's-complement view)."""
+    tok_lists = [(t or "").lower().split() for t in texts]
+    counts = np.array([len(x) for x in tok_lists], dtype=np.int64)
+    out = np.zeros(len(texts), dtype=np.int64)
+    nz = np.flatnonzero(counts)
+    if nz.size == 0:
+        return out
+    all_toks = [tok for i in nz for tok in tok_lists[i]]
+    h = np.fromiter((_token_hash(t) for t in all_toks), dtype=np.uint64,
+                    count=len(all_toks))
+    h = _mix64(h ^ np.uint64(seed * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF))
+    # bit i of h == unpackbits(little) index i on little-endian layout;
+    # sum of signs = 2*popcount_per_bit - n_tokens (avoids the 64-wide
+    # uint64 broadcast, ~10x cheaper)
+    bits = np.unpackbits(
+        h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+    ).astype(np.int32)  # (n_tokens, 64)
+    nz_counts = counts[nz]
+    offsets = np.concatenate(([0], np.cumsum(nz_counts)[:-1]))
+    acc = 2 * np.add.reduceat(bits, offsets, axis=0) - nz_counts[:, None]
+    packed = ((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+        axis=1, dtype=np.uint64
     )
+    out[nz] = packed.view(np.int64)
+    return out
 
 
 def simhash64(text: str, seed: int = 11) -> int:
-    """64-bit SimHash over word tokens (classic Charikar construction)."""
-    tokens = text.lower().split()
-    if not tokens:
-        return 0
-    import hashlib
-
-    acc = np.zeros(64, dtype=np.int64)
-    for tok in tokens:
-        h = int.from_bytes(
-            hashlib.blake2b(tok.encode(), digest_size=8, salt=seed.to_bytes(8, "big")[:8]).digest(),
-            "big",
-        )
-        bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits == 1, 1, -1)
-    val = int("".join("1" if v > 0 else "0" for v in acc[::-1]), 2)
-    return val - (1 << 64) if val >= (1 << 63) else val
+    """Scalar convenience wrapper over ``simhash64_batch``."""
+    return int(simhash64_batch([text], seed)[0])
 
 
-def simhash_dedup(
+def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", seed: int = 11
 ) -> DataFrame:
-    """Group documents by identical 64-bit SimHash (Hamming-0 tier;
-    near tiers would split the hash into 4 sub-bands like LSH)."""
+    """(id, simhash) via one Arrow-batched vectorized pass."""
     schema = T.StructType(
         [df.schema[id_col], T.StructField("simhash", T.LongType(), False)]
     )
@@ -213,15 +337,76 @@ def simhash_dedup(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             yield pd.DataFrame(
-                {
-                    id_col: b[id_col],
-                    "simhash": [simhash64(t or "", seed) for t in b[text_col].values],
-                }
+                {id_col: b[id_col],
+                 "simhash": simhash64_batch(b[text_col].values, seed)}
             )
 
-    hashed = df.select(id_col, text_col).mapInPandas(run, schema)
-    reps = hashed.groupBy("simhash").agg(F.min(id_col).alias("rep_id"))
-    return hashed.join(reps, "simhash").select(id_col, "simhash", "rep_id")
+    return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def simhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 11,
+    max_hamming: int = 0,
+    max_iters: int = 10,
+) -> DataFrame:
+    """SimHash near-dup groups: (id, simhash, rep_id).
+
+    ``max_hamming=0`` groups identical hashes (one groupBy). For
+    ``1 <= max_hamming <= 3`` the 64-bit hash is split into 4 16-bit
+    sub-bands; by pigeonhole any pair within Hamming distance 3 shares
+    at least one band, so candidates are band-bucket joins (never
+    all-pairs), verified with ``bit_count(a ^ b) <= max_hamming`` and
+    merged transitively via min-label propagation."""
+    hashed = simhash_signatures(df, text_col, id_col, seed)
+    if max_hamming == 0:
+        reps = hashed.groupBy("simhash").agg(F.min(id_col).alias("rep_id"))
+        return hashed.join(reps, "simhash").select(id_col, "simhash", "rep_id")
+    if max_hamming > 3:
+        raise ValueError("4 bands guarantee recall only up to max_hamming=3")
+    bands = hashed.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftrightunsigned("simhash", 16 * i)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias("val"),
+                )
+                for i in range(4)
+            ])
+        ).alias("b"),
+    ).select(id_col, "simhash", F.col("b.band").alias("band"),
+             F.col("b.val").alias("val"))
+    left = bands.select(F.col(id_col).alias("id_a"),
+                        F.col("simhash").alias("__ha"), "band", "val")
+    right = bands.select(F.col(id_col).alias("id_b"),
+                         F.col("simhash").alias("__hb"), "band", "val")
+    pairs = (
+        left.join(right, ["band", "val"])
+        .filter(F.col("id_b") < F.col("id_a"))
+        .filter(
+            F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))) <= max_hamming
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # each verified pair is an edge; reuse the bipartite propagation by
+    # treating the pair itself as a 2-member bucket
+    edge_bk = F.xxhash64("id_a", "id_b")
+    edges = (
+        pairs.select(F.col("id_a").alias(id_col), edge_bk.alias("__bk"))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col), edge_bk.alias("__bk")))
+        .unionByName(
+            hashed.select(id_col, F.xxhash64(id_col, F.lit(-1)).alias("__bk"))
+        )  # singletons keep themselves
+    )
+    labels = propagate_min_ids(edges, id_col, "__bk", max_iters=max_iters)
+    return hashed.join(labels, id_col).select(id_col, "simhash", "rep_id")
 
 
 def ngram_jaccard(
@@ -265,27 +450,53 @@ def embedding_cosine_dedup(
     threshold: float = 0.95,
     n_planes: int = 10,
     seed: int = 13,
+    dim: int | None = None,
+    max_bucket_size: int = 512,
 ) -> DataFrame:
     """Embedding near-duplicate detection: random-hyperplane LSH
     bucketing (same family as similarity.lsh_topk) narrows candidates
     to same-bucket pairs; exact cosine >= threshold within a bucket
     elects the min-id representative. Scale path: the pairwise step is
-    per-bucket (bounded), never corpus x corpus."""
-    from pyspark.sql import functions as F
+    per-bucket, never corpus x corpus — AND per-bucket membership is
+    capped at ``max_bucket_size`` (lowest ids kept) so one degenerate
+    bucket (e.g. all-zero embeddings) cannot create a quadratic task
+    that never finishes. Overflow is counted and logged, never silent;
+    rows beyond the cap keep themselves as representative."""
+    from pyspark.sql.window import Window
 
     from .similarity import bucket_col, cosine_col, hyperplanes
 
-    first = df.select(vec_col).first()
-    dim = len(first[0])
+    if dim is None:
+        first = df.select(vec_col).first()
+        if first is None:
+            return df.sparkSession.createDataFrame(
+                [], T.StructType([df.schema[id_col],
+                                  T.StructField("rep_id", df.schema[id_col].dataType)])
+            )
+        dim = len(first[0])
     planes = hyperplanes(dim, n_planes, seed)
     v = F.col(vec_col).cast("array<double>")
     b = df.select(F.col(id_col), v.alias("__v")).withColumn(
         "__bucket", bucket_col(F.col("__v"), planes)
     )
-    left = b.select(
+    ranked = b.withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy("__bucket").orderBy(F.col(id_col).asc())
+        ),
+    )
+    n_over = ranked.filter(F.col("__rn") > max_bucket_size).count()
+    if n_over:
+        logger.warning(
+            "embedding_cosine_dedup: %d rows beyond max_bucket_size=%d were "
+            "excluded from candidate pairing (hot LSH bucket(s); raise "
+            "n_planes to split them)", n_over, max_bucket_size,
+        )
+    capped = ranked.filter(F.col("__rn") <= max_bucket_size).drop("__rn")
+    left = capped.select(
         F.col(id_col).alias("id_a"), F.col("__v").alias("__va"), "__bucket"
     )
-    right = b.select(
+    right = capped.select(
         F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"), "__bucket"
     )
     pairs = (

@@ -186,15 +186,72 @@ def kmeans_fit(
             F.col("__v").alias("centroid"),
         )
     )
-    centroids = seeded
-    pts = df.select(F.col(id_col), v.alias(vec_col))
-    for _ in range(iters):
-        assigned = predict_centroids(
-            pts, centroids, vec_col=vec_col, id_col=id_col
-        ).withColumnRenamed("predicted_label", "label")
-        joined = pts.join(assigned.select(id_col, "label"), id_col)
-        centroids = train_centroids(joined, vec_col=vec_col, label_col="label")
-    return centroids
+    spark = df.sparkSession
+    pts = df.select(F.col(id_col), v.alias(vec_col)).persist()
+    try:
+        # materialize the K seed rows on the driver: each iteration's
+        # centroids must NOT carry the previous iteration's lineage, or
+        # iteration i+1 re-executes iterations 1..i (recompute bomb at
+        # scale). The model is K rows — driver round-trip is free.
+        centroids = seeded
+        for _ in range(iters):
+            rows = centroids.collect()
+            centroids = spark.createDataFrame(rows, schema=centroids.schema)
+            assigned = predict_centroids(
+                pts, centroids, vec_col=vec_col, id_col=id_col
+            ).withColumnRenamed("predicted_label", "label")
+            joined = pts.join(assigned.select(id_col, "label"), id_col)
+            centroids = train_centroids(joined, vec_col=vec_col, label_col="label")
+        rows = centroids.collect()
+        return spark.createDataFrame(rows, schema=centroids.schema)
+    finally:
+        pts.unpersist()
+
+
+def ivf_build(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Materialize the IVF inverted lists ONCE: corpus + ``list_id``
+    (nearest coarse centroid). Build-once / probe-many — persist this
+    (or write it partitioned by ``list_id`` so probes become partition
+    pruning) and serve any number of ``ivf_probe`` queries without
+    re-assigning the corpus."""
+    from .classify import predict_centroids
+
+    assigned = predict_centroids(corpus, centroids, vec_col=vec_col, id_col=id_col)
+    return corpus.join(
+        assigned.select(id_col, F.col("predicted_label").alias("list_id")), id_col
+    )
+
+
+def ivf_probe(
+    lists: DataFrame,
+    centroids: DataFrame,
+    query_vec: Sequence[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Probe the ``nprobe`` inverted lists nearest to the query and
+    brute-force cosine inside them. ``lists`` is the ``ivf_build``
+    output; centroid ranking is driver-side over K rows."""
+    import numpy as np
+
+    cent_rows = centroids.collect()
+    q = np.asarray(query_vec, dtype=float)
+    dists = sorted(
+        (float(np.sum((np.asarray(r.centroid) - q) ** 2)), r.centroid_label)
+        for r in cent_rows
+    )
+    probe_labels = [lab for _, lab in dists[:nprobe]]
+    return topk_similar(
+        lists.filter(F.col("list_id").isin(probe_labels)), query_vec, vec_col,
+        id_col, k,
+    )
 
 
 def ivf_topk(
@@ -206,23 +263,8 @@ def ivf_topk(
     k: int = 10,
     nprobe: int = 2,
 ) -> DataFrame:
-    """IVF search: assign corpus rows to their nearest coarse centroid
-    (inverted lists), probe only the ``nprobe`` lists nearest to the
-    query, brute-force cosine inside them. At 100 TB the list id is a
-    partition column, turning the probe into partition pruning."""
-    import numpy as np
-
-    from .classify import predict_centroids
-
-    cent_rows = centroids.collect()
-    q = np.asarray(query_vec, dtype=float)
-    dists = sorted(
-        (float(np.sum((np.asarray(r.centroid) - q) ** 2)), r.centroid_label)
-        for r in cent_rows
-    )
-    probe_labels = [lab for _, lab in dists[:nprobe]]
-    assigned = predict_centroids(corpus, centroids, vec_col=vec_col, id_col=id_col)
-    lists = corpus.join(
-        assigned.select(id_col, "predicted_label"), id_col
-    ).filter(F.col("predicted_label").isin(probe_labels))
-    return topk_similar(lists, query_vec, vec_col, id_col, k)
+    """One-shot IVF search (build + probe). For a query service use
+    ``ivf_build`` once and ``ivf_probe`` per query — this wrapper
+    re-assigns the corpus each call."""
+    lists = ivf_build(corpus, centroids, vec_col, id_col)
+    return ivf_probe(lists, centroids, query_vec, vec_col, id_col, k, nprobe)

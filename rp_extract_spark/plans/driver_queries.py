@@ -652,6 +652,42 @@ def q_multilabel_pivot(spark, sf):
     )
 
 
+def q_multilabel_roundtrip(spark, sf):
+    """S14 multi-label evidence: build a 0/1 language-presence matrix
+    per source, WRITE it in the reference multi-class table format
+    ('x' / blank, TAB, header — classes_io.py:127-134), then READ it
+    back through read_multi_class_file (classes_io.py:60-110, label
+    replacement + blank→0). The oracle recomputes the same matrix from
+    documents directly, so the file roundtrip itself is under test."""
+    import os
+    import tempfile
+
+    from ..sources.multilabel import read_multi_class_file, write_multi_class_table
+
+    d = _t(spark, sf, "documents")
+    langs = ["de", "en", "es", "fr", "zh"]
+    tbl = d.groupBy(F.col("source").alias("id")).agg(
+        *[
+            F.max(F.when(F.col("lang") == l, 1).otherwise(0)).cast("int").alias(l)
+            for l in langs
+        ]
+    )
+    path = os.path.join(tempfile.gettempdir(), "rp_extract_spark_mlc_table")
+    write_multi_class_table(tbl, path)
+    return read_multi_class_file(spark, path).orderBy("id")
+
+
+ORACLE_MULTILABEL_ROUNDTRIP = """
+SELECT source AS id,
+       CAST(max(CASE WHEN lang='de' THEN 1 ELSE 0 END) AS INT) AS de,
+       CAST(max(CASE WHEN lang='en' THEN 1 ELSE 0 END) AS INT) AS en,
+       CAST(max(CASE WHEN lang='es' THEN 1 ELSE 0 END) AS INT) AS es,
+       CAST(max(CASE WHEN lang='fr' THEN 1 ELSE 0 END) AS INT) AS fr,
+       CAST(max(CASE WHEN lang='zh' THEN 1 ELSE 0 END) AS INT) AS zh
+FROM documents GROUP BY source ORDER BY id
+"""
+
+
 # CAST to BIGINT: DuckDB integer sum() is HUGEINT — see ORACLE_SESSIONIZE.
 ORACLE_MULTILABEL_PIVOT = """
 SELECT source,
@@ -785,6 +821,55 @@ def q_cv_accuracy(spark, sf):
     return cross_validate(e, vec_col="embedding", label_col="label_s", k=3)
 
 
+def q_entity_features_rel(spark, sf):
+    """A4/A5 oracle analog on a SQL-expressible surface: exact median
+    and mean PER VECTOR POSITION per label over the embeddings table —
+    the same cross-segment aggregation semantics the kernel pipeline
+    applies per entity (exact median for RP/RH, mean for SSD/MVD)."""
+    e = _t(spark, sf, "embeddings")
+    return (
+        e.select("label", F.posexplode(F.col("embedding").cast("array<double>")))
+        .groupBy("label", "pos")
+        .agg(
+            F.round(F.expr("percentile(col, 0.5)"), 6).alias("med_v"),
+            F.round(F.avg("col"), 6).alias("mean_v"),
+        )
+        .orderBy("label", "pos")
+    )
+
+
+ORACLE_ENTITY_FEATURES_REL = """
+SELECT label, pos, round(median(val), 6) AS med_v, round(avg(val), 6) AS mean_v
+FROM (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings)
+GROUP BY label, pos ORDER BY label, pos
+"""
+
+
+ORACLE_CENTROID_CLASSIFY = """
+WITH e AS (
+  SELECT vec_id, CAST(label AS VARCHAR) AS label_s,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings),
+cent AS (
+  SELECT label_s, pos, avg(val) AS c FROM e GROUP BY label_s, pos),
+d AS (
+  SELECT e.vec_id, cent.label_s, sum((e.val - cent.c) * (e.val - cent.c)) AS d2
+  FROM e JOIN cent ON e.pos = cent.pos
+  GROUP BY e.vec_id, cent.label_s),
+r AS (
+  SELECT vec_id, label_s, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, label_s ASC) AS rn
+  FROM d)
+SELECT vec_id, label_s AS predicted_label, round(sqrt(d2), 5) AS distance
+FROM r WHERE rn = 1 ORDER BY vec_id
+"""
+
+
 def q_embedding_dedup(spark, sf):
     """Embedding-cosine near-dup (rows-only: LSH bucketing is
     engine-specific; correctness property-tested in pytest)."""
@@ -855,12 +940,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_topk": q_similarity_topk,
     "knn_join": q_knn_join,
     "multilabel_pivot": q_multilabel_pivot,
+    "multilabel_roundtrip": q_multilabel_roundtrip,
     "prune_min_instances": q_prune_min_instances,
     "duplicate_check": q_duplicate_check,
     # non-SQL-expressible (rows-only checks)
     "feature_extract": q_feature_extract,
     "asof_features": q_asof_features,
     "entity_features": q_entity_features,
+    "entity_features_rel": q_entity_features_rel,
     "minhash_dedup": q_minhash_dedup,
     "simhash": q_simhash,
     "lsh_topk": q_lsh_topk,
@@ -894,8 +981,11 @@ ORACLES: dict[str, str] = {
     "similarity_topk": ORACLE_SIMILARITY_TOPK,
     "knn_join": ORACLE_KNN_JOIN,
     "multilabel_pivot": ORACLE_MULTILABEL_PIVOT,
+    "multilabel_roundtrip": ORACLE_MULTILABEL_ROUNDTRIP,
     "prune_min_instances": ORACLE_PRUNE_MIN_INSTANCES,
     "duplicate_check": ORACLE_DUPLICATE_CHECK,
+    "entity_features_rel": ORACLE_ENTITY_FEATURES_REL,
+    "centroid_classify": ORACLE_CENTROID_CLASSIFY,
 }
 
 
@@ -929,14 +1019,16 @@ ORACLES["asof_merge"] = ORACLE_ASOF
 
 
 def q_ivf_topk(spark, sf):
-    """IVF approximate nearest neighbors: k-means coarse quantizer +
-    probe-limited search (rows-only; recall property pytest-verified)."""
-    from ..operators.similarity import ivf_topk, kmeans_fit
+    """IVF approximate nearest neighbors: k-means coarse quantizer,
+    inverted lists materialized ONCE (build), probe-limited search
+    (rows-only; recall property pytest-verified)."""
+    from ..operators.similarity import ivf_build, ivf_probe, kmeans_fit
 
     e = _t(spark, sf, "embeddings")
     cent = kmeans_fit(e, k=8, iters=3)
     qv = [float(x) for x in e.filter(F.col("vec_id") == 7).first().embedding]
-    out = ivf_topk(e, cent, qv, k=10, nprobe=2)
+    lists = ivf_build(e, cent)  # write-once / probe-many shape
+    out = ivf_probe(lists, cent, qv, k=10, nprobe=2)
     return out.select("vec_id", F.round("score", 5).alias("cos_sim"))
 
 

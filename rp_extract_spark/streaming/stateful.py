@@ -33,7 +33,11 @@ def streaming_dedup(
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        n_new = 0
+        if state.hasTimedOut:
+            # TTL expiry invocation (no input rows): drop the keyed
+            # state so it does not grow unboundedly.
+            state.remove()
+            return iter(())
         first_ts = None
         total = 0
         for pdf in pdfs:
@@ -43,6 +47,9 @@ def streaming_dedup(
         if state.exists:
             seen, dropped = state.get
             state.update((True, dropped + total))
+            if ttl_minutes:
+                # sliding TTL: each replay re-arms the timeout
+                state.setTimeoutDuration(ttl_minutes * 60 * 1000)
             return iter(())  # replay: emit nothing
         state.update((True, max(total - 1, 0)))
         if ttl_minutes:

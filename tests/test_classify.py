@@ -58,3 +58,53 @@ def test_fold_assignment_deterministic(spark, clustered):
     b = {r.vec_id: r.fold for r in assign_folds(clustered, "vec_id", 5).collect()}
     assert a == b
     assert set(a.values()) == {0, 1, 2, 3, 4}
+
+
+def test_vector_scaler_roundtrip(spark, clustered):
+    from rp_extract_spark.operators.classify import (
+        apply_vector_scaler,
+        fit_vector_scaler,
+    )
+
+    scaler = fit_vector_scaler(clustered)
+    row = scaler.first()
+    X = np.array([r.embedding for r in clustered.collect()])
+    assert np.allclose(row.mu, X.mean(axis=0))
+    assert np.allclose(row.sd, X.std(axis=0))  # ddof=0
+    scaled = apply_vector_scaler(clustered, scaler)
+    Xs = np.array(
+        [r.embedding for r in scaled.orderBy("vec_id").collect()]
+    )
+    want = (X[np.argsort([r.vec_id for r in clustered.collect()])] - X.mean(axis=0)) / X.std(axis=0)
+    assert np.allclose(Xs, want)
+
+
+def test_model_save_load_roundtrip(spark, clustered, tmp_path):
+    from rp_extract_spark.operators.classify import (
+        load_model,
+        save_model,
+    )
+    from rp_extract_spark.operators.classify import fit_vector_scaler
+
+    cent = train_centroids(clustered)
+    scaler = fit_vector_scaler(clustered)
+    path = str(tmp_path / "model")
+    save_model(cent, path, scaler=scaler)
+    cent2, scaler2 = load_model(spark, path)
+    assert scaler2 is not None and scaler2.count() == 1
+    before = {r.vec_id: r.predicted_label
+              for r in predict_centroids(clustered, cent).collect()}
+    after = {r.vec_id: r.predicted_label
+             for r in predict_centroids(clustered, cent2).collect()}
+    assert before == after
+
+
+def test_model_save_load_without_scaler(spark, clustered, tmp_path):
+    from rp_extract_spark.operators.classify import load_model, save_model
+
+    cent = train_centroids(clustered)
+    path = str(tmp_path / "model2")
+    save_model(cent, path)
+    cent2, scaler2 = load_model(spark, path)
+    assert scaler2 is None
+    assert cent2.count() == 3

@@ -249,3 +249,33 @@ def test_ivf_topk(spark, emb):
     exact = [r.vec_id for r in topk_similar(emb, q, k=5).collect()]
     wide = {r.vec_id for r in ivf_topk(emb, cent, q, k=5, nprobe=8).collect()}
     assert set(exact) == wide  # nprobe=k_lists == exhaustive
+
+
+def test_kmeans_lineage_truncated(spark, emb):
+    """Iteration i+1's plan must not re-execute iteration i: the fitted
+    centroids come back as a driver-materialized local relation (the
+    model is K rows), not a join tree over the corpus."""
+    from rp_extract_spark.operators.similarity import kmeans_fit
+
+    cent = kmeans_fit(emb, k=4, iters=3)
+    plan = cent._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan
+    assert cent.count() == 4
+
+
+def test_ivf_build_probe(spark, emb):
+    """Build-once/probe-many: probing materialized lists returns the
+    same rows as the one-shot wrapper."""
+    from rp_extract_spark.operators.similarity import (
+        ivf_build,
+        ivf_probe,
+        ivf_topk,
+        kmeans_fit,
+    )
+
+    cent = kmeans_fit(emb, k=4, iters=2)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 7).first().embedding]
+    lists = ivf_build(emb, cent).cache()
+    got = {r.vec_id for r in ivf_probe(lists, cent, qv, k=5, nprobe=2).collect()}
+    want = {r.vec_id for r in ivf_topk(emb, cent, qv, k=5, nprobe=2).collect()}
+    assert got == want and len(got) == 5

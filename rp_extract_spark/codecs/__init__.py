@@ -1,15 +1,19 @@
-"""Image codecs: pure-numpy PNG plus a deterministic lossy stub."""
+"""Image codecs: pure-numpy PNG, pure-numpy baseline JPEG (real
+entropy coding, ITU-T T.81), and the legacy fast fixture-lossy codec."""
 
 from __future__ import annotations
 
 import numpy as np
 
+from .jpeg import decode_jpeg, encode_jpeg
 from .lossy import decode_lossy, encode_lossy, is_lossy
 from .png import decode_png, encode_png
 
 __all__ = [
     "decode_png",
     "encode_png",
+    "decode_jpeg",
+    "encode_jpeg",
     "decode_lossy",
     "encode_lossy",
     "decode_image",
@@ -20,7 +24,10 @@ __all__ = [
 
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
     """Dispatch on fmt (analog of audiofile_read's format dispatch,
-    /root/reference/audiofile_read.py:354-400)."""
+    /root/reference/audiofile_read.py:354-400). ``jpeg`` payloads
+    dispatch on magic bytes: real JFIF streams (FF D8) go through the
+    in-repo baseline JPEG decoder; the legacy fixture-lossy container
+    (LQ01 marker) stays readable for persisted round-1 fixtures."""
     if data is None or len(data) == 0:
         raise ValueError("empty image payload")
     if fmt == "png":
@@ -28,7 +35,9 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
     if fmt in ("jpeg", "jpg"):
         if is_lossy(data):
             return decode_lossy(data)
-        raise NotImplementedError("real JPEG decode not available in this sandbox")
+        if data[:2] == b"\xff\xd8":
+            return decode_jpeg(data)
+        raise ValueError("jpeg payload has neither JFIF nor fixture marker")
     raise ValueError(f"unsupported image format {fmt!r}")
 
 

@@ -1,16 +1,13 @@
-"""Deterministic lossy codec STUB (the container has no JPEG library).
+"""Fast deterministic fixture-lossy codec (LQ01 container).
 
-The production design dispatches on the ``fmt`` column inside the decode
-UDF (analog of the reference's decoder dispatch,
-``/root/reference/audiofile_read.py:139-212``): ``png`` → lossless PNG,
-``jpeg`` → a real JPEG decoder (PIL / libjpeg-turbo).  PIL is absent
-here, so ``jpeg`` rows carry a clearly-marked deterministic *fake lossy*
-encoding: pixels are quantized to step ``Q`` (simulating quantization
-loss with a known PSNR floor) and wrapped in our PNG container with a
-marker chunk.  Everything Spark-side (schema, UDF signature, batch
-shape, PSNR gate) is real and tested; only the entropy-coding internals
-are faked.  Swap `encode_lossy`/`decode_lossy` for PIL calls on a real
-cluster.
+Round 1 used this as the stand-in for JPEG; since round 2 a REAL
+baseline JPEG codec exists in ``codecs/jpeg.py`` (pure-numpy entropy
+coding, interop-verified against javax.imageio) and ``decode_image``
+dispatches on magic bytes. This module is retained as the
+high-throughput synthetic-fixture codec: quantize-to-step-Q + PNG
+container is ~20x cheaper per image than full entropy coding, which
+matters when synthesizing 30k+ benchmark images, and its quantization
+loss has a closed-form PSNR floor.
 
 PSNR math: uniform quantization with step Q has MSE ≈ (Q²-1)/12, so
 Q=4 → PSNR ≈ 10·log10(255²/1.25) ≈ 47 dB, comfortably above the
@@ -46,8 +43,9 @@ def is_lossy(data: bytes) -> bool:
 
 
 def decode_real_jpeg(data: bytes) -> np.ndarray:
-    """Real JPEG path — unavailable in this container by design."""
-    raise NotImplementedError(
-        "JPEG decode requires PIL/libjpeg which is not installed here; "
-        "fixtures use the deterministic fake-lossy codec instead"
-    )
+    """Real JPEG path — the round-1 NotImplementedError stub is retired:
+    baseline JPEG entropy coding is implemented in pure numpy
+    (``codecs/jpeg.py``, interop-verified against javax.imageio)."""
+    from .jpeg import decode_jpeg
+
+    return decode_jpeg(data)

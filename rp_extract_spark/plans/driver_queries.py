@@ -505,6 +505,108 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_text_quality(spark, sf):
+    """Full text-analysis battery (lang-ID, quality score, BPE-ish
+    token count, punctuation/stopword ratios) — every expression is
+    JVM-side and re-derived independently in the DuckDB oracle."""
+    from ..operators.text import analyze_documents
+
+    d = _t(spark, sf, "documents")
+    return (
+        analyze_documents(d)
+        .select(
+            "doc_id",
+            F.col("n_tokens_bpe").cast("bigint").alias("n_tokens_bpe"),
+            "punct_ratio",
+            "stopword_ratio",
+            "lang_guess",
+            "quality",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# NOTE: tokens = split on whitespace runs of lower(trim(text)); DuckDB
+# re-derives every score from scratch (no shared helpers), which keeps
+# the oracle an independent recomputation.
+ORACLE_TEXT_QUALITY = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+  FROM documents),
+scores AS (
+  SELECT doc_id, text, toks,
+         CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n_tok,
+         len(list_filter(toks, t -> list_contains(
+           ['the','and','of','to','in','is','that','it','was','for'], t))) AS s_en,
+         len(list_filter(toks, t -> list_contains(
+           ['der','die','und','das','ist','von','ein','mit','den','nicht'], t))) AS s_de,
+         len(list_filter(toks, t -> list_contains(
+           ['le','la','et','les','des','est','une','dans','que','pour'], t))) AS s_fr,
+         len(list_filter(toks, t -> list_contains(
+           ['el','la','de','que','los','una','con','por','para','es'], t))) AS s_es,
+         (length(text) - length(regexp_replace(text, '[.,;:!?()\[\]"'']', '', 'g')))
+           / greatest(length(text), 1) AS punct_r,
+         len(list_filter(toks, t -> list_contains(
+           ['the','and','of','to','in','is','that','it','was','for'], t)))
+           / greatest(len(toks), 1) AS stop_r
+  FROM base)
+SELECT doc_id,
+       CAST(list_sum(list_transform(toks, t -> ceil(length(t) / 4.0)))
+            + (length(text) - length(regexp_replace(text, '[.,;:!?()\[\]]', '', 'g')))
+            AS BIGINT) AS n_tokens_bpe,
+       round(punct_r, 6) AS punct_ratio,
+       round(stop_r, 6) AS stopword_ratio,
+       CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+            WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+            WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+            WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+            ELSE 'es' END AS lang_guess,
+       round((0.5 * least(n_tok / 100.0, 1.0)
+              + 0.5 * least(stop_r * 5.0, 1.0))
+             * (CASE WHEN punct_r > 0.1 THEN 0.5 ELSE 1.0 END), 6) AS quality
+FROM scores ORDER BY doc_id
+"""
+
+
+def q_jaccard_verify(spark, sf):
+    """LSH-candidate verification stage: exact word-trigram Jaccard on
+    deterministic candidate pairs (doc_id, doc_id+1), doc_id < 20 —
+    JVM array ops on the Spark side, list functions in DuckDB."""
+    from ..operators.dedup import ngram_jaccard
+
+    d = _t(spark, sf, "documents")
+    pairs = d.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    ).filter(F.col("id_a") < 20)
+    out = ngram_jaccard(d, pairs, n=3)
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+ORACLE_JACCARD_VERIFY = r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - 2, 1)),
+           i -> array_to_string(t[i:i+2], ' '))) AS g
+  FROM toks),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.g AS ga, b.g AS gb
+  FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id < 20)
+SELECT id_a, id_b,
+       round(len(list_intersect(ga, gb))
+             / greatest(len(list_distinct(list_concat(ga, gb))), 1), 6) AS jaccard
+FROM pairs ORDER BY id_a, id_b
+"""
+
+
 def q_class_histogram(spark, sf):
     """Class histogram + HAVING prune (SURVEY A7/A9) over doc langs."""
     d = _t(spark, sf, "documents")
@@ -933,6 +1035,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_ops": q_set_ops,
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
+    "text_quality": q_text_quality,
+    "jaccard_verify": q_jaccard_verify,
     "class_histogram": q_class_histogram,
     "label_encode": q_label_encode,
     "zscore": q_zscore,
@@ -974,6 +1078,8 @@ ORACLES: dict[str, str] = {
     "set_ops": ORACLE_SET_OPS,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "text_stats": ORACLE_TEXT_STATS,
+    "text_quality": ORACLE_TEXT_QUALITY,
+    "jaccard_verify": ORACLE_JACCARD_VERIFY,
     "class_histogram": ORACLE_CLASS_HISTOGRAM,
     "label_encode": ORACLE_LABEL_ENCODE,
     "zscore": ORACLE_ZSCORE,

@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from ..codecs import encode_lossy, encode_png
+from ..codecs import encode_jpeg, encode_lossy, encode_png
 
 IMAGE_SCHEMA = T.StructType(
     [
@@ -146,7 +146,14 @@ def _make_image_batch(ids: np.ndarray, n_total: int, seed: int, lossy_fraction: 
         )
         px = np.clip(img, 0, 255).astype(np.uint8)
         lossy = (_h(seed, i, 1) % 1000) < int(lossy_fraction * 1000)
-        data = encode_lossy(px) if lossy else encode_png(px)
+        if lossy:
+            # every 8th lossy row carries a REAL baseline JPEG (full
+            # entropy coding, codecs/jpeg.py) so the pipeline exercises
+            # the production decode path end-to-end; the rest use the
+            # fast LQ01 fixture codec to keep 30k-image synthesis cheap
+            data = encode_jpeg(px, 97) if i % 8 == 0 else encode_lossy(px)
+        else:
+            data = encode_png(px)
         phash = compute_phash(px.astype(np.float64))
         if hot_phash_fraction and (_h(seed, i, 2) % 1000) < int(hot_phash_fraction * 1000):
             phash = 0x5A5A5A5A  # hot key for skew tests

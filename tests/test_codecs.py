@@ -85,8 +85,11 @@ def test_decode_dispatch_errors():
         decode_image(b"", "png")
     with pytest.raises(ValueError):
         decode_image(b"notapng", "png")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
+        # real-JPEG magic but truncated stream → parse error, not stub
         decode_image(b"\xff\xd8\xff\xe0realjpegheader", "jpeg")
+    with pytest.raises(ValueError):
+        decode_image(b"ZZZZnot-a-jpeg", "jpeg")
 
 
 def test_to_gray_channel_mean():

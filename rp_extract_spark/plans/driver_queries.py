@@ -394,6 +394,47 @@ ORDER BY l.event_id
 """
 
 
+def q_asof_tolerance(spark, sf):
+    """As-of join with a match-window tolerance (pd.merge_asof
+    tolerance semantics): matches farther than 1 hour back are nulled
+    out. Exercises the tolerance branch of the window strategy."""
+    ev = _t(spark, sf, "events")
+    left = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "event_id", "user_id", "ts"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="ts",
+        values=["purchase_value"], tolerance_seconds=3600,
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "purchase_value",
+        F.col("matched_ts").alias("purchase_ts"),
+    ).orderBy("event_id")
+
+
+ORACLE_ASOF_TOLERANCE = """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type IN ('view','click')),
+r AS (
+  SELECT user_id, ts, max(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+j AS (
+  SELECT l.event_id, l.user_id, l.ts, r.purchase_value, r.ts AS pts
+  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts)
+SELECT event_id, user_id, ts,
+       CASE WHEN pts IS NOT NULL AND epoch(ts) - epoch(pts) <= 3600
+            THEN purchase_value END AS purchase_value,
+       CASE WHEN pts IS NOT NULL AND epoch(ts) - epoch(pts) <= 3600
+            THEN pts END AS purchase_ts
+FROM j ORDER BY event_id
+"""
+
+
 def q_anti_join(spark, sf):
     """Incremental-resume primitive (SURVEY J3/U1): customers without
     orders."""
@@ -734,6 +775,95 @@ WHERE rank <= 3 ORDER BY q_id, rank
 """
 
 
+def q_knn_euclidean(spark, sf):
+    """Batch kNN under the euclidean metric (the reference's
+    NearestNeighbors default) — exercises the other metric branch of
+    the kNN operator against DuckDB's list_distance."""
+    from ..operators.similarity import knn_join
+
+    e = _t(spark, sf, "embeddings")
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = knn_join(queries, e, k=3, metric="euclidean")
+    return out.select(
+        "q_id", "rank", "vec_id", F.round("score", 5).alias("dist")
+    ).orderBy("q_id", "rank")
+
+
+ORACLE_KNN_EUCLIDEAN = """
+SELECT q_id, rank, vec_id, dist FROM (
+  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+         round(list_distance(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 5) AS dist,
+         row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY list_distance(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) ASC,
+                     c.vec_id ASC) AS rank
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 3)
+WHERE rank <= 3 ORDER BY q_id, rank
+"""
+
+
+def q_corpus_curation(spark, sf):
+    """End-to-end curation slice a training-data pipeline runs before
+    tokenization: text analysis → quality/language gate → exact dedup
+    (min-id representative per content fingerprint). Entirely
+    JVM-expression Spark; independently recomputed in DuckDB."""
+    from ..operators.text import analyze_documents
+
+    d = analyze_documents(_t(spark, sf, "documents"))
+    kept = d.filter((F.col("lang_guess") != "und") & (F.col("quality") >= 0.3))
+    w = Window.partitionBy("fingerprint").orderBy(F.col("doc_id").asc())
+    return (
+        kept.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "lang_guess", "quality", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_CORPUS_CURATION = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents),
+scores AS (
+  SELECT doc_id, fp,
+         CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
+         len(list_filter(toks, t -> list_contains(
+           ['the','and','of','to','in','is','that','it','was','for'], t))) AS s_en,
+         len(list_filter(toks, t -> list_contains(
+           ['der','die','und','das','ist','von','ein','mit','den','nicht'], t))) AS s_de,
+         len(list_filter(toks, t -> list_contains(
+           ['le','la','et','les','des','est','une','dans','que','pour'], t))) AS s_fr,
+         len(list_filter(toks, t -> list_contains(
+           ['el','la','de','que','los','una','con','por','para','es'], t))) AS s_es,
+         (length(text) - length(regexp_replace(text, '[.,;:!?()\[\]"'']', '', 'g')))
+           / greatest(length(text), 1) AS punct_r,
+         len(list_filter(toks, t -> list_contains(
+           ['the','and','of','to','in','is','that','it','was','for'], t)))
+           / greatest(len(toks), 1) AS stop_r
+  FROM base),
+scored AS (
+  SELECT doc_id, fp, n_tokens,
+         CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+              WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+              WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+              WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+              ELSE 'es' END AS lang_guess,
+         round((0.5 * least(n_tokens / 100.0, 1.0)
+                + 0.5 * least(stop_r * 5.0, 1.0))
+               * (CASE WHEN punct_r > 0.1 THEN 0.5 ELSE 1.0 END), 6) AS quality
+  FROM scores)
+SELECT doc_id, lang_guess, quality, n_tokens
+FROM scored
+WHERE lang_guess <> 'und' AND quality >= 0.3
+QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) = 1
+ORDER BY doc_id
+"""
+
+
 def q_multilabel_pivot(spark, sf):
     """Multi-label 0/1 matrix (classes_io.py:60-110 read_multi_class_file
     analog): one indicator column per language, via conditional
@@ -1030,6 +1160,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling": q_rolling,
     "asof": q_asof,
     "asof_forward": q_asof_forward,
+    "asof_tolerance": q_asof_tolerance,
     "anti_join": q_anti_join,
     "semi_join": q_semi_join,
     "set_ops": q_set_ops,
@@ -1043,6 +1174,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_per_group": q_topk_per_group,
     "similarity_topk": q_similarity_topk,
     "knn_join": q_knn_join,
+    "knn_euclidean": q_knn_euclidean,
+    "corpus_curation": q_corpus_curation,
     "multilabel_pivot": q_multilabel_pivot,
     "multilabel_roundtrip": q_multilabel_roundtrip,
     "prune_min_instances": q_prune_min_instances,
@@ -1073,6 +1206,7 @@ ORACLES: dict[str, str] = {
     "rolling": ORACLE_ROLLING,
     "asof": ORACLE_ASOF,
     "asof_forward": ORACLE_ASOF_FORWARD,
+    "asof_tolerance": ORACLE_ASOF_TOLERANCE,
     "anti_join": ORACLE_ANTI,
     "semi_join": ORACLE_SEMI,
     "set_ops": ORACLE_SET_OPS,
@@ -1086,6 +1220,8 @@ ORACLES: dict[str, str] = {
     "topk_per_group": ORACLE_TOPK_PER_GROUP,
     "similarity_topk": ORACLE_SIMILARITY_TOPK,
     "knn_join": ORACLE_KNN_JOIN,
+    "knn_euclidean": ORACLE_KNN_EUCLIDEAN,
+    "corpus_curation": ORACLE_CORPUS_CURATION,
     "multilabel_pivot": ORACLE_MULTILABEL_PIVOT,
     "multilabel_roundtrip": ORACLE_MULTILABEL_ROUNDTRIP,
     "prune_min_instances": ORACLE_PRUNE_MIN_INSTANCES,

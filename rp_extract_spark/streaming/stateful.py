@@ -70,3 +70,102 @@ def streaming_dedup(
             fn, DEDUP_OUT_SCHEMA, DEDUP_STATE_SCHEMA, "append", timeout
         )
     )
+
+
+def streaming_enrich_asof(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "entity_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming analog of the engine's core as-of join (SURVEY J8):
+    enrich a left event stream with the most recent right value at or
+    before each event's timestamp, per key.
+
+    Semantics: within a micro-batch the match is an EXACT as-of (both
+    sides are unioned with a side tag and walked in (ts, side) order —
+    the same construction as the batch operator, operators/asof.py);
+    across micro-batches the keyed state carries the latest right row
+    seen so far, so matching is exact under in-order arrival and
+    latest-known-value under out-of-order arrival (a right row that
+    arrives in a later batch than a left event it should have matched
+    cannot retro-emit — standard streaming enrich semantics; use the
+    batch as-of for reprocessing).
+
+    State per key: (last_ts, last_val) — O(1), no event buffering.
+    """
+    import pandas as pd  # noqa: F811 (local for executor pickling)
+
+    from pyspark.sql import functions as F
+
+    out_schema = T.StructType(
+        [
+            left.schema[id_col],
+            left.schema[key],
+            left.schema[left_ts],
+            T.StructField("matched_value", right.schema[value_col].dataType, True),
+            T.StructField("matched_ts", right.schema[right_ts].dataType, True),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("last_ts", right.schema[right_ts].dataType, True),
+            T.StructField("last_val", right.schema[value_col].dataType, True),
+        ]
+    )
+
+    l_tag = left.select(
+        F.col(key), F.col(left_ts).alias("__ts"), F.col(id_col).alias("__id"),
+        F.lit(None).cast(right.schema[value_col].dataType).alias("__val"),
+        F.lit(1).alias("__side"),
+    )
+    r_tag = right.select(
+        F.col(key), F.col(right_ts).alias("__ts"),
+        F.lit(None).cast(left.schema[id_col].dataType).alias("__id"),
+        F.col(value_col).alias("__val"), F.lit(0).alias("__side"),
+    )
+    u = l_tag.unionByName(r_tag)
+
+    id_name, key_name, ts_name = id_col, key, left_ts
+
+    def fn(k: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            state.remove()
+            return iter(())
+        last_ts, last_val = state.get if state.exists else (None, None)
+        out_id, out_ts, out_v, out_mts = [], [], [], []
+        for pdf in pdfs:
+            # right rows before left rows at equal ts -> inclusive <=
+            pdf = pdf.sort_values(["__ts", "__side"], kind="mergesort")
+            for ts, iid, val, side in zip(
+                pdf["__ts"], pdf["__id"], pdf["__val"], pdf["__side"]
+            ):
+                if side == 0:
+                    if last_ts is None or ts >= last_ts:
+                        last_ts, last_val = ts, val
+                else:
+                    hit = last_ts is not None and last_ts <= ts
+                    out_id.append(iid)
+                    out_ts.append(ts)
+                    out_v.append(last_val if hit else None)
+                    out_mts.append(last_ts if hit else None)
+        if last_ts is not None:
+            state.update((last_ts, last_val))
+        if not out_id:
+            return iter(())
+        return iter(
+            [pd.DataFrame({
+                id_name: out_id,
+                key_name: [k[0]] * len(out_id),
+                ts_name: out_ts,
+                "matched_value": out_v,
+                "matched_ts": out_mts,
+            })]
+        )
+
+    return u.groupBy(key).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

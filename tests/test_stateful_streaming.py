@@ -51,3 +51,65 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     assert {r.key for r in rows} == {"a", "b", "c"}
     assert len(rows) == 3  # no duplicate emissions for a/b
+
+
+def test_streaming_enrich_asof_across_batches(spark, tmp_path):
+    """Streaming as-of enrich: exact as-of within a batch; keyed state
+    carries the latest right row across batches."""
+    from rp_extract_spark.streaming.stateful import streaming_enrich_asof
+
+    lsrc = str(tmp_path / "left")
+    rsrc = str(tmp_path / "right")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(path, rows, schema):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(path)
+
+    def run():
+        left = spark.readStream.schema(
+            "event_id string, entity_id string, ts timestamp"
+        ).parquet(lsrc)
+        right = spark.readStream.schema(
+            "entity_id string, ts timestamp, value double"
+        ).parquet(rsrc)
+        q = (
+            streaming_enrich_asof(left, right, key="entity_id")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    t = lambda s: BASE + timedelta(seconds=s)
+    # batch 1: right r@0 (v=1.0), left e1@10 -> 1.0; left e0@-5 -> null
+    write(rsrc, [("k", t(0), 1.0)], "entity_id string, ts timestamp, value double")
+    write(lsrc, [("e1", "k", t(10)), ("e0", "k", t(-5))],
+          "event_id string, entity_id string, ts timestamp")
+    run()
+    got = {r.event_id: (r.matched_value, r.matched_ts)
+           for r in spark.read.parquet(out).collect()}
+    assert got["e1"] == (1.0, t(0))
+    assert got["e0"] == (None, None)
+
+    # batch 2: e4@12 before the new right@15 (within-batch order!),
+    # right r@15 (v=2.0), e2@20 after it; e5 on an unseen key -> null
+    write(rsrc, [("k", t(15), 2.0)], "entity_id string, ts timestamp, value double")
+    write(lsrc, [("e4", "k", t(12)), ("e2", "k", t(20)), ("e5", "kk", t(9))],
+          "event_id string, entity_id string, ts timestamp")
+    run()
+    got = {r.event_id: (r.matched_value, r.matched_ts)
+           for r in spark.read.parquet(out).collect()}
+    assert got["e4"] == (1.0, t(0))      # state from batch 1, right@15 not yet passed
+    assert got["e2"] == (2.0, t(15))     # within-batch as-of
+    assert got["e5"] == (None, None)
+
+    # batch 3: no new right rows; state must still serve 2.0
+    write(lsrc, [("e6", "k", t(100))],
+          "event_id string, entity_id string, ts timestamp")
+    run()
+    got = {r.event_id: r.matched_value for r in spark.read.parquet(out).collect()}
+    assert got["e6"] == 2.0

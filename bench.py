@@ -40,10 +40,14 @@ RELATIONAL = [
     "set_ops",
     "dedup_exact",
     "text_stats",
+    "text_quality",
+    "corpus_curation",
     "zscore",
     "topk_per_group",
     "similarity_topk",
+    "knn_euclidean",
     "minhash_dedup",
+    "simhash",
 ]
 
 

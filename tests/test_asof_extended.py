@@ -120,3 +120,40 @@ def test_salted_asof_on_skewed_entities(spark):
     b = {(r.image_id): (r.caption, r.matched_ts)
          for r in asof_join(left, right, salt=8).collect()}
     assert a == b and len(a) == 300
+
+
+def test_asof_duplicate_right_ts_deterministic(spark):
+    """ADVICE round 1: with duplicate (key, right_ts) rows the winner
+    must be partition-order independent — the value-struct tiebreak
+    elects the greatest value struct under any input layout."""
+    from datetime import datetime
+
+    from rp_extract_spark.operators.asof import asof_join, asof_join_merge
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    t1 = datetime(2024, 1, 1, 1, 0, 0)
+    left = spark.createDataFrame(
+        [("e", "k", t1)], "event_id string, entity_id string, ts timestamp"
+    )
+    dup_rows = [("k", t0, float(v)) for v in (3.0, 9.0, 1.0, 7.0)]
+    results = set()
+    for parts in (1, 2, 4):
+        right = spark.createDataFrame(
+            dup_rows, "entity_id string, caption_ts timestamp, value double"
+        ).repartition(parts)
+        out = asof_join(
+            left, right, on="entity_id", left_ts="ts",
+            right_ts="caption_ts", values=["value"],
+        ).collect()[0]
+        results.add((out.value, out.matched_ts))
+    assert results == {(9.0, t0)}  # greatest value struct, always
+
+    # the merge (cogroup) variant agrees
+    right = spark.createDataFrame(
+        dup_rows, "entity_id string, caption_ts timestamp, value double"
+    ).repartition(3)
+    m = asof_join_merge(
+        left, right, on="entity_id", left_ts="ts", right_ts="caption_ts",
+        values=["value"],
+    ).collect()[0]
+    assert (m.value, m.matched_ts) == (9.0, t0)

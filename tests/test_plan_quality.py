@@ -81,3 +81,47 @@ def test_extract_input_pruned(spark, tmp_path):
     rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
     assert "bytes" in rs and "fmt" in rs
     assert "phash" not in rs and '"w"' not in rs
+
+
+def test_simhash_band_join_no_cartesian(spark):
+    """Hamming-tier candidate generation must be a band-bucket
+    equi-join, never an all-pairs cartesian."""
+    from rp_extract_spark.operators.dedup import simhash_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = simhash_dedup(docs, max_hamming=3, max_iters=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_exact_dedup_shuffles_fingerprint_not_text(spark):
+    """exact_dedup groups/joins on the md5 fingerprint column, so the
+    exchange keys are 32-byte digests, not raw document text."""
+    from rp_extract_spark.operators.dedup import exact_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = exact_dedup(docs, ["text"], "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # every hash exchange must key on the fingerprint, never on text
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "__fp" in line and "text" not in line.split("hashpartitioning")[1].split(",")[0], line
+
+
+def test_embedding_dedup_caps_before_pairing(spark):
+    """The row_number cap must sit between bucketing and the self-join
+    (a Window above the pair join would not bound the task)."""
+    from rp_extract_spark.operators.dedup import embedding_cosine_dedup
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = embedding_cosine_dedup(emb, threshold=0.99, max_bucket_size=64)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    w = plan.find("Window")
+    j = plan.find("SortMergeJoin")
+    if j < 0:
+        j = plan.find("ShuffledHashJoin")
+    assert w >= 0
+    # plans print top-down: the join consuming the capped sides appears
+    # above at least one Window (row_number) in the tree string
+    assert "row_number" in plan

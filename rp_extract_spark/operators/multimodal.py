@@ -2,11 +2,12 @@
 
 Images/audio/video ride as ``binary`` columns; decode / resize /
 frame-sample run as Arrow-batched ``mapInPandas`` stages. The image
-path is fully real (in-repo PNG codec); audio/video decoding needs
-codec libraries absent from this container, so those decode steps are
-deterministic STUBS behind the real Spark plumbing (schema,
-partitioning, UDF signature, batch shape are production-shaped and
-tested) — swap the stub body for ffmpeg/PIL on a real cluster.
+path is fully real (in-repo PNG + baseline JPEG codecs); the audio
+path decodes RIFF/WAVE PCM for real (in-repo codec, codecs/wav.py —
+the reference's primary input format); only COMPRESSED audio (MP3/AAC
+→ ffmpeg) and video container demuxing remain honest stubs behind the
+real Spark plumbing (schema, partitioning, UDF signature, batch shape,
+per-record quarantine are production-shaped and tested).
 """
 
 from __future__ import annotations
@@ -83,26 +84,38 @@ AUDIO_FEATURE_SCHEMA = T.StructType(
 )
 
 
-def decode_audio_stub(data: bytes) -> tuple[int, np.ndarray]:
-    """STUB — real impl shells to ffmpeg/mpg123 like the reference's
-    decoder chain (audiofile_read.py:139-212). No audio codec exists in
-    this container."""
+def decode_audio(data: bytes) -> tuple[int, np.ndarray]:
+    """Audio decode dispatch (audiofile_read.py:354-400 analog):
+    RIFF/WAVE payloads decode for REAL via the in-repo PCM codec
+    (codecs/wav.py, normalized to (-1,1) like the reference's
+    normalize_wav); compressed formats (MP3/AAC) need ffmpeg, which is
+    absent here — those raise and land in the err column."""
+    if data[:4] == b"RIFF":
+        from ..codecs.wav import decode_wav
+
+        sr, _sw, samples = decode_wav(data, normalize=True)
+        return sr, np.asarray(samples, dtype=np.float64)
     raise NotImplementedError(
-        "audio decode requires ffmpeg/libsndfile, not present in this sandbox"
+        "compressed audio decode requires ffmpeg/mpg123, not present in "
+        "this sandbox (WAV/PCM decodes natively)"
     )
 
 
+# retained name for round-1 compatibility: now only the non-WAV branch
+decode_audio_stub = decode_audio
+
+
 def analyze_audio(clips: DataFrame) -> DataFrame:
-    """Plumbing-complete audio analysis stage: batch shape, schema and
-    error isolation are real; the decode call is the stub (every row
-    lands in the err column until a codec is wired in)."""
+    """Audio analysis stage: WAV rows decode + featurize for real
+    (n_samples, samplerate, RMS over normalized samples); compressed
+    rows are error-isolated per record."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = []
             for cid, data in zip(b["clip_id"].values, b["bytes"].values):
                 try:
-                    sr, samples = decode_audio_stub(bytes(data))
+                    sr, samples = decode_audio(bytes(data))
                     rows.append(
                         {
                             "clip_id": cid,

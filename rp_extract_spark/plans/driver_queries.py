@@ -904,7 +904,10 @@ def q_multilabel_roundtrip(spark, sf):
             for l in langs
         ]
     )
-    path = os.path.join(tempfile.gettempdir(), "rp_extract_spark_mlc_table")
+    # pid-scoped so concurrent harness runs cannot collide
+    path = os.path.join(
+        tempfile.gettempdir(), f"rp_extract_spark_mlc_table_{os.getpid()}"
+    )
     write_multi_class_table(tbl, path)
     return read_multi_class_file(spark, path).orderBy("id")
 

@@ -150,19 +150,30 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
+def demux_video(data: bytes) -> list[bytes]:
+    """Video demux dispatch: MJPEG-in-AVI payloads demux for REAL
+    (codecs/avi.py — RIFF walk, frames are baseline JPEGs our codec
+    decodes); the legacy FVID fixture container stays readable; other
+    codecs (H.264/VP9) genuinely need ffmpeg and raise."""
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        from ..codecs.avi import demux_avi
+
+        return demux_avi(data)[1]
+    return _parse_fake_video(bytes(data))
+
+
 def sample_video_frames(videos: DataFrame, every_n: int = 30) -> DataFrame:
-    """UDTF-shaped frame sampler (1 video row → k frame rows). The
-    container ships no video codec, so the decoder is a deterministic
-    FAKE: payloads produced by ``fake_video_bytes`` (concatenated PNG
-    frames with a marker header) decode for real; anything else lands
-    in the err column. Swap the parser for pyav/ffmpeg in production."""
+    """UDTF-shaped frame sampler (1 video row → k frame rows). MJPEG
+    AVI payloads demux natively; the deterministic FVID fixture format
+    stays supported; anything else is per-record quarantined (real
+    H.264-class codecs need ffmpeg, absent here)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = []
             for vid, data in zip(b["video_id"].values, b["bytes"].values):
                 try:
-                    frames = _parse_fake_video(bytes(data))
+                    frames = demux_video(bytes(data))
                     for i in range(0, len(frames), every_n):
                         rows.append(
                             {

@@ -83,3 +83,52 @@ def test_analyze_audio_real_wav(spark):
     assert abs(got["c1"].rms - 0.5 / np.sqrt(2)) < 1e-3
     assert got["c2"].rms == 0.0
     assert got["bad"].err is not None and "NotImplementedError" in got["bad"].err
+
+
+# ---------- MJPEG AVI mux/demux ----------
+
+def test_avi_mjpeg_roundtrip():
+    from rp_extract_spark.codecs.avi import demux_avi, encode_mjpeg_avi
+    from rp_extract_spark.codecs.jpeg import decode_jpeg
+
+    frames = [
+        (np.full((32, 48), 40 * i, dtype=np.uint8) + rng.integers(0, 20, (32, 48)).astype(np.uint8))
+        for i in range(5)
+    ]
+    avi = encode_mjpeg_avi(frames, fps=24, quality=95)
+    assert avi[:4] == b"RIFF" and avi[8:12] == b"AVI "
+    fps, payloads = demux_avi(avi)
+    assert fps == 24.0 and len(payloads) == 5
+    for orig, p in zip(frames, payloads):
+        dec = decode_jpeg(p)
+        assert dec.shape == orig.shape
+        from rp_extract_spark.codecs import psnr
+        assert psnr(orig, dec) >= 40.0
+
+
+def test_avi_demux_rejects_non_avi():
+    from rp_extract_spark.codecs.avi import demux_avi
+
+    with pytest.raises(ValueError):
+        demux_avi(b"RIFF\x00\x00\x00\x00WAVEnotavideo")
+
+
+def test_sample_video_frames_real_avi(spark):
+    from rp_extract_spark.codecs.avi import encode_mjpeg_avi
+    from rp_extract_spark.operators.multimodal import sample_video_frames
+
+    frames = [np.full((16, 16), 10 * i, dtype=np.uint8) for i in range(9)]
+    rows = [
+        ("v1", bytearray(encode_mjpeg_avi(frames, fps=10))),
+        ("bad", bytearray(b"\x00\x00\x01\xbaMPEG-PS")),
+    ]
+    df = spark.createDataFrame(rows, "video_id string, bytes binary")
+    got = sample_video_frames(df, every_n=4).collect()
+    v1 = sorted([r for r in got if r.video_id == "v1"], key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in v1] == [0, 4, 8]
+    from rp_extract_spark.codecs import decode_image
+
+    px = decode_image(bytes(v1[1].frame_bytes), "jpeg")
+    assert px.shape == (16, 16)
+    bad = [r for r in got if r.video_id == "bad"][0]
+    assert bad.err is not None

@@ -1114,6 +1114,86 @@ def q_embedding_dedup(spark, sf):
     return embedding_cosine_dedup(e, threshold=0.98).orderBy("vec_id")
 
 
+def q_audio_roundtrip(spark, sf):
+    """Multimodal audio path, ORACLED: each embedding vector is muxed
+    into a float32 WAV (exact roundtrip), decoded back through the
+    in-repo RIFF codec inside analyze_audio, and its RMS compared to
+    DuckDB computing RMS directly from the same array. Verifies the
+    codec + the Arrow plumbing end-to-end against an independent
+    recomputation."""
+    import numpy as np
+    import pandas as pd
+
+    from ..codecs.wav import encode_wav
+    from ..operators.multimodal import analyze_audio
+
+    e = _t(spark, sf, "embeddings")
+
+    def gen(batches):
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "clip_id": b["vec_id"].astype(str),
+                    "bytes": [
+                        encode_wav(np.asarray(v, dtype=np.float32), 8000,
+                                   samplewidth=4)
+                        for v in b["embedding"].values
+                    ],
+                }
+            )
+
+    clips = e.select("vec_id", "embedding").mapInPandas(
+        gen, "clip_id string, bytes binary"
+    )
+    out = analyze_audio(clips)
+    return out.select(
+        F.col("clip_id").cast("bigint").alias("clip_id"),
+        "n_samples",
+        "samplerate",
+        F.round("rms", 5).alias("rms"),
+    ).orderBy("clip_id")
+
+
+ORACLE_AUDIO_ROUNDTRIP = """
+SELECT vec_id AS clip_id,
+       CAST(len(embedding) AS INT) AS n_samples,
+       CAST(8000 AS INT) AS samplerate,
+       round(sqrt(list_aggregate(
+         list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+         'avg')), 5) AS rms
+FROM embeddings ORDER BY clip_id
+"""
+
+
+def q_video_frames(spark, sf):
+    """Multimodal video path (rows-only): deterministic MJPEG AVIs are
+    muxed on executors, demuxed by sample_video_frames, frames decoded
+    through the JPEG codec."""
+    import numpy as np
+    import pandas as pd
+
+    from ..codecs.avi import encode_mjpeg_avi
+    from ..operators.multimodal import sample_video_frames
+
+    def gen(batches):
+        for b in batches:
+            vids, blobs = [], []
+            for i in b["id"].values:
+                frames = [
+                    np.full((16, 16), (10 * int(i) + 7 * k) % 256, dtype=np.uint8)
+                    for k in range(6)
+                ]
+                vids.append(f"v{int(i):03d}")
+                blobs.append(encode_mjpeg_avi(frames, fps=10))
+            yield pd.DataFrame({"video_id": vids, "bytes": blobs})
+
+    videos = spark.range(8).mapInPandas(gen, "video_id string, bytes binary")
+    out = sample_video_frames(videos, every_n=2)
+    return out.select(
+        "video_id", "frame_idx", F.length("frame_bytes").alias("n_bytes"), "err"
+    ).orderBy("video_id", "frame_idx")
+
+
 def q_resize_images(spark, sf):
     """Multimodal resize stage on synthesized images (rows-only)."""
     from ..operators.multimodal import resize_images
@@ -1193,6 +1273,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_topk": q_lsh_topk,
     "embedding_dedup": q_embedding_dedup,
     "resize_images": q_resize_images,
+    "audio_roundtrip": q_audio_roundtrip,
+    "video_frames": q_video_frames,
     "centroid_classify": q_centroid_classify,
     "cv_accuracy": q_cv_accuracy,
 }
@@ -1231,6 +1313,7 @@ ORACLES: dict[str, str] = {
     "duplicate_check": ORACLE_DUPLICATE_CHECK,
     "entity_features_rel": ORACLE_ENTITY_FEATURES_REL,
     "centroid_classify": ORACLE_CENTROID_CLASSIFY,
+    "audio_roundtrip": ORACLE_AUDIO_ROUNDTRIP,
 }
 
 

@@ -235,6 +235,30 @@ def _pipeline(
     # 2. band aggregation (transform2bark analog)
     if transform_bark:
         matrix = np.matmul(band_matrix(h, n_bands), matrix)
+    return _from_banded(
+        matrix, mod_ampl_limit, spectral_masking, do_transform_db,
+        do_transform_phon, do_transform_sone, fluctuation_strength_weighting,
+    )
+
+
+def _from_banded(
+    matrix: np.ndarray,
+    mod_ampl_limit: int,
+    spectral_masking: bool,
+    do_transform_db: bool,
+    do_transform_phon: bool,
+    do_transform_sone: bool,
+    fluctuation_strength_weighting: bool,
+    mod_freq_res: float = MOD_FREQ_RES,
+) -> dict[str, np.ndarray]:
+    """Stages 3-8 (masking → sone → SSD → 2nd FFT → RP/RH/MVD) over an
+    already band-aggregated matrix — shared by the image graft and the
+    true audio path (which differ only in how the banded sonogram is
+    produced). ``mod_freq_res`` parameterizes the fluctuation-weighting
+    axis (samplerate/segment_size, rp_extract.py:730)."""
+    from .stats import stat_features_nd
+
+    w = matrix.shape[-1]
     # 3-6. psychoacoustic transforms
     if spectral_masking:
         matrix = np.matmul(_spreading_matrix(matrix.shape[-2]), matrix)
@@ -263,7 +287,7 @@ def _pipeline(
 
     rp = mags
     if fluctuation_strength_weighting:
-        rp = rp * fluctuation_curve(mod_ampl_limit)
+        rp = rp * fluctuation_curve(mod_ampl_limit, mod_freq_res)
 
     # RH option 2: band-sum AFTER fluctuation weighting
     # (extract_rh2, rp_extract.py:745-747)

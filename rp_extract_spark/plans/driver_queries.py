@@ -1165,6 +1165,51 @@ FROM embeddings ORDER BY clip_id
 """
 
 
+def q_audio_descriptors(spark, sf):
+    """The reference's TRUE entry point as a distributed query: WAV
+    clips (synthesized deterministic PCM, muxed on executors) →
+    rp/ssd/rh/mvd/tssd/trh descriptor vectors via the audio kernel
+    (rows-only; numeric parity vs the reference's own rp_extract() is
+    pytest-enforced in test_audio_parity.py)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..codecs.wav import encode_wav
+    from ..operators.multimodal import extract_features_audio
+
+    def gen(batches):
+        for b in batches:
+            ids, blobs = [], []
+            for i in b["id"].values:
+                i = int(i)
+                sr = 11025
+                t = np.arange(int(13.0 * sr)) / sr
+                x = (
+                    0.4 * np.sin(2 * np.pi * (180 + 20 * i) * t)
+                    + 0.2 * np.sign(np.sin(2 * np.pi * (1.5 + 0.25 * i) * t))
+                )
+                x = (x / np.max(np.abs(x)) * 0.9).astype(np.float32)
+                ids.append(f"clip{i:03d}")
+                blobs.append(encode_wav(x, sr, samplewidth=4))
+            yield pd.DataFrame({"clip_id": ids, "bytes": blobs})
+
+    clips = spark.range(6).mapInPandas(gen, "clip_id string, bytes binary")
+    out = extract_features_audio(clips)
+    peak_bin = F.array_position("rh", F.array_max("rh"))
+    return out.select(
+        "clip_id",
+        "samplerate",
+        "n_segments",
+        F.round(F.element_at("rp", 1), 6).alias("rp_0"),
+        F.round(F.element_at("ssd", 1), 6).alias("ssd_0"),
+        F.round(F.element_at("rh", 1), 6).alias("rh_0"),
+        F.round(F.element_at("tssd", 1), 6).alias("tssd_0"),
+        # T2 argmax analog on the true audio modulation axis
+        F.round(peak_bin * F.lit(11025.0 / 2**16) * 60.0, 3).alias("peak_bpm"),
+        "err",
+    ).orderBy("clip_id")
+
+
 def q_video_frames(spark, sf):
     """Multimodal video path (rows-only): deterministic MJPEG AVIs are
     muxed on executors, demuxed by sample_video_frames, frames decoded
@@ -1274,6 +1319,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_dedup": q_embedding_dedup,
     "resize_images": q_resize_images,
     "audio_roundtrip": q_audio_roundtrip,
+    "audio_descriptors": q_audio_descriptors,
     "video_frames": q_video_frames,
     "centroid_classify": q_centroid_classify,
     "cv_accuracy": q_cv_accuracy,

@@ -144,3 +144,32 @@ def extract_audio_features(
     # rh2 aggregates like rh: exact median (rp_extract.py:784-791)
     out["rh2"] = np.median(np.stack([s["rh2"] for s in segs]), axis=0)
     return out
+
+
+def resample_fft(samples: np.ndarray, sr_from: int, sr_to: int) -> np.ndarray:
+    """Band-limited FFT resampling (scipy.signal.resample semantics,
+    implemented directly on numpy FFTs). The reference shells out to
+    ffmpeg for this (audiofile_read.py:96-125 resample); a numpy
+    resampler keeps the auto-resample behavior self-contained on
+    executors. Mono 1-D or (n, ch) 2-D."""
+    x = np.asarray(samples, dtype=np.float64)
+    n = x.shape[0]
+    m = int(round(n * sr_to / sr_from))
+    X = np.fft.rfft(x, axis=0)
+    out_bins = m // 2 + 1
+    if out_bins <= X.shape[0]:
+        Y = X[:out_bins]
+    else:
+        pad = [(0, out_bins - X.shape[0])] + [(0, 0)] * (X.ndim - 1)
+        Y = np.pad(X, pad)
+    y = np.fft.irfft(Y, n=m, axis=0)
+    return y * (m / n)
+
+
+def auto_resample(samples: np.ndarray, samplerate: int) -> tuple[int, np.ndarray]:
+    """wav_read's auto-resample rule (audiofile_read.py:53-77): rates
+    other than 11025/22050/44100 are resampled to 44100 before
+    extraction."""
+    if samplerate in SEGMENT_SIZES:
+        return samplerate, np.asarray(samples, dtype=np.float64)
+    return 44100, resample_fft(samples, samplerate, 44100)

@@ -118,3 +118,43 @@ def test_spark_audio_extract_end_to_end(spark):
         for fam in FAMS:
             assert np.allclose(np.array(getattr(r, fam)), want[fam],
                                rtol=1e-7, atol=1e-9), (cid, fam)
+
+
+def test_resample_preserves_tone():
+    from rp_extract_spark.functions.audio import resample_fft
+
+    sr_from, sr_to = 48000, 44100
+    t = np.arange(sr_from) / sr_from  # 1 second
+    x = np.sin(2 * np.pi * 1000 * t)
+    y = resample_fft(x, sr_from, sr_to)
+    assert y.shape[0] == sr_to
+    # dominant frequency bin still 1 kHz on the new rate's axis
+    spec = np.abs(np.fft.rfft(y))
+    assert abs(np.argmax(spec) - 1000) <= 1
+    # amplitude preserved within band-limited tolerance
+    assert abs(np.max(np.abs(y[1000:-1000])) - 1.0) < 0.01
+
+
+def test_auto_resample_path_extracts():
+    from rp_extract_spark.functions.audio import auto_resample
+
+    wav48 = _signal(8.0, 48000, seed=9)
+    sr, samples = auto_resample(wav48, 48000)
+    assert sr == 44100
+    feats = extract_audio_features(samples, sr)
+    assert feats["rp"].shape == (1440,)
+    assert np.isfinite(feats["rp"]).all()
+
+
+def test_spark_audio_extract_auto_resamples(spark):
+    from rp_extract_spark.codecs.wav import encode_wav
+    from rp_extract_spark.operators.multimodal import extract_features_audio
+
+    wav48 = _signal(40.0, 48000, seed=11)
+    df = spark.createDataFrame(
+        [("x", bytearray(encode_wav(wav48, 48000, samplewidth=4)))],
+        "clip_id string, bytes binary",
+    )
+    r = extract_features_audio(df).collect()[0]
+    assert r.err is None and r.samplerate == 44100
+    assert len(r.rp) == 1440 and all(np.isfinite(r.rp))

@@ -173,3 +173,76 @@ def auto_resample(samples: np.ndarray, samplerate: int) -> tuple[int, np.ndarray
     if samplerate in SEGMENT_SIZES:
         return samplerate, np.asarray(samples, dtype=np.float64)
     return 44100, resample_fft(samples, samplerate, 44100)
+
+
+def _hz_to_mel(f: np.ndarray) -> np.ndarray:
+    """Slaney mel scale (librosa default, htk=False): linear below
+    1 kHz, logarithmic above."""
+    f = np.asarray(f, dtype=np.float64)
+    f_sp = 200.0 / 3.0
+    mels = f / f_sp
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = np.log(6.4) / 27.0
+    log_region = f >= min_log_hz
+    mels = np.where(
+        log_region,
+        min_log_mel + np.log(np.maximum(f, min_log_hz) / min_log_hz) / logstep,
+        mels,
+    )
+    return mels
+
+
+def _mel_to_hz(m: np.ndarray) -> np.ndarray:
+    m = np.asarray(m, dtype=np.float64)
+    f_sp = 200.0 / 3.0
+    freqs = m * f_sp
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = np.log(6.4) / 27.0
+    log_region = m >= min_log_mel
+    return np.where(
+        log_region, min_log_hz * np.exp(logstep * (m - min_log_mel)), freqs
+    )
+
+
+def mel_matrix(
+    samplerate: int, n_fft: int, n_mels: int = 80,
+    fmin: float = 0.0, fmax: float | None = None,
+) -> np.ndarray:
+    """Slaney-normalized triangular mel filterbank — the same
+    construction as ``librosa.filters.mel(htk=False, norm='slaney')``
+    that the reference's (dead-code, librosa-dependent) transform2mel
+    calls (rp_extract.py:240-277). Shape (n_mels, n_fft//2 + 1)."""
+    if fmax is None:
+        fmax = samplerate / 2.0
+    fftfreqs = np.linspace(0.0, samplerate / 2.0, 1 + n_fft // 2, endpoint=True)
+    mel_pts = _mel_to_hz(
+        np.linspace(_hz_to_mel(fmin), _hz_to_mel(fmax), n_mels + 2)
+    )
+    lower = (fftfreqs[None, :] - mel_pts[:-2, None]) / (
+        mel_pts[1:-1] - mel_pts[:-2]
+    )[:, None]
+    upper = (mel_pts[2:, None] - fftfreqs[None, :]) / (
+        mel_pts[2:] - mel_pts[1:-1]
+    )[:, None]
+    weights = np.maximum(0.0, np.minimum(lower, upper))
+    # Slaney norm: each filter integrates to ~constant energy
+    enorm = 2.0 / (mel_pts[2:] - mel_pts[:-2])
+    return weights * enorm[:, None]
+
+
+def transform2mel(
+    spectrogram: np.ndarray,
+    samplerate: int,
+    fft_window_size: int,
+    n_mel_bands: int = 80,
+    freq_min: float = 0.0,
+    freq_max: float | None = None,
+) -> np.ndarray:
+    """Mel-scale spectrogram (reference transform2mel semantics,
+    rp_extract.py:240-277 — marked "NOT USED" there and dependent on
+    librosa; the filterbank is built in-repo instead)."""
+    basis = mel_matrix(samplerate, fft_window_size, n_mel_bands,
+                       freq_min, freq_max)
+    return basis @ spectrogram[: basis.shape[1], :]

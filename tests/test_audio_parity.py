@@ -158,3 +158,36 @@ def test_spark_audio_extract_auto_resamples(spark):
     r = extract_features_audio(df).collect()[0]
     assert r.err is None and r.samplerate == 44100
     assert len(r.rp) == 1440 and all(np.isfinite(r.rp))
+
+
+def test_mel_filterbank_properties():
+    """F13 (dead code in the reference, librosa-dependent there):
+    Slaney filterbank invariants — triangles peak at interior mel
+    points, cover (fmin,fmax), and Slaney normalization holds."""
+    from rp_extract_spark.functions.audio import (
+        _hz_to_mel,
+        _mel_to_hz,
+        mel_matrix,
+        transform2mel,
+    )
+
+    # scale round-trip + anchor points
+    f = np.array([0.0, 500.0, 1000.0, 4000.0, 11025.0])
+    assert np.allclose(_mel_to_hz(_hz_to_mel(f)), f)
+    assert np.isclose(_hz_to_mel(np.array([1000.0]))[0], 15.0)  # 1 kHz = 15 slaney-mel
+
+    sr, nfft, nm = 22050, 512, 40
+    basis = mel_matrix(sr, nfft, nm)
+    assert basis.shape == (nm, nfft // 2 + 1)
+    assert (basis >= 0).all()
+    # every filter has positive mass; Slaney norm = 2/(width in Hz)
+    mel_pts = _mel_to_hz(np.linspace(_hz_to_mel(0.0), _hz_to_mel(sr / 2.0), nm + 2))
+    peaks = basis.max(axis=1)
+    widths = mel_pts[2:] - mel_pts[:-2]
+    assert (peaks > 0).all()
+    assert (peaks <= 2.0 / widths + 1e-12).all()
+    # applying to a spectrogram keeps the frame axis
+    spec = np.abs(np.random.default_rng(0).normal(size=(nfft, 7)))
+    mel_spec = transform2mel(spec, sr, nfft, nm)
+    assert mel_spec.shape == (nm, 7)
+    assert np.allclose(mel_spec, basis @ spec[: nfft // 2 + 1])

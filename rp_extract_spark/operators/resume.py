@@ -102,3 +102,34 @@ def incremental_extract(
         todo = images
     feats = extract_fn(todo)
     return write_snapshot(feats, out_dir, mode="append")
+
+
+def eta_report(out_dir: str, total_expected: int) -> dict:
+    """Progress/ETA from the lineage manifests (A11 analog of the
+    reference's per-file ETA printout, rp_extract_batch.py:331-334 —
+    re-expressed over snapshot metrics instead of a driver loop):
+    aggregates rows and wall time across all snapshots in
+    ``{out_dir}/_metrics`` and extrapolates the remaining time."""
+    import glob
+
+    done = 0
+    wall = 0.0
+    n_snapshots = 0
+    for p in sorted(glob.glob(os.path.join(out_dir, "_metrics", "*.json"))):
+        with open(p) as f:
+            m = json.load(f)
+        # each manifest counts the FULL table after its append —
+        # progress is the max, not the sum
+        done = max(done, int(m.get("total_rows", 0)))
+        wall += float(m.get("wall_s", 0.0))
+        n_snapshots += 1
+    rows_per_sec = done / wall if wall > 0 else None
+    remaining = max(total_expected - done, 0)
+    return {
+        "done": done,
+        "total_expected": total_expected,
+        "pct": round(100.0 * done / total_expected, 2) if total_expected else None,
+        "n_snapshots": n_snapshots,
+        "rows_per_sec": round(rows_per_sec, 2) if rows_per_sec else None,
+        "eta_s": round(remaining / rows_per_sec, 1) if rows_per_sec else None,
+    }

@@ -54,3 +54,21 @@ def test_write_snapshot_metrics(spark, tmp_path):
     man = write_snapshot(feats, out)
     assert man["total_rows"] == 10
     assert os.path.exists(os.path.join(out, "_metrics", f"{man['snapshot_id']}.json"))
+
+
+def test_eta_report(spark, tmp_path):
+    from rp_extract_spark.operators.resume import eta_report, write_snapshot
+
+    out = str(tmp_path / "snap")
+    df = spark.range(100).withColumnRenamed("id", "image_id")
+    write_snapshot(df, out, ts_col=None)
+    rep = eta_report(out, total_expected=400)
+    assert rep["done"] == 100 and rep["total_expected"] == 400
+    assert rep["pct"] == 25.0 and rep["n_snapshots"] == 1
+    assert rep["rows_per_sec"] is not None and rep["eta_s"] is not None
+    # second snapshot advances progress
+    write_snapshot(spark.range(100, 200).withColumnRenamed("id", "image_id"),
+                   out, ts_col=None)
+    rep2 = eta_report(out, total_expected=400)
+    assert rep2["done"] == 200 and rep2["n_snapshots"] == 2
+    assert rep2["pct"] == 50.0

@@ -307,13 +307,25 @@ def simhash64_batch(texts: Sequence[str], seed: int = 11) -> np.ndarray:
     h = _mix64(h ^ np.uint64(seed * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF))
     # bit i of h == unpackbits(little) index i on little-endian layout;
     # sum of signs = 2*popcount_per_bit - n_tokens (avoids the 64-wide
-    # uint64 broadcast, ~10x cheaper)
-    bits = np.unpackbits(
-        h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
-    ).astype(np.int32)  # (n_tokens, 64)
+    # uint64 broadcast, ~10x cheaper). Processed in chunks along the
+    # document axis so the unpacked (tokens, 64) int32 slab stays
+    # cache-resident regardless of Arrow batch size.
     nz_counts = counts[nz]
-    offsets = np.concatenate(([0], np.cumsum(nz_counts)[:-1]))
-    acc = 2 * np.add.reduceat(bits, offsets, axis=0) - nz_counts[:, None]
+    bounds = np.concatenate(([0], np.cumsum(nz_counts)))
+    acc = np.empty((nz.size, 64), dtype=np.int64)
+    CHUNK_DOCS = 256
+    for c0 in range(0, nz.size, CHUNK_DOCS):
+        c1 = min(c0 + CHUNK_DOCS, nz.size)
+        tok_lo, tok_hi = bounds[c0], bounds[c1]
+        bits = np.unpackbits(
+            h[tok_lo:tok_hi].view(np.uint8).reshape(-1, 8),
+            axis=1, bitorder="little",
+        ).astype(np.int32)
+        offs = (bounds[c0:c1] - tok_lo).astype(np.intp)
+        acc[c0:c1] = (
+            2 * np.add.reduceat(bits, offs, axis=0)
+            - nz_counts[c0:c1, None]
+        )
     packed = ((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
         axis=1, dtype=np.uint64
     )

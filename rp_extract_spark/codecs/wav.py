@@ -46,8 +46,19 @@ def encode_wav(
             arr = np.clip(np.round(arr * 128.0 + 128.0), 0, 255)
         data = arr.astype(np.uint8).tobytes()
         fmt, bits = _PCM, 8
+    elif samplewidth == 3:
+        if np.issubdtype(arr.dtype, np.floating):
+            arr = np.clip(np.round(arr * 8388608.0), -8388608, 8388607)
+        i32 = arr.astype(np.int64).astype(np.uint32).ravel()
+        # little-endian 3-byte packing (wavio sampwidth=3 layout)
+        b = np.empty((i32.size, 3), dtype=np.uint8)
+        b[:, 0] = i32 & 0xFF
+        b[:, 1] = (i32 >> 8) & 0xFF
+        b[:, 2] = (i32 >> 16) & 0xFF
+        data = b.tobytes()
+        fmt, bits = _PCM, 24
     else:
-        raise ValueError("samplewidth must be 1, 2 or 4")
+        raise ValueError("samplewidth must be 1, 2, 3 or 4")
     block = channels * samplewidth
     hdr = struct.pack(
         "<4sI4s4sIHHIIHH4sI",

@@ -112,3 +112,31 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": fingerprint(t),
         }
     )
+
+
+# corpus-curation pattern scans (URLs / emails / digit share) — all
+# JVM regexp, oracle-able in DuckDB with the 'g' flag
+def count_regexp(text: Column, pattern: str) -> Column:
+    """Occurrences of ``pattern`` in text (regexp_count)."""
+    return F.regexp_count(text, F.lit(pattern))
+
+
+def digit_ratio(text: Column) -> Column:
+    n_digit = F.length(text) - F.length(F.regexp_replace(text, r"[0-9]", ""))
+    return n_digit / F.greatest(F.length(text), F.lit(1))
+
+
+URL_PATTERN = r"https?://[^\s]+"
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def pattern_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """URL/email/digit signals used by corpus-quality gates."""
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_urls": count_regexp(t, URL_PATTERN).cast("int"),
+            "n_emails": count_regexp(t, EMAIL_PATTERN).cast("int"),
+            "digit_ratio": F.round(digit_ratio(t), 6),
+        }
+    )

@@ -648,6 +648,63 @@ FROM pairs ORDER BY id_a, id_b
 """
 
 
+def q_pattern_stats(spark, sf):
+    """Corpus-curation pattern signals (URL / email counts, digit
+    share) — JVM regexp_count vs DuckDB regexp_extract_all."""
+    from ..operators.text import pattern_stats
+
+    d = _t(spark, sf, "documents")
+    return (
+        pattern_stats(d)
+        .select("doc_id", "n_urls", "n_emails", "digit_ratio")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_PATTERN_STATS = r"""
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, 'https?://[^\s]+')) AS INT) AS n_urls,
+       CAST(length(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+       round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+             / greatest(length(text), 1), 6) AS digit_ratio
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_embedding_normalize(spark, sf):
+    """L2 normalization of the embedding column (the vector analog of
+    the scaler stage) — JVM array arithmetic vs DuckDB list ops."""
+    e = _t(spark, sf, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    unit = F.transform(v, lambda x: x / F.when(norm == 0, 1.0).otherwise(norm))
+    return e.select(
+        "vec_id",
+        F.round(norm, 6).alias("l2_norm"),
+        F.round(F.element_at(unit, 1), 6).alias("u0"),
+        F.round(
+            F.aggregate(unit, F.lit(0.0), lambda a, x: a + x * x), 6
+        ).alias("unit_sq"),
+    ).orderBy("vec_id")
+
+
+ORACLE_EMBEDDING_NORMALIZE = """
+WITH n AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+              x -> x * x), 'sum')) AS l2
+  FROM embeddings)
+SELECT vec_id,
+       round(l2, 6) AS l2_norm,
+       round(v[1] / CASE WHEN l2 = 0 THEN 1.0 ELSE l2 END, 6) AS u0,
+       round(list_aggregate(list_transform(v,
+             x -> (x / CASE WHEN l2 = 0 THEN 1.0 ELSE l2 END)
+                * (x / CASE WHEN l2 = 0 THEN 1.0 ELSE l2 END)), 'sum'), 6) AS unit_sq
+FROM n ORDER BY vec_id
+"""
+
+
 def q_class_histogram(spark, sf):
     """Class histogram + HAVING prune (SURVEY A7/A9) over doc langs."""
     d = _t(spark, sf, "documents")
@@ -1296,6 +1353,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
     "jaccard_verify": q_jaccard_verify,
+    "pattern_stats": q_pattern_stats,
+    "embedding_normalize": q_embedding_normalize,
     "class_histogram": q_class_histogram,
     "label_encode": q_label_encode,
     "zscore": q_zscore,
@@ -1345,6 +1404,8 @@ ORACLES: dict[str, str] = {
     "text_stats": ORACLE_TEXT_STATS,
     "text_quality": ORACLE_TEXT_QUALITY,
     "jaccard_verify": ORACLE_JACCARD_VERIFY,
+    "pattern_stats": ORACLE_PATTERN_STATS,
+    "embedding_normalize": ORACLE_EMBEDDING_NORMALIZE,
     "class_histogram": ORACLE_CLASS_HISTOGRAM,
     "label_encode": ORACLE_LABEL_ENCODE,
     "zscore": ORACLE_ZSCORE,

@@ -132,3 +132,21 @@ def test_sample_video_frames_real_avi(spark):
     assert px.shape == (16, 16)
     bad = [r for r in got if r.video_id == "bad"][0]
     assert bad.err is not None
+
+
+def test_roundtrip_int24():
+    x = (rng.random(600) * 2 - 1) * 0.7
+    sr, sw, y = decode_wav(encode_wav(x, 44100, samplewidth=3))
+    assert sw == 3
+    assert np.allclose(y / 8388608.0, x, atol=1 / 8388608)
+    # sign extension of negatives (wavio.py:23-28 trick equivalence)
+    neg = np.array([-1.0, -0.5, 0.5], dtype=np.float64) * 0.9
+    _, _, z = decode_wav(encode_wav(neg, 8000, samplewidth=3))
+    assert (z[:2] < 0).all() and z[2] > 0
+
+
+def test_roundtrip_int24_stereo():
+    x = ((rng.random((200, 2)) * 2 - 1) * 0.6)
+    _, _, y = decode_wav(encode_wav(x, 22050, samplewidth=3))
+    assert y.shape == (200, 2)
+    assert np.allclose(y / 8388608.0, x, atol=1 / 8388608)

@@ -20,3 +20,5 @@ PySpark API and the reference repo's observable behavior.
 """
 
 __version__ = "0.1.0"
+
+from .api import available_feature_types, rp_extract  # noqa: E402,F401

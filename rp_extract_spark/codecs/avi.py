@@ -85,6 +85,7 @@ def demux_avi(data: bytes) -> tuple[float, list[bytes]]:
 
     def walk(buf: bytes, pos: int, end: int) -> None:
         nonlocal fps
+        end = min(end, len(buf))  # truncated streams: never read past EOF
         while pos + 8 <= end:
             cid, size = struct.unpack_from("<4sI", buf, pos)
             body_start = pos + 8
@@ -92,7 +93,8 @@ def demux_avi(data: bytes) -> tuple[float, list[bytes]]:
                 subtype = buf[body_start:body_start + 4]
                 if subtype in (b"hdrl", b"strl", b"movi"):
                     walk(buf, body_start + 4, body_start + size)
-            elif cid == b"strh" and size >= 32 and fps == 0.0:
+            elif cid == b"strh" and size >= 32 and fps == 0.0 \
+                    and body_start + 28 <= len(buf):
                 fcc_type = buf[body_start:body_start + 4]
                 if fcc_type == b"vids":
                     scale, rate = struct.unpack_from("<II", buf, body_start + 20)

@@ -338,7 +338,8 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             pos += 1
             nbits += 8
         s, length = dct[(acc >> (nbits - 16)) & 0xFFFF]
-        if s < 0:
+        if s < 0 or s > 15:
+            # s > 15 only arises from a corrupt DHT segment
             raise ValueError("invalid Huffman code in JPEG scan")
         nbits -= length
         if s:
@@ -384,7 +385,10 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             flat_val.append(v if v >= (1 << (s - 1)) else v - (1 << s) + 1)
             k += 1
     zz = np.zeros(n_blocks * 64, dtype=np.int32)
-    zz[flat_idx] = flat_val
+    try:
+        zz[flat_idx] = flat_val
+    except OverflowError as e:  # corrupt DC ladder overran int32
+        raise ValueError(f"corrupt JPEG coefficients: {e}") from e
     zz = zz.reshape(n_blocks, 64)
 
     blocks = np.zeros((n_blocks, 64), dtype=np.float64)

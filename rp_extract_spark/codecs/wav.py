@@ -87,6 +87,8 @@ def decode_wav(data: bytes, normalize: bool = False):
         cid, size = struct.unpack_from("<4sI", data, pos)
         body = data[pos + 8: pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated WAV fmt chunk")
             fmt_chunk = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             payload = body

@@ -166,3 +166,80 @@ def cross_validate(
     return results.withColumn(
         "accuracy", F.round(F.col("correct") / F.col("n"), 6)
     ).orderBy("fold")
+
+
+def train_multilabel_centroids(
+    df: DataFrame, vec_col: str = "embedding",
+    label_cols: "list[str] | tuple[str, ...]" = (),
+) -> DataFrame:
+    """One-vs-rest nearest-centroid training over a 0/1 multi-label
+    matrix (the reference wraps its SVM in OneVsRestClassifier,
+    rp_classify.py:51-52). One distributed pass: explode (category,
+    y∈{0,1}) pairs, element-wise mean per (category, y). Model =
+    2·n_categories rows — broadcastable."""
+    cats = F.array(*[
+        F.struct(F.lit(c).alias("category"), F.col(c).cast("int").alias("y"))
+        for c in label_cols
+    ])
+    stacked = (
+        df.select(F.col(vec_col).cast("array<double>").alias("__v"),
+                  F.explode(cats).alias("c"))
+        .select(F.col("c.category").alias("category"), F.col("c.y").alias("y"),
+                F.posexplode("__v"))
+    )
+    return (
+        stacked.groupBy("category", "y", "pos")
+        .agg(F.avg("col").alias("v"))
+        .groupBy("category", "y")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("__pv"))
+        .select("category", "y", F.transform("__pv", lambda s: s["v"]).alias("centroid"))
+    )
+
+
+def predict_multilabel(
+    df: DataFrame, model: DataFrame,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-category binary prediction: broadcast the 2N-row model,
+    arg-min squared distance within each (row, category); deterministic
+    y tiebreak. Returns (id, category, pred)."""
+    joined = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    ).crossJoin(F.broadcast(model))
+    w = Window.partitionBy(id_col, "category").orderBy(
+        F.col("__d").asc(), F.col("y").asc()
+    )
+    return (
+        joined.withColumn("__d", _sq_dist(F.col("__v"), F.col("centroid")))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "category", F.col("y").alias("pred"))
+    )
+
+
+def multilabel_accuracy(
+    preds: DataFrame, truth: DataFrame, id_col: str = "vec_id",
+    label_cols: "list[str] | tuple[str, ...]" = (),
+) -> DataFrame:
+    """Column-wise accuracy per category + the reference's mean-over-
+    categories measure (cross_validate_multiclass,
+    rp_classify.py:82-107 semantics)."""
+    cats = F.array(*[
+        F.struct(F.lit(c).alias("category"), F.col(c).cast("int").alias("y"))
+        for c in label_cols
+    ])
+    t = truth.select(F.col(id_col), F.explode(cats).alias("c")).select(
+        id_col, F.col("c.category").alias("category"), F.col("c.y").alias("y_true")
+    )
+    return (
+        preds.join(t, [id_col, "category"])
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.avg(F.when(F.col("pred") == F.col("y_true"), 1.0).otherwise(0.0)),
+                6,
+            ).alias("accuracy"),
+        )
+        .orderBy("category")
+    )

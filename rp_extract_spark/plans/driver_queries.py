@@ -1103,6 +1103,63 @@ def q_centroid_classify(spark, sf):
     ).orderBy("vec_id")
 
 
+def q_multilabel_classify(spark, sf):
+    """One-vs-rest multi-label centroid model (OneVsRestClassifier
+    analog, rp_classify.py:51-52), ORACLED: per (vector, category) the
+    distances to the positive and negative centroids — verifying the
+    trained model numerically against DuckDB recomputation without
+    argmin boundary sensitivity."""
+    from ..operators.classify import _sq_dist, train_multilabel_centroids
+
+    e = _t(spark, sf, "embeddings")
+    ml = e.select(
+        "vec_id", "embedding",
+        F.when(F.col("label") == 0, 1).otherwise(0).alias("is_l0"),
+        F.when(F.col("label") == 1, 1).otherwise(0).alias("is_l1"),
+    )
+    model = train_multilabel_centroids(ml, label_cols=["is_l0", "is_l1"])
+    joined = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("__v")
+    ).crossJoin(F.broadcast(model))
+    d = joined.withColumn("__d", _sq_dist(F.col("__v"), F.col("centroid")))
+    return (
+        d.groupBy("vec_id", "category")
+        .agg(
+            F.round(F.sqrt(F.max(F.when(F.col("y") == 1, F.col("__d")))), 5)
+            .alias("dist_pos"),
+            F.round(F.sqrt(F.max(F.when(F.col("y") == 0, F.col("__d")))), 5)
+            .alias("dist_neg"),
+        )
+        .orderBy("vec_id", "category")
+    )
+
+
+ORACLE_MULTILABEL_CLASSIFY = """
+WITH e AS (
+  SELECT vec_id, label,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings),
+lab AS (
+  SELECT e.*, c.category,
+         CASE WHEN (c.category = 'is_l0' AND label = 0)
+                OR (c.category = 'is_l1' AND label = 1)
+              THEN 1 ELSE 0 END AS y
+  FROM e CROSS JOIN (SELECT unnest(['is_l0','is_l1']) AS category) c),
+cent AS (
+  SELECT category, y, pos, avg(val) AS cv FROM lab GROUP BY category, y, pos),
+d AS (
+  SELECT e.vec_id, cent.category, cent.y,
+         sum((e.val - cent.cv) * (e.val - cent.cv)) AS d2
+  FROM e JOIN cent ON e.pos = cent.pos
+  GROUP BY e.vec_id, cent.category, cent.y)
+SELECT vec_id, category,
+       round(sqrt(max(CASE WHEN y = 1 THEN d2 END)), 5) AS dist_pos,
+       round(sqrt(max(CASE WHEN y = 0 THEN d2 END)), 5) AS dist_neg
+FROM d GROUP BY vec_id, category ORDER BY vec_id, category
+"""
+
+
 def q_cv_accuracy(spark, sf):
     """k-fold CV of the centroid model (rows-only)."""
     from ..operators.classify import cross_validate
@@ -1381,6 +1438,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_descriptors": q_audio_descriptors,
     "video_frames": q_video_frames,
     "centroid_classify": q_centroid_classify,
+    "multilabel_classify": q_multilabel_classify,
     "cv_accuracy": q_cv_accuracy,
 }
 
@@ -1420,6 +1478,7 @@ ORACLES: dict[str, str] = {
     "duplicate_check": ORACLE_DUPLICATE_CHECK,
     "entity_features_rel": ORACLE_ENTITY_FEATURES_REL,
     "centroid_classify": ORACLE_CENTROID_CLASSIFY,
+    "multilabel_classify": ORACLE_MULTILABEL_CLASSIFY,
     "audio_roundtrip": ORACLE_AUDIO_ROUNDTRIP,
 }
 

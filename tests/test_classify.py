@@ -108,3 +108,28 @@ def test_model_save_load_without_scaler(spark, clustered, tmp_path):
     cent2, scaler2 = load_model(spark, path)
     assert scaler2 is None
     assert cent2.count() == 3
+
+
+def test_multilabel_centroid_ovr(spark, clustered):
+    from rp_extract_spark.operators.classify import (
+        multilabel_accuracy,
+        predict_multilabel,
+        train_multilabel_centroids,
+    )
+
+    # derive a 0/1 multi-label matrix from the cluster labels; the
+    # rest-class must be unimodal for a centroid OvR to separate it
+    # (clusters: a@0, b@6, c@-6 per the fixture)
+    ml = clustered.select(
+        "vec_id", "embedding",
+        F.when(F.col("label") == "c", 1).otherwise(0).alias("is_c"),
+        F.when(F.col("label").isin("a", "b"), 1).otherwise(0).alias("is_ab"),
+    )
+    model = train_multilabel_centroids(ml, label_cols=["is_c", "is_ab"])
+    assert model.count() == 4  # 2 categories x 2 classes
+    preds = predict_multilabel(ml, model)
+    acc = {r.category: r.accuracy
+           for r in multilabel_accuracy(preds, ml,
+                                        label_cols=["is_c", "is_ab"]).collect()}
+    # well-separated clusters: near-perfect one-vs-rest accuracy
+    assert acc["is_c"] >= 0.95 and acc["is_ab"] >= 0.95

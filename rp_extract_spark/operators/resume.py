@@ -71,11 +71,23 @@ def write_snapshot(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(data_dir)
     metrics = _partition_metrics(df.sparkSession.read.parquet(data_dir), ts_col)
+    # Iceberg-style snapshot file list: the manifest pins the exact
+    # parquet files present after this append, enabling read-as-of
+    # (time travel) without an Iceberg runtime. Local-FS walk here;
+    # swap for the Hadoop FileSystem API on a real cluster.
+    files = sorted(
+        os.path.join(dirpath, fn)
+        for dirpath, _dirs, fns in os.walk(data_dir)
+        for fn in fns
+        if fn.endswith(".parquet")
+    )
     manifest = {
         "snapshot_id": snapshot_id,
+        "created_at": time.time(),
         "wall_s": round(time.time() - t0, 3),
         "total_rows": int(sum(m["rows"] for m in metrics)),
         "total_errors": int(sum(m["errors"] or 0 for m in metrics)),
+        "files": files,
         "partitions": metrics,
     }
     mdir = os.path.join(out_dir, "_metrics")
@@ -133,3 +145,38 @@ def eta_report(out_dir: str, total_expected: int) -> dict:
         "rows_per_sec": round(rows_per_sec, 2) if rows_per_sec else None,
         "eta_s": round(remaining / rows_per_sec, 1) if rows_per_sec else None,
     }
+
+
+def list_snapshots(out_dir: str) -> list[dict]:
+    """Snapshot manifests ordered by creation time (Iceberg
+    snapshot-log analog over the plain-parquet layout)."""
+    import glob
+
+    out = []
+    for p in glob.glob(os.path.join(out_dir, "_metrics", "*.json")):
+        with open(p) as f:
+            out.append(json.load(f))
+    return sorted(out, key=lambda m: m.get("created_at", 0))
+
+
+def read_snapshot(
+    spark: SparkSession, out_dir: str, snapshot_id: str | None = None
+) -> DataFrame:
+    """Time-travel read: the table exactly as of ``snapshot_id``
+    (default: latest). Reads only the parquet files the chosen
+    manifest pinned — later appends are invisible."""
+    snaps = list_snapshots(out_dir)
+    if not snaps:
+        raise ValueError(f"no snapshots under {out_dir}")
+    if snapshot_id is None:
+        chosen = snaps[-1]
+    else:
+        matches = [m for m in snaps if m["snapshot_id"] == snapshot_id]
+        if not matches:
+            raise ValueError(f"unknown snapshot {snapshot_id!r}")
+        chosen = matches[0]
+    files = chosen.get("files")
+    if not files:
+        raise ValueError(f"snapshot {chosen['snapshot_id']} has no file list "
+                         "(written by an older engine version)")
+    return spark.read.parquet(*files)

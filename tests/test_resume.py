@@ -72,3 +72,28 @@ def test_eta_report(spark, tmp_path):
     rep2 = eta_report(out, total_expected=400)
     assert rep2["done"] == 200 and rep2["n_snapshots"] == 2
     assert rep2["pct"] == 50.0
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    from rp_extract_spark.operators.resume import (
+        list_snapshots,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    out = str(tmp_path / "tt")
+    m1 = write_snapshot(spark.range(100).withColumnRenamed("id", "image_id"),
+                        out, ts_col=None)
+    m2 = write_snapshot(
+        spark.range(100, 250).withColumnRenamed("id", "image_id"), out,
+        ts_col=None)
+    snaps = list_snapshots(out)
+    assert [s["snapshot_id"] for s in snaps] == [m1["snapshot_id"], m2["snapshot_id"]]
+    # as-of first snapshot: later append invisible
+    assert read_snapshot(spark, out, m1["snapshot_id"]).count() == 100
+    # latest (default): full table
+    assert read_snapshot(spark, out).count() == 250
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_snapshot(spark, out, "nope")

@@ -648,6 +648,129 @@ FROM pairs ORDER BY id_a, id_b
 """
 
 
+def q_vocab_topk(spark, sf):
+    """Corpus vocabulary statistics: top-50 tokens by total occurrences
+    (explode-heavy aggregation shape; deterministic token tiebreak)."""
+    from ..operators.text import tokens_col
+
+    d = _t(spark, sf, "documents")
+    return (
+        d.select(F.explode(tokens_col(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(50)
+    )
+
+
+ORACLE_VOCAB_TOPK = r"""
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                ' ')) AS token
+  FROM documents)
+WHERE token <> ''
+GROUP BY token ORDER BY n DESC, token ASC LIMIT 50
+"""
+
+
+def q_token_df(spark, sf):
+    """Document frequency (the IDF denominator): for the top-20 tokens
+    by df, the number of distinct documents containing them."""
+    from ..operators.text import tokens_col
+
+    d = _t(spark, sf, "documents")
+    return (
+        d.select("doc_id", F.explode(
+            F.array_distinct(tokens_col(F.col("text")))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+ORACLE_TOKEN_DF = r"""
+SELECT token, CAST(count(*) AS BIGINT) AS df
+FROM (
+  SELECT DISTINCT doc_id, unnest(string_split(
+           regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+  FROM documents)
+WHERE token <> ''
+GROUP BY token ORDER BY df DESC, token ASC LIMIT 20
+"""
+
+
+def q_funnel(spark, sf):
+    """Conversion funnel over the events stream: per user, first-touch
+    timestamps per stage and ordered-conversion flags (multi-level
+    conditional aggregation)."""
+    ev = _t(spark, sf, "events")
+    g = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    converted = (
+        F.col("first_view").isNotNull()
+        & F.col("first_click").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_view") <= F.col("first_click"))
+        & (F.col("first_click") <= F.col("first_purchase"))
+    )
+    return g.select(
+        "user_id", "first_view", "first_click", "first_purchase",
+        converted.cast("int").alias("converted"),
+    ).orderBy("user_id")
+
+
+ORACLE_FUNNEL = """
+SELECT user_id,
+       min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+       min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+       min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase,
+       CAST((min(CASE WHEN event_type = 'view' THEN ts END) IS NOT NULL
+         AND min(CASE WHEN event_type = 'click' THEN ts END) IS NOT NULL
+         AND min(CASE WHEN event_type = 'purchase' THEN ts END) IS NOT NULL
+         AND min(CASE WHEN event_type = 'view' THEN ts END)
+             <= min(CASE WHEN event_type = 'click' THEN ts END)
+         AND min(CASE WHEN event_type = 'click' THEN ts END)
+             <= min(CASE WHEN event_type = 'purchase' THEN ts END)) AS INT)
+         AS converted
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_value_percentiles(spark, sf):
+    """Exact percentile profile of event values per event type (the
+    reference's exact-median discipline, generalized)."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.75)"), 6).alias("p75"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_VALUE_PERCENTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.75), 6) AS p75,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_pattern_stats(spark, sf):
     """Corpus-curation pattern signals (URL / email counts, digit
     share) — JVM regexp_count vs DuckDB regexp_extract_all."""
@@ -1412,6 +1535,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jaccard_verify": q_jaccard_verify,
     "pattern_stats": q_pattern_stats,
     "embedding_normalize": q_embedding_normalize,
+    "vocab_topk": q_vocab_topk,
+    "token_df": q_token_df,
+    "funnel": q_funnel,
+    "value_percentiles": q_value_percentiles,
     "class_histogram": q_class_histogram,
     "label_encode": q_label_encode,
     "zscore": q_zscore,
@@ -1464,6 +1591,10 @@ ORACLES: dict[str, str] = {
     "jaccard_verify": ORACLE_JACCARD_VERIFY,
     "pattern_stats": ORACLE_PATTERN_STATS,
     "embedding_normalize": ORACLE_EMBEDDING_NORMALIZE,
+    "vocab_topk": ORACLE_VOCAB_TOPK,
+    "token_df": ORACLE_TOKEN_DF,
+    "funnel": ORACLE_FUNNEL,
+    "value_percentiles": ORACLE_VALUE_PERCENTILES,
     "class_histogram": ORACLE_CLASS_HISTOGRAM,
     "label_encode": ORACLE_LABEL_ENCODE,
     "zscore": ORACLE_ZSCORE,

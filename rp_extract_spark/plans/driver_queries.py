@@ -1447,6 +1447,36 @@ def q_audio_descriptors(spark, sf):
     ).orderBy("clip_id")
 
 
+def q_incremental_resume(spark, sf):
+    """Checkpoint-resume through the driver surface (S8/S16/J3):
+    snapshot 300 documents, then run the incremental extractor over the
+    full 500 — the anti-join must extract exactly the 200 new rows and
+    the second re-run exactly 0 (idempotence). Returns the snapshot log
+    with per-run row counts (rows-only; wall-clock fields excluded)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.resume import incremental_extract, list_snapshots, write_snapshot
+
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("image_id"), F.length("text").alias("n_chars_f")
+    )
+    out = os.path.join(tempfile.gettempdir(), f"rp_resume_q_{os.getpid()}")
+    shutil.rmtree(out, ignore_errors=True)
+    write_snapshot(d.filter(F.col("image_id") < 300), out, ts_col=None)
+    incremental_extract(spark, d, out, lambda df: df)   # picks up the rest
+    incremental_extract(spark, d, out, lambda df: df)   # idempotent: +0
+    snaps = list_snapshots(out)
+    rows = [
+        (i, int(m["total_rows"]), len(m.get("files", [])))
+        for i, m in enumerate(snaps)
+    ]
+    return spark.createDataFrame(
+        rows, "run int, total_rows bigint, n_files int"
+    ).orderBy("run")
+
+
 def q_video_frames(spark, sf):
     """Multimodal video path (rows-only): deterministic MJPEG AVIs are
     muxed on executors, demuxed by sample_video_frames, frames decoded
@@ -1564,6 +1594,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_roundtrip": q_audio_roundtrip,
     "audio_descriptors": q_audio_descriptors,
     "video_frames": q_video_frames,
+    "incremental_resume": q_incremental_resume,
     "centroid_classify": q_centroid_classify,
     "multilabel_classify": q_multilabel_classify,
     "cv_accuracy": q_cv_accuracy,

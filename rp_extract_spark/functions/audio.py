@@ -70,8 +70,11 @@ def bark_matrix_hz(freq_axis: np.ndarray, max_bands: int = N_BANDS) -> np.ndarra
     """(max_bands, n_freq) 0/1 aggregation matrix over REAL frequency
     ranges: band b sums bins with barks[b] <= f < barks[b+1]
     (rp_extract.py:286-304; barks prepends 0). Bands entirely above
-    Nyquist remain zero rows, exactly like the reference."""
+    Nyquist remain zero rows, exactly like the reference; requests for
+    more than 24 bands clamp to 24 (rp_extract.py:289-293
+    ``min(n_bark_bands, max_bands)``)."""
     barks = np.concatenate(([0.0], BARK_LIMITS))
+    max_bands = min(max_bands, BARK_LIMITS.size)
     m = np.zeros((max_bands, freq_axis.size))
     for b in range(max_bands):
         m[b, (freq_axis >= barks[b]) & (freq_axis < barks[b + 1])] = 1.0

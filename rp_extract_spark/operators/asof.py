@@ -40,6 +40,21 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _orderable_type(dt) -> bool:
+    """Whether Spark can ORDER BY this type (maps cannot)."""
+    from pyspark.sql import types as T
+
+    if dt is None:
+        return False
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable_type(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable_type(f.dataType) for f in dt.fields)
+    return True
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -104,18 +119,30 @@ def asof_join(
 
     u = l_side.unionByName(r_side, allowMissingColumns=True)
 
-    # third sort key __rv: with duplicate (key, right_ts) right rows the
+    # third sort key: with duplicate (key, right_ts) right rows the
     # (ts, side) order alone leaves the winner partition-order-dependent;
-    # ordering the tied right rows by their value struct makes "last
-    # wins" deterministic = greatest value struct. Left rows (__rv null)
-    # are unaffected: ties between left rows see the same frame prefix.
+    # ordering the tied right rows by their (orderable) value fields
+    # makes "last wins" deterministic = greatest value struct. Left rows
+    # (__rv null) are unaffected: ties between left rows see the same
+    # frame prefix. Non-orderable value types (maps) are excluded from
+    # the key — a pure-map value schema falls back to (ts, side) order
+    # (the round-1 behavior) rather than failing analysis.
+    orderable = [
+        c for c in values
+        if _orderable_type(right.schema[c].dataType if c in right.columns else None)
+    ]
+    tiebreak = (
+        [F.struct(*[F.col(f"__rv.{c}") for c in orderable] ,
+                  F.col("__rv.__rts"))]
+        if orderable else []
+    )
     if direction == "backward":
         # right rows (side 0) sort before left at equal ts → inclusive <=;
         # last value seen walking forward = greatest right_ts <= ts
         w = (
             Window.partitionBy(*keys)
             .orderBy(F.col("__ets").asc(), F.col("__side").asc(),
-                     F.col("__rv").asc_nulls_last())
+                     *[t.asc_nulls_last() for t in tiebreak])
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         picked = F.last("__rv", ignorenulls=True).over(w)
@@ -125,7 +152,7 @@ def asof_join(
         w = (
             Window.partitionBy(*keys)
             .orderBy(F.col("__ets").asc(), F.col("__side").desc(),
-                     F.col("__rv").desc_nulls_first())
+                     *[t.desc_nulls_first() for t in tiebreak])
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
         picked = F.first("__rv", ignorenulls=True).over(w)
@@ -205,10 +232,14 @@ def asof_join_merge(
         l = l.sort_values(left_ts, kind="mergesort")
         # duplicate (key, right_ts) rows: sort by the value columns too
         # so keep="last" deterministically elects the greatest values
-        # (matches the window variant's value-struct tiebreak). Falls
-        # back to ts-only order for unsortable value dtypes (arrays).
+        # (matches the window variant's value-struct tiebreak).
+        # na_position="first" mirrors Spark struct ordering, where null
+        # fields rank LOWEST — a tied (ts, NULL) row must lose to any
+        # non-null value on both strategies. Falls back to ts-only
+        # order for unsortable value dtypes (arrays).
         try:
-            r = r.sort_values([right_ts, *val_idx], kind="mergesort")
+            r = r.sort_values([right_ts, *val_idx], kind="mergesort",
+                              na_position="first")
         except (TypeError, ValueError):
             r = r.sort_values([right_ts], kind="mergesort")
         r = (

@@ -496,7 +496,8 @@ def embedding_cosine_dedup(
         F.row_number().over(
             Window.partitionBy("__bucket").orderBy(F.col(id_col).asc())
         ),
-    )
+    ).persist()  # the overflow count and the pair join both consume it;
+    # without the persist the scan + LSH bucketing would run twice
     n_over = ranked.filter(F.col("__rn") > max_bucket_size).count()
     if n_over:
         logger.warning(

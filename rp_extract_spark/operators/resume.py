@@ -179,4 +179,8 @@ def read_snapshot(
     if not files:
         raise ValueError(f"snapshot {chosen['snapshot_id']} has no file list "
                          "(written by an older engine version)")
-    return spark.read.parquet(*files)
+    # basePath keeps partition-directory columns (partition_by tables)
+    # when reading pinned leaf files
+    return spark.read.option(
+        "basePath", os.path.join(out_dir, "data")
+    ).parquet(*files)

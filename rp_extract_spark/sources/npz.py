@@ -20,8 +20,9 @@ def save_npz(
     vec_col: str = "vec",
     id_col: str = "id",
     label_col: str | None = None,
-) -> None:
-    """Collect (id, vec[, label]) and write the reference npz layout."""
+) -> str:
+    """Collect (id, vec[, label]) and write the reference npz layout.
+    Returns the actual path written (".npz" appended if missing)."""
     cols = [id_col, vec_col] + ([label_col] if label_col else [])
     rows = df.select(*cols).collect()
     dim = len(rows[0][1]) if rows else 0
@@ -33,12 +34,21 @@ def save_npz(
     }
     if label_col:
         out["labels"] = np.array([str(r[2]) for r in rows])
+    # np.savez appends ".npz" when missing — normalize so save/load
+    # agree on the same path string
+    if not path.endswith(".npz"):
+        path = path + ".npz"
     np.savez(path, **out)
+    return path
 
 
 def load_npz(spark: SparkSession, path: str) -> DataFrame:
     """npz → (id, vec[, label]) DataFrame (rp_feature_io.py:793-803
     semantics: data matrix + filenames ids + optional labels)."""
+    import os
+
+    if not os.path.exists(path) and os.path.exists(path + ".npz"):
+        path = path + ".npz"
     npz = np.load(path, allow_pickle=False)
     data = npz["data"]
     n = data.shape[0]

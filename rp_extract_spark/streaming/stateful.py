@@ -137,11 +137,16 @@ def streaming_enrich_asof(
             return iter(())
         last_ts, last_val = state.get if state.exists else (None, None)
         out_id, out_ts, out_v, out_mts = [], [], [], []
-        for pdf in pdfs:
+        # a key's micro-batch may arrive as MULTIPLE Arrow chunks in
+        # arbitrary order — concat before sorting or the within-batch
+        # as-of is only exact per chunk
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            whole = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
             # right rows before left rows at equal ts -> inclusive <=
-            pdf = pdf.sort_values(["__ts", "__side"], kind="mergesort")
+            whole = whole.sort_values(["__ts", "__side"], kind="mergesort")
             for ts, iid, val, side in zip(
-                pdf["__ts"], pdf["__id"], pdf["__val"], pdf["__side"]
+                whole["__ts"], whole["__id"], whole["__val"], whole["__side"]
             ):
                 if side == 0:
                     if last_ts is None or ts >= last_ts:

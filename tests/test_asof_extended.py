@@ -157,3 +157,50 @@ def test_asof_duplicate_right_ts_deterministic(spark):
         values=["value"],
     ).collect()[0]
     assert (m.value, m.matched_ts) == (9.0, t0)
+
+
+def test_asof_duplicate_null_value_loses(spark):
+    """A tied (key, right_ts) row with NULL value must lose to any
+    non-null value on BOTH physical strategies (Spark struct ordering
+    ranks null fields lowest; merge variant uses na_position='first')."""
+    from datetime import datetime
+
+    from rp_extract_spark.operators.asof import asof_join, asof_join_merge
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    t1 = datetime(2024, 1, 1, 1, 0, 0)
+    left = spark.createDataFrame(
+        [("e", "k", t1)], "event_id string, entity_id string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("k", t0, None), ("k", t0, 5.0), ("k", t0, None)],
+        "entity_id string, caption_ts timestamp, value double",
+    ).repartition(3)
+    w = asof_join(left, right, on="entity_id", left_ts="ts",
+                  right_ts="caption_ts", values=["value"]).collect()[0]
+    m = asof_join_merge(left, right, on="entity_id", left_ts="ts",
+                        right_ts="caption_ts", values=["value"]).collect()[0]
+    assert w.value == 5.0 and m.value == 5.0
+
+
+def test_asof_map_values_fall_back(spark):
+    """Map-typed right values are not orderable: the join must still
+    plan and run (round-1 behavior), not fail analysis."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from rp_extract_spark.operators.asof import asof_join
+
+    t0 = datetime(2024, 1, 1)
+    t1 = datetime(2024, 1, 2)
+    left = spark.createDataFrame(
+        [("e", "k", t1)], "event_id string, entity_id string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("k", t0, {"a": "1"})],
+        "entity_id string, caption_ts timestamp, attrs map<string,string>",
+    )
+    out = asof_join(left, right, on="entity_id", left_ts="ts",
+                    right_ts="caption_ts", values=["attrs"]).collect()[0]
+    assert dict(out.attrs) == {"a": "1"}

@@ -97,3 +97,17 @@ def test_snapshot_time_travel(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         read_snapshot(spark, out, "nope")
+
+
+def test_snapshot_time_travel_partitioned(spark, tmp_path):
+    """Partition columns must survive the pinned-file (basePath) read."""
+    from rp_extract_spark.operators.resume import read_snapshot, write_snapshot
+
+    out = str(tmp_path / "ttp")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a")], "image_id long, grp string"
+    )
+    m = write_snapshot(df, out, ts_col=None, partition_by=("grp",))
+    back = read_snapshot(spark, out, m["snapshot_id"])
+    assert set(back.columns) == {"image_id", "grp"}
+    assert {(r.image_id, r.grp) for r in back.collect()} == {(1, "a"), (2, "b"), (3, "a")}

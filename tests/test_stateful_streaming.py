@@ -113,3 +113,41 @@ def test_streaming_enrich_asof_across_batches(spark, tmp_path):
     run()
     got = {r.event_id: r.matched_value for r in spark.read.parquet(out).collect()}
     assert got["e6"] == 2.0
+
+
+def test_streaming_enrich_multichunk_batch(spark, tmp_path):
+    """One key, >1024 unioned rows in a single micro-batch: the exact
+    within-batch as-of must hold across Arrow chunk boundaries."""
+    from rp_extract_spark.streaming.stateful import streaming_enrich_asof
+
+    lsrc = str(tmp_path / "left2")
+    rsrc = str(tmp_path / "right2")
+    out = str(tmp_path / "out2")
+    ckpt = str(tmp_path / "ckpt2")
+    n = 1500  # > arrow batch size (1024)
+    left_rows = [(f"e{i:05d}", "k", BASE + timedelta(seconds=2 * i + 1))
+                 for i in range(n)]
+    right_rows = [("k", BASE + timedelta(seconds=2 * i), float(i))
+                  for i in range(n)]
+    spark.createDataFrame(
+        left_rows, "event_id string, entity_id string, ts timestamp"
+    ).write.parquet(lsrc)
+    spark.createDataFrame(
+        right_rows, "entity_id string, ts timestamp, value double"
+    ).write.parquet(rsrc)
+    left = spark.readStream.schema(
+        "event_id string, entity_id string, ts timestamp").parquet(lsrc)
+    right = spark.readStream.schema(
+        "entity_id string, ts timestamp, value double").parquet(rsrc)
+    q = (
+        streaming_enrich_asof(left, right, key="entity_id")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {r.event_id: r.matched_value for r in spark.read.parquet(out).collect()}
+    assert len(got) == n
+    # left event at 2i+1 must see right value i exactly
+    for i in (0, 500, 1023, 1024, 1025, 1499):
+        assert got[f"e{i:05d}"] == float(i), i

@@ -191,3 +191,18 @@ def test_mel_filterbank_properties():
     mel_spec = transform2mel(spec, sr, nfft, nm)
     assert mel_spec.shape == (nm, 7)
     assert np.allclose(mel_spec, basis @ spec[: nfft // 2 + 1])
+
+
+def test_bark_bands_clamp_like_reference():
+    # rp_extract.py:289-293: max_band = min(n_bark_bands, 24)
+    from rp_extract_spark.functions.audio import bark_matrix_hz
+
+    fa = np.linspace(0.0, 22050.0, 513)
+    assert bark_matrix_hz(fa, 30).shape == (24, 513)
+    wav = _signal(13.0, 11025)
+    from rp_extract_spark import rp_extract as our_rp
+
+    got = our_rp(wav, 11025, extract_ssd=True, n_bark_bands=30)
+    want = ref.rp_extract(wav, 11025, extract_ssd=True, n_bark_bands=30,
+                          verbose=False)
+    assert np.allclose(got["ssd"], want["ssd"], rtol=1e-8, atol=1e-10)

@@ -41,3 +41,13 @@ def test_npz_to_arff(spark, tmp_path):
     back = load_arff(spark, out)
     got = {r.id: list(r.vec) for r in back.collect()}
     assert got == {"x": [3.0, 4.0], "y": [5.0, 6.0]}
+
+
+def test_npz_extension_normalized(spark, tmp_path):
+    df = spark.createDataFrame([("z", [9.0])], "id string, vec array<double>")
+    base = str(tmp_path / "noext")      # no .npz suffix
+    written = save_npz(df, base)
+    assert written.endswith(".npz")
+    # load works with either spelling
+    assert load_npz(spark, base).collect()[0].id == "z"
+    assert load_npz(spark, written).collect()[0].id == "z"

@@ -771,6 +771,29 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_hourly_rollup(spark, sf):
+    """Hypertable-style time-bucketed rollup: hourly aggregates of the
+    event stream per event type (operators/rollup.time_bucket)."""
+    from ..operators.rollup import rollup_aggregate
+
+    ev = _t(spark, sf, "events")
+    return (
+        rollup_aggregate(ev, 3600, dims=("event_type",))
+        .orderBy("bucket", "event_type")
+    )
+
+
+ORACLE_HOURLY_ROLLUP = """
+SELECT date_trunc('hour', ts) AS bucket, event_type,
+       count(*) AS n,
+       round(sum(value), 6) AS sum_v,
+       min(value) AS min_v,
+       max(value) AS max_v,
+       round(avg(value), 6) AS avg_v
+FROM events GROUP BY bucket, event_type ORDER BY bucket, event_type
+"""
+
+
 def q_pattern_stats(spark, sf):
     """Corpus-curation pattern signals (URL / email counts, digit
     share) — JVM regexp_count vs DuckDB regexp_extract_all."""
@@ -1569,6 +1592,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_df": q_token_df,
     "funnel": q_funnel,
     "value_percentiles": q_value_percentiles,
+    "hourly_rollup": q_hourly_rollup,
     "class_histogram": q_class_histogram,
     "label_encode": q_label_encode,
     "zscore": q_zscore,
@@ -1626,6 +1650,7 @@ ORACLES: dict[str, str] = {
     "token_df": ORACLE_TOKEN_DF,
     "funnel": ORACLE_FUNNEL,
     "value_percentiles": ORACLE_VALUE_PERCENTILES,
+    "hourly_rollup": ORACLE_HOURLY_ROLLUP,
     "class_histogram": ORACLE_CLASS_HISTOGRAM,
     "label_encode": ORACLE_LABEL_ENCODE,
     "zscore": ORACLE_ZSCORE,

@@ -73,3 +73,35 @@ def stream_session_stats(
             F.max("ts").alias("session_end"),
         )
     )
+
+
+def stream_rollup(
+    events: DataFrame,
+    bucket: str = "1 hour",
+    watermark: str = "2 hours",
+    dims: tuple[str, ...] = ("event_type",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+):
+    """Streaming counterpart of operators/rollup.rollup_aggregate:
+    tumbling-window aggregates with a watermark, so late rows beyond
+    the watermark are dropped and completed buckets become immutable —
+    the same continuous-aggregate contract the batch refresh_rollup
+    enforces with its high-water mark."""
+    from pyspark.sql import functions as F
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, bucket), *[F.col(d) for d in dims])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(value_col), 6).alias("sum_v"),
+            F.min(value_col).alias("min_v"),
+            F.max(value_col).alias("max_v"),
+            F.round(F.avg(value_col), 6).alias("avg_v"),
+        )
+        .select(
+            F.col("window.start").alias("bucket"), *dims,
+            "n", "sum_v", "min_v", "max_v", "avg_v",
+        )
+    )

@@ -58,3 +58,44 @@ def test_incremental_refresh_and_idempotence(spark, tmp_path):
     # hour-0 aggregates unchanged by later refreshes (immutability)
     n0 = {x.user_id: x.n for x in r3.filter(F.col("bucket") == BASE).collect()}
     assert n0 == {"u0": 20, "u1": 20, "u2": 20}
+
+
+def test_stream_rollup_matches_batch(spark, tmp_path):
+    """The streaming tumbling-window rollup must produce the same rows
+    as the batch rollup on the same (closed) input."""
+    from rp_extract_spark.streaming.extract_stream import stream_rollup
+
+    src = str(tmp_path / "ev")
+    out = str(tmp_path / "rollout")
+    ckpt = str(tmp_path / "rollckpt")
+    ev = _events(spark, 180)
+    ev.write.parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(
+            "event_id long, user_id string, ts timestamp, value double"
+        ).parquet(src)
+        q = (
+            stream_rollup(stream, watermark="10 minutes", dims=("user_id",))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # append mode flushes a window on the trigger AFTER the watermark
+    # passes it — the second (no-new-data) run emits the closed windows
+    run()
+    run()
+    got = {(r.bucket, r.user_id): (r.n, r.sum_v)
+           for r in spark.read.parquet(out).collect()}
+    want = {(r.bucket, r.user_id): (r.n, r.sum_v)
+            for r in rollup_aggregate(ev, 3600, dims=("user_id",)).collect()}
+    # append mode emits only watermark-closed windows; every emitted
+    # window must match the batch aggregate exactly
+    assert got
+    for k, v in got.items():
+        assert want[k] == v, k

@@ -47,27 +47,19 @@ def rp_extract(
     never returns it — rp_extract.py:745-747 vs :765-800), aggregated
     by exact median like RH.
     """
-    from .functions.audio import extract_audio_segment_features
+    from .functions.audio import segment_feature_stack
     from .functions.kernel import aggregate_segments
-    from .functions.segmentation import segment_plan
 
-    wd = np.asarray(wavedata, dtype=np.float64)
-    if wd.ndim > 1:
-        wd = wd[:, 0] if wd.shape[1] == 1 else wd.mean(axis=1)
-    plan = segment_plan(wd.shape[0], samplerate, skip_leadin_fadeout, step_width)
+    plan, segs = segment_feature_stack(
+        wavedata, samplerate, skip_leadin_fadeout, step_width,
+        n_bark_bands=n_bark_bands, mod_ampl_limit=mod_ampl_limit,
+        transform_bark=transform_bark, spectral_masking=spectral_masking,
+        do_transform_db=transform_db, do_transform_phon=transform_phon,
+        do_transform_sone=transform_sone,
+        fluctuation_strength_weighting=fluctuation_strength_weighting,
+    )
     if verbose:
         print(f"Analyzing {plan['n_segments']} segments")
-    segs = [
-        extract_audio_segment_features(
-            wd[p[0] - 1 : p[1]], samplerate,
-            n_bark_bands=n_bark_bands, mod_ampl_limit=mod_ampl_limit,
-            transform_bark=transform_bark, spectral_masking=spectral_masking,
-            do_transform_db=transform_db, do_transform_phon=transform_phon,
-            do_transform_sone=transform_sone,
-            fluctuation_strength_weighting=fluctuation_strength_weighting,
-        )
-        for p in plan["positions"]
-    ]
     features: dict[str, np.ndarray] = {}
     if return_segment_features:
         if extract_rp:

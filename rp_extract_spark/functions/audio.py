@@ -116,6 +116,29 @@ def extract_audio_segment_features(
     )
 
 
+def segment_feature_stack(
+    wavedata: np.ndarray,
+    samplerate: int,
+    skip_leadin_fadeout: int = 1,
+    step_width: int = 1,
+    **flags,
+) -> tuple[dict, list[dict[str, np.ndarray]]]:
+    """Shared front half of full-clip extraction: mono mixdown
+    (rp_extract.py:477-481), segment plan (incl. the <45 s rewrite),
+    per-segment kernel. Returns (plan, per-segment feature dicts) —
+    consumed by both ``extract_audio_features`` and the drop-in
+    ``api.rp_extract``."""
+    wd = np.asarray(wavedata, dtype=np.float64)
+    if wd.ndim > 1:
+        wd = wd[:, 0] if wd.shape[1] == 1 else wd.mean(axis=1)
+    plan = segment_plan(wd.shape[0], samplerate, skip_leadin_fadeout, step_width)
+    segs = [
+        extract_audio_segment_features(wd[p[0] - 1 : p[1]], samplerate, **flags)
+        for p in plan["positions"]
+    ]
+    return plan, segs
+
+
 def extract_audio_features(
     wavedata: np.ndarray,
     samplerate: int,
@@ -130,14 +153,9 @@ def extract_audio_features(
     temporal TSSD/TRH over the per-segment stacks."""
     from .kernel import aggregate_segments
 
-    wd = np.asarray(wavedata, dtype=np.float64)
-    if wd.ndim > 1:
-        wd = wd[:, 0] if wd.shape[1] == 1 else wd.mean(axis=1)
-    plan = segment_plan(wd.shape[0], samplerate, skip_leadin_fadeout, step_width)
-    segs = [
-        extract_audio_segment_features(wd[p[0] - 1 : p[1]], samplerate, **flags)
-        for p in plan["positions"]
-    ]
+    _plan, segs = segment_feature_stack(
+        wavedata, samplerate, skip_leadin_fadeout, step_width, **flags
+    )
     out = aggregate_segments(
         np.stack([s["rp"] for s in segs]),
         np.stack([s["ssd"] for s in segs]),

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import logging
 from collections.abc import Iterator, Sequence
+from functools import lru_cache
 
 import numpy as np
 import pandas as pd
@@ -44,9 +45,6 @@ def exact_dedup(df: DataFrame, cols: Sequence[str], id_col: str) -> DataFrame:
         .filter(F.col(id_col) == F.col("__rep"))
         .drop("__rep", "__fp")
     )
-
-
-from functools import lru_cache
 
 
 @lru_cache(maxsize=1 << 18)

@@ -252,15 +252,15 @@ def extract_features_audio(clips: DataFrame) -> DataFrame:
     isolation like every decode stage."""
     from ..functions.audio import extract_audio_features
 
+    from ..functions.audio import auto_resample
+    from ..functions.segmentation import segment_plan
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = []
             for cid, data in zip(b["clip_id"].values, b["bytes"].values):
                 try:
                     sr, samples = decode_audio(bytes(data))
-                    from ..functions.audio import auto_resample
-                    from ..functions.segmentation import segment_plan
-
                     # wav_read auto-resample rule: non-11/22/44 kHz → 44.1
                     sr, samples = auto_resample(samples, sr)
                     plan = segment_plan(np.asarray(samples).shape[0], sr)

@@ -122,19 +122,12 @@ def eta_report(out_dir: str, total_expected: int) -> dict:
     re-expressed over snapshot metrics instead of a driver loop):
     aggregates rows and wall time across all snapshots in
     ``{out_dir}/_metrics`` and extrapolates the remaining time."""
-    import glob
-
-    done = 0
-    wall = 0.0
-    n_snapshots = 0
-    for p in sorted(glob.glob(os.path.join(out_dir, "_metrics", "*.json"))):
-        with open(p) as f:
-            m = json.load(f)
-        # each manifest counts the FULL table after its append —
-        # progress is the max, not the sum
-        done = max(done, int(m.get("total_rows", 0)))
-        wall += float(m.get("wall_s", 0.0))
-        n_snapshots += 1
+    snaps = list_snapshots(out_dir)
+    # each manifest counts the FULL table after its append — progress
+    # is the max, not the sum
+    done = max((int(m.get("total_rows", 0)) for m in snaps), default=0)
+    wall = sum(float(m.get("wall_s", 0.0)) for m in snaps)
+    n_snapshots = len(snaps)
     rows_per_sec = done / wall if wall > 0 else None
     remaining = max(total_expected - done, 0)
     return {

@@ -317,11 +317,10 @@ ORDER BY event_id
 
 # --------------------------------------------------------------- joins
 
-def q_asof(spark, sf):
-    """Point-in-time join: each view/click event gets the latest
-    purchase value at-or-before its timestamp, per user (engine core,
-    SURVEY J8). Right side deduped to unique (user, ts) with max value
-    so the tie winner is engine-independent."""
+def _asof_sides(spark, sf):
+    """Shared left/right construction for the as-of query family:
+    view/click events on the left, purchases deduped to unique
+    (user, ts) with max value on the right (engine-independent ties)."""
     ev = _t(spark, sf, "events")
     left = ev.filter(F.col("event_type").isin("view", "click")).select(
         "event_id", "user_id", "ts"
@@ -331,6 +330,14 @@ def q_asof(spark, sf):
         .groupBy("user_id", "ts")
         .agg(F.max("value").alias("purchase_value"))
     )
+    return left, right
+
+
+def q_asof(spark, sf):
+    """Point-in-time join: each view/click event gets the latest
+    purchase value at-or-before its timestamp, per user (engine core,
+    SURVEY J8)."""
+    left, right = _asof_sides(spark, sf)
     out = asof_join(
         left,
         right,
@@ -360,15 +367,7 @@ ORDER BY l.event_id
 def q_asof_forward(spark, sf):
     """Forward (next-event) as-of join: each view/click gets the
     earliest purchase at-or-after its timestamp per user."""
-    ev = _t(spark, sf, "events")
-    left = ev.filter(F.col("event_type").isin("view", "click")).select(
-        "event_id", "user_id", "ts"
-    )
-    right = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id", "ts")
-        .agg(F.max("value").alias("purchase_value"))
-    )
+    left, right = _asof_sides(spark, sf)
     out = asof_join(
         left, right, on="user_id", left_ts="ts", right_ts="ts",
         values=["purchase_value"], direction="forward",
@@ -398,15 +397,7 @@ def q_asof_tolerance(spark, sf):
     """As-of join with a match-window tolerance (pd.merge_asof
     tolerance semantics): matches farther than 1 hour back are nulled
     out. Exercises the tolerance branch of the window strategy."""
-    ev = _t(spark, sf, "events")
-    left = ev.filter(F.col("event_type").isin("view", "click")).select(
-        "event_id", "user_id", "ts"
-    )
-    right = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id", "ts")
-        .agg(F.max("value").alias("purchase_value"))
-    )
+    left, right = _asof_sides(spark, sf)
     out = asof_join(
         left, right, on="user_id", left_ts="ts", right_ts="ts",
         values=["purchase_value"], tolerance_seconds=3600,
@@ -1676,15 +1667,7 @@ def q_asof_merge(spark, sf):
     single DuckDB ASOF oracle at the driver surface."""
     from ..operators.asof import asof_join_merge
 
-    ev = _t(spark, sf, "events")
-    left = ev.filter(F.col("event_type").isin("view", "click")).select(
-        "event_id", "user_id", "ts"
-    )
-    right = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id", "ts")
-        .agg(F.max("value").alias("purchase_value"))
-    )
+    left, right = _asof_sides(spark, sf)
     out = asof_join_merge(
         left, right, on="user_id", left_ts="ts", right_ts="ts",
         values=["purchase_value"],

@@ -35,6 +35,9 @@ RELATIONAL = [
     "lag_lead",
     "ffill",
     "sessionize",
+    "funnel",
+    "hourly_rollup",
+    "daily_active",
     "asof",
     "anti_join",
     "set_ops",

@@ -762,6 +762,29 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_daily_active(spark, sf):
+    """Distinct-aggregation shape: daily active users + events per day
+    (the two-level shuffle pattern behind every DAU dashboard)."""
+    ev = _t(spark, sf, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    return (
+        ev.groupBy(day)
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("dau"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE_DAILY_ACTIVE = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS dau,
+       count(*) AS n_events
+FROM events GROUP BY day ORDER BY day
+"""
+
+
 def q_hourly_rollup(spark, sf):
     """Hypertable-style time-bucketed rollup: hourly aggregates of the
     event stream per event type (operators/rollup.time_bucket)."""
@@ -1584,6 +1607,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel": q_funnel,
     "value_percentiles": q_value_percentiles,
     "hourly_rollup": q_hourly_rollup,
+    "daily_active": q_daily_active,
     "class_histogram": q_class_histogram,
     "label_encode": q_label_encode,
     "zscore": q_zscore,
@@ -1642,6 +1666,7 @@ ORACLES: dict[str, str] = {
     "funnel": ORACLE_FUNNEL,
     "value_percentiles": ORACLE_VALUE_PERCENTILES,
     "hourly_rollup": ORACLE_HOURLY_ROLLUP,
+    "daily_active": ORACLE_DAILY_ACTIVE,
     "class_histogram": ORACLE_CLASS_HISTOGRAM,
     "label_encode": ORACLE_LABEL_ENCODE,
     "zscore": ORACLE_ZSCORE,

@@ -72,11 +72,17 @@ def main() -> None:
 
     extract_features(images_df(spark, 4 * CPUS, seed=1, partitions=2 * CPUS)).count()
 
-    # headline: feature extraction + as-of join rows/sec
-    t0 = time.time()
-    out = flagship(spark, n_images=N_IMAGES, seed=42)
-    n = out.count()
-    dt = time.time() - t0
+    # headline: feature extraction + as-of join rows/sec.
+    # This host shows wild virtualization noise (identical jobs 7s vs
+    # 80s — BENCH/BASELINE.md); the documented protocol is repetitions
+    # + min, applied to every timed entry below.
+    REPS = int(os.environ.get("BENCH_REPS", "2"))
+    dt = float("inf")
+    for _ in range(REPS):
+        t0 = time.time()
+        out = flagship(spark, n_images=N_IMAGES, seed=42)
+        n = out.count()
+        dt = min(dt, time.time() - t0)
     timings["feature_asof_pipeline"] = round(dt, 3)
     rows_per_sec = round(n / dt, 2)
 
@@ -94,10 +100,13 @@ def main() -> None:
     sf_label = SF_DIR.rstrip("/").split("sf")[-1]
     for name in RELATIONAL:
         fn = QUERIES[name]
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(REPS):
+            t0 = time.time()
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

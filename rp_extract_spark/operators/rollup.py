@@ -21,10 +21,13 @@ append — this module composes them:
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
 
 
 def time_bucket(ts: Column, seconds: int) -> Column:
@@ -83,12 +86,32 @@ def refresh_rollup(
         raise ValueError("no events to roll up")
     # complete buckets only: strictly before the bucket containing max_ts
     cutoff = time_bucket(F.lit(max_ts).cast("timestamp"), bucket_seconds)
-    fresh = events.withColumn("__b", time_bucket(F.col(ts_col), bucket_seconds))
-    fresh = fresh.filter(F.col("__b") < cutoff)
+    bucketed = events.withColumn("__b", time_bucket(F.col(ts_col), bucket_seconds))
+    fresh = bucketed.filter(F.col("__b") < cutoff)
     if hwm is not None:
         fresh = fresh.filter(F.col("__b") > F.lit(hwm))
     agg = rollup_aggregate(fresh, bucket_seconds, dims, ts_col, value_col)
-    return write_snapshot(agg, out_dir, mode="append", ts_col=None)
+    manifest = write_snapshot(agg, out_dir, mode="append", ts_col=None)
+    if hwm is not None:
+        # no silent drops: events that arrived late for already-closed
+        # buckets are counted and logged — the continuous-aggregate
+        # contract keeps closed buckets immutable, so these need a
+        # backfill/reprocess pass, not a silent merge. NOTE: on
+        # repeated refreshes over a cumulative source this counts ALL
+        # rows at-or-below the HWM (previously aggregated input is
+        # indistinguishable from genuinely-late arrivals without an
+        # ingest timestamp — pass only-new events to get a true late
+        # count).
+        n_late = bucketed.filter(F.col("__b") <= F.lit(hwm)).count()
+        manifest["rows_at_or_below_hwm"] = int(n_late)
+        if n_late:
+            logger.info(
+                "refresh_rollup: %d input rows in already-closed buckets "
+                "(<= high-water mark) were not merged; closed buckets are "
+                "immutable — run a backfill to incorporate late data",
+                n_late,
+            )
+    return manifest
 
 
 def read_rollup(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -38,6 +38,10 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
         if data[:2] == b"\xff\xd8":
             return decode_jpeg(data)
         raise ValueError("jpeg payload has neither JFIF nor fixture marker")
+    if fmt == "bmp":
+        from .bmp import decode_bmp
+
+        return decode_bmp(data)
     raise ValueError(f"unsupported image format {fmt!r}")
 
 

@@ -98,3 +98,25 @@ def test_to_gray_channel_mean():
     px[..., 1] = 60
     px[..., 2] = 90
     assert np.allclose(to_gray(px), 60.0)
+
+
+def test_bmp_roundtrip_gray_and_rgb():
+    from rp_extract_spark.codecs.bmp import decode_bmp, encode_bmp
+
+    g = rng.integers(0, 256, (19, 33), dtype=np.uint8)  # odd width -> padding
+    assert np.array_equal(decode_bmp(encode_bmp(g)), g)
+    c = rng.integers(0, 256, (10, 7, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(c)), c)
+    # dispatch
+    assert np.array_equal(decode_image(encode_bmp(g), "bmp"), g)
+
+
+def test_bmp_rejects_bad_input():
+    from rp_extract_spark.codecs.bmp import decode_bmp, encode_bmp
+
+    with pytest.raises(ValueError):
+        decode_bmp(b"NOPE")
+    g = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    data = encode_bmp(g)
+    with pytest.raises(ValueError):
+        decode_bmp(data[: len(data) // 2])

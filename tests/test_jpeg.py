@@ -126,3 +126,46 @@ public class Dec {
     ours = decode_jpeg(jpg.read_bytes())
     assert java_px.shape == ours.shape
     assert np.abs(java_px.astype(int) - ours.astype(int)).max() <= 1
+
+
+@pytest.mark.skipif(
+    not (JAVA_HOME and os.path.exists(f"{JAVA_HOME}/bin/javac")),
+    reason="JDK not available",
+)
+def test_bmp_interop_javax_imageio(tmp_path):
+    """BMP interop: ImageIO must decode our 8-bit paletted BMP to the
+    exact pixel values."""
+    from rp_extract_spark.codecs.bmp import encode_bmp
+
+    img = rng.integers(0, 256, (24, 31), dtype=np.uint8)
+    bmp = tmp_path / "t.bmp"
+    bmp.write_bytes(encode_bmp(img))
+    src = tmp_path / "DecB.java"
+    src.write_text(
+        """
+import javax.imageio.ImageIO;
+import java.awt.image.BufferedImage;
+import java.io.*;
+public class DecB {
+  public static void main(String[] a) throws Exception {
+    BufferedImage im = ImageIO.read(new File(a[0]));
+    int w = im.getWidth(), h = im.getHeight();
+    DataOutputStream o = new DataOutputStream(
+        new BufferedOutputStream(new FileOutputStream(a[1])));
+    o.writeInt(h); o.writeInt(w);
+    var r = im.getRaster();
+    for (int y=0;y<h;y++) for (int x=0;x<w;x++) o.writeByte(r.getSample(x,y,0));
+    o.close();
+  }
+}
+"""
+    )
+    subprocess.run([f"{JAVA_HOME}/bin/javac", str(src)], check=True,
+                   cwd=tmp_path, capture_output=True)
+    out = tmp_path / "px.bin"
+    subprocess.run([f"{JAVA_HOME}/bin/java", "DecB", str(bmp), str(out)],
+                   check=True, cwd=tmp_path, capture_output=True)
+    raw = out.read_bytes()
+    h, w = struct.unpack(">ii", raw[:8])
+    java_px = np.frombuffer(raw[8:], dtype=np.uint8).reshape(h, w)
+    assert np.array_equal(java_px, img)

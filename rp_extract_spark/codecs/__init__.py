@@ -42,6 +42,10 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
         from .bmp import decode_bmp
 
         return decode_bmp(data)
+    if fmt == "gif":
+        from .gif import decode_gif
+
+        return decode_gif(data)
     raise ValueError(f"unsupported image format {fmt!r}")
 
 

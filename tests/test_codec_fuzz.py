@@ -71,3 +71,41 @@ def test_random_bytes_rejected(blob):
         except Exception as e:  # any other exception type is a bug
             if not isinstance(e, ValueError):
                 raise AssertionError(f"{dec}: {type(e).__name__}: {e}") from e
+
+
+from rp_extract_spark.codecs.bmp import encode_bmp, decode_bmp
+from rp_extract_spark.codecs.gif import encode_gif, decode_gif
+
+_BMP = encode_bmp(_IMG)
+_GIF = encode_gif(_IMG)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(0, len(_BMP) - 1))
+def test_bmp_truncation_never_crashes(cut):
+    try:
+        out = decode_bmp(_BMP[:cut])
+        assert out.shape == _IMG.shape
+    except ValueError:
+        pass
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(0, len(_GIF) - 1))
+def test_gif_truncation_never_crashes(cut):
+    try:
+        out = decode_gif(_GIF[:cut])
+        assert out.shape[:2] == _IMG.shape
+    except ValueError:
+        pass
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(6, len(_GIF) - 1), st.integers(0, 255))
+def test_gif_bitflip_never_crashes(pos, val):
+    data = bytearray(_GIF)
+    data[pos] = val
+    try:
+        decode_gif(bytes(data))
+    except ValueError:
+        pass

@@ -102,6 +102,7 @@ def incremental_extract(
     images: DataFrame,
     out_dir: str,
     extract_fn,
+    key: str = "image_id",
 ) -> dict:
     """Resumable extraction: anti-join against existing output, extract
     only new images, append + manifest. Safe to re-run; a second run on
@@ -109,7 +110,7 @@ def incremental_extract(
     data_dir = os.path.join(out_dir, "data")
     try:
         done = spark.read.parquet(data_dir)
-        todo = pending_only(images, done)
+        todo = pending_only(images, done, key=key)
     except Exception:  # first run: no output yet
         todo = images
     feats = extract_fn(todo)

@@ -1,0 +1,57 @@
+"""Batch CLI (reference entry point 1 analog): scan dir -> extract ->
+snapshot (+ CSV sidecar), incremental re-run appends nothing."""
+
+import numpy as np
+
+from rp_extract_spark.codecs import encode_png
+from rp_extract_spark.codecs.bmp import encode_bmp
+
+
+def _write_images(d, n=6):
+    rng = np.random.default_rng(1)
+    d.mkdir(parents=True, exist_ok=True)
+    for i in range(n):
+        px = rng.integers(0, 256, (48, 64), dtype=np.uint8)
+        if i % 3 == 0:
+            (d / f"img{i}.bmp").write_bytes(encode_bmp(px))
+        else:
+            (d / f"img{i}.png").write_bytes(encode_png(px))
+
+
+def test_batch_cli_images(spark, tmp_path, monkeypatch):
+    # reuse the session: get_spark returns the active one
+    from tools.extract_batch import main
+
+    src = tmp_path / "in" / "setA"
+    _write_images(src)
+    out = str(tmp_path / "out")
+    m1 = main([str(tmp_path / "in"), out, "--append-diff", "--csv", "--cores", "4"])
+    assert m1["total_rows"] == 6 and m1["total_errors"] == 0
+    # idempotent re-run
+    m2 = main([str(tmp_path / "in"), out, "--append-diff", "--cores", "4"])
+    assert m2["total_rows"] == 6
+    feats = spark.read.parquet(out + "/data")
+    assert feats.count() == 6
+    assert len(feats.first().rp) == 1440
+    # CSV sidecar in the reference id,v1..vN layout
+    csv = spark.read.csv(out + "/csv_rp", header=False)
+    assert csv.count() == 6 and len(csv.columns) == 1441
+
+
+def test_batch_cli_audio(spark, tmp_path):
+    from rp_extract_spark.codecs.wav import encode_wav
+    from tools.extract_batch import main
+
+    rng = np.random.default_rng(2)
+    src = tmp_path / "wavs"
+    src.mkdir()
+    for i in range(2):
+        t = np.arange(int(13.0 * 11025)) / 11025
+        x = (0.5 * np.sin(2 * np.pi * (200 + 50 * i) * t)).astype(np.float32)
+        (src / f"clip{i}.wav").write_bytes(encode_wav(x, 11025, samplewidth=4))
+    out = str(tmp_path / "aout")
+    m = main([str(src), out, "--audio", "--cores", "4"])
+    assert m["total_rows"] == 2 and m["total_errors"] == 0
+    feats = spark.read.parquet(out + "/data")
+    r = feats.orderBy("clip_id").first()
+    assert r.err is None and len(r.rp) == 1440 and r.samplerate == 11025

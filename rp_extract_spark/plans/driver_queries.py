@@ -1484,6 +1484,62 @@ def q_audio_descriptors(spark, sf):
     ).orderBy("clip_id")
 
 
+def q_image_formats(spark, sf):
+    """All four real image codecs through the distributed decode path:
+    synthesize PNG/JPEG/BMP/GIF payloads on executors, decode via the
+    fmt+magic dispatch, report per-format decode success and pixel
+    means (rows-only; codec-level exactness is pytest/interop-tested)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..codecs import decode_image, encode_jpeg, encode_png
+    from ..codecs.bmp import encode_bmp
+    from ..codecs.gif import encode_gif
+
+    encoders = {
+        "png": encode_png, "jpeg": lambda p: encode_jpeg(p, 97),
+        "bmp": encode_bmp, "gif": encode_gif,
+    }
+
+    def gen(batches):
+        for b in batches:
+            rows = []
+            for i in b["id"].values:
+                i = int(i)
+                rng = np.random.default_rng(1000 + i)
+                px = rng.integers(0, 256, (32, 40), dtype=np.uint8)
+                fmt = list(encoders)[i % 4]
+                rows.append({"img_id": i, "fmt": fmt,
+                             "bytes": encoders[fmt](px)})
+            yield pd.DataFrame(rows)
+
+    imgs = spark.range(16).mapInPandas(gen, "img_id long, fmt string, bytes binary")
+
+    def dec(batches):
+        for b in batches:
+            rows = []
+            for iid, fmt, data in zip(b["img_id"], b["fmt"], b["bytes"]):
+                try:
+                    px = decode_image(bytes(data), fmt)
+                    rows.append({"img_id": int(iid), "fmt": fmt, "ok": 1,
+                                 "mean_px": round(float(np.mean(px)), 4)})
+                except Exception:  # noqa: BLE001
+                    rows.append({"img_id": int(iid), "fmt": fmt, "ok": 0,
+                                 "mean_px": None})
+            yield pd.DataFrame(rows)
+
+    out = imgs.mapInPandas(dec, "img_id long, fmt string, ok int, mean_px double")
+    return (
+        out.groupBy("fmt")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("ok").cast("bigint").alias("n_ok"),
+            F.round(F.avg("mean_px"), 3).alias("avg_mean_px"),
+        )
+        .orderBy("fmt")
+    )
+
+
 def q_incremental_resume(spark, sf):
     """Checkpoint-resume through the driver surface (S8/S16/J3):
     snapshot 300 documents, then run the incremental extractor over the
@@ -1634,6 +1690,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_descriptors": q_audio_descriptors,
     "video_frames": q_video_frames,
     "incremental_resume": q_incremental_resume,
+    "image_formats": q_image_formats,
     "centroid_classify": q_centroid_classify,
     "multilabel_classify": q_multilabel_classify,
     "cv_accuracy": q_cv_accuracy,

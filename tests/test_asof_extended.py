@@ -204,3 +204,48 @@ def test_asof_map_values_fall_back(spark):
     out = asof_join(left, right, on="entity_id", left_ts="ts",
                     right_ts="caption_ts", values=["attrs"]).collect()[0]
     assert dict(out.attrs) == {"a": "1"}
+
+
+def test_asof_matches_pandas_ground_truth_random(spark):
+    """Property: on random small inputs, the window-strategy as-of join
+    equals pandas merge_asof computed locally (both directions)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    for trial in range(5):
+        n_l, n_r = int(rng.integers(1, 40)), int(rng.integers(0, 25))
+        keys = ["a", "b", "c"]
+        lts = rng.integers(0, 1000, n_l)
+        l_pd = pd.DataFrame({
+            "event_id": [f"e{i}" for i in range(n_l)],
+            "entity_id": rng.choice(keys, n_l),
+            "ts": pd.to_datetime(lts, unit="s"),
+        })
+        r_pd = pd.DataFrame({
+            "entity_id": rng.choice(keys, n_r),
+            "caption_ts": pd.to_datetime(rng.integers(0, 1000, n_r), unit="s"),
+            "value": rng.integers(0, 100, n_r).astype(float),
+        }).drop_duplicates(["entity_id", "caption_ts"])
+        from rp_extract_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame(l_pd)
+        right = spark.createDataFrame(r_pd)
+        got = {
+            r.event_id: (r.value, r.matched_ts)
+            for r in asof_join(left, right, on="entity_id", left_ts="ts",
+                               right_ts="caption_ts", values=["value"]).collect()
+        }
+        want_pd = pd.merge_asof(
+            l_pd.sort_values("ts", kind="mergesort"),
+            r_pd.sort_values("caption_ts", kind="mergesort"),
+            left_on="ts", right_on="caption_ts", by="entity_id",
+            direction="backward", allow_exact_matches=True,
+        )
+        for _, row in want_pd.iterrows():
+            g_val, g_ts = got[row.event_id]
+            if pd.isna(row.value):
+                assert g_val is None and g_ts is None, row.event_id
+            else:
+                assert g_val == row.value, row.event_id
+                assert pd.Timestamp(g_ts) == row.caption_ts, row.event_id

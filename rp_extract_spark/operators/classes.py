@@ -115,3 +115,14 @@ def zscore(
             (F.col(c) - F.col(f"__mu_{c}")) / F.when(sd == 0, 1.0).otherwise(sd),
         )
     return out.drop(*[f"__mu_{c}" for c in cols], *[f"__sd_{c}" for c in cols])
+
+
+def classes_from_filename(col: Column, split_char: str = "/") -> Column:
+    """Class label = first path segment of the id
+    (classes_io.py:178-197 classes_from_filename: GTZAN-style
+    'pop/file1.wav' → 'pop', or 'pop.00001.wav' with split_char='.').
+    ``split_char`` is a literal character (regex-escaped here — Spark
+    split takes a pattern)."""
+    import re
+
+    return F.element_at(F.split(col, re.escape(split_char)), 1)

@@ -279,3 +279,18 @@ def test_ivf_build_probe(spark, emb):
     got = {r.vec_id for r in ivf_probe(lists, cent, qv, k=5, nprobe=2).collect()}
     want = {r.vec_id for r in ivf_topk(emb, cent, qv, k=5, nprobe=2).collect()}
     assert got == want and len(got) == 5
+
+
+def test_classes_from_filename(spark):
+    from rp_extract_spark.operators.classes import classes_from_filename
+
+    df = spark.createDataFrame(
+        [("pop/file1.wav",), ("rock/sub/file2.wav",), ("jazz.00001.wav",)],
+        "id string",
+    )
+    by_slash = [r.c for r in df.select(
+        classes_from_filename(F.col("id")).alias("c")).collect()]
+    assert by_slash == ["pop", "rock", "jazz.00001.wav"]
+    by_dot = [r.c for r in df.select(
+        classes_from_filename(F.col("id"), ".").alias("c")).collect()]
+    assert by_dot[2] == "jazz"

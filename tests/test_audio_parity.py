@@ -206,3 +206,33 @@ def test_bark_bands_clamp_like_reference():
     want = ref.rp_extract(wav, 11025, extract_ssd=True, n_bark_bands=30,
                           verbose=False)
     assert np.allclose(got["ssd"], want["ssd"], rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.parametrize("flags", [
+    # bark off requires everything band-indexed off — the reference's
+    # own do_spectral_masking/transform2phon assume <=24 bark rows
+    dict(transform_bark=False, spectral_masking=False, transform_db=False,
+         transform_phon=False, transform_sone=False),
+    dict(spectral_masking=False),
+    dict(transform_db=False, transform_phon=False, transform_sone=False),
+    dict(transform_phon=False, transform_sone=False),
+    dict(transform_sone=False),
+    dict(fluctuation_strength_weighting=False),
+    dict(n_bark_bands=15),
+    dict(mod_ampl_limit=30),
+])
+def test_stage_toggle_parity(flags):
+    """The reference's stage-by-stage golden discipline (v210715
+    blocks, SURVEY §5 item 2) as executable tests: disabling each
+    pipeline stage individually must still match the reference's own
+    code with the same flags — isolating every stage boundary."""
+    from rp_extract_spark import rp_extract as our_rp
+
+    wav = _signal(13.0, 11025, seed=8)
+    want = ref.rp_extract(wav, 11025, extract_rp=True, extract_ssd=True,
+                          extract_rh=True, verbose=False, **flags)
+    got = our_rp(wav, 11025, extract_rp=True, extract_ssd=True,
+                 extract_rh=True, **flags)
+    for fam in ("rp", "ssd", "rh"):
+        assert got[fam].shape == want[fam].shape, (fam, flags)
+        assert np.allclose(got[fam], want[fam], rtol=1e-8, atol=1e-10), (fam, flags)

@@ -82,9 +82,12 @@ def demux_avi(data: bytes) -> tuple[float, list[bytes]]:
         raise ValueError("not a RIFF/AVI stream")
     fps = 0.0
     frames: list[bytes] = []
+    n_streams = 0          # strh chunks seen, in strl order = stream index
+    video_stream = -1      # index of the FIRST vids stream
+    vid_prefix = b"00"     # two-digit chunk prefix of that stream
 
     def walk(buf: bytes, pos: int, end: int) -> None:
-        nonlocal fps
+        nonlocal fps, n_streams, video_stream, vid_prefix
         end = min(end, len(buf))  # truncated streams: never read past EOF
         while pos + 8 <= end:
             cid, size = struct.unpack_from("<4sI", buf, pos)
@@ -93,13 +96,19 @@ def demux_avi(data: bytes) -> tuple[float, list[bytes]]:
                 subtype = buf[body_start:body_start + 4]
                 if subtype in (b"hdrl", b"strl", b"movi"):
                     walk(buf, body_start + 4, body_start + size)
-            elif cid == b"strh" and size >= 32 and fps == 0.0 \
-                    and body_start + 28 <= len(buf):
+            elif cid == b"strh" and size >= 32 and body_start + 28 <= len(buf):
                 fcc_type = buf[body_start:body_start + 4]
-                if fcc_type == b"vids":
+                if fcc_type == b"vids" and video_stream < 0:
+                    video_stream = n_streams
+                    vid_prefix = b"%02d" % n_streams
                     scale, rate = struct.unpack_from("<II", buf, body_start + 20)
                     fps = rate / scale if scale else 0.0
-            elif cid[2:4] in (b"dc", b"db") and size > 0:
+                n_streams += 1
+            elif (cid[2:4] in (b"dc", b"db") and size > 0
+                  and cid[:2] == vid_prefix):
+                # only the first video stream's chunks (e.g. 00dc); an AVI
+                # with an audio stream or a second video stream must not
+                # interleave foreign payloads into the frame list
                 frames.append(buf[body_start:body_start + size])
             pos = body_start + size + (size & 1)
 

@@ -74,10 +74,13 @@ def decode_wav(data: bytes, normalize: bool = False):
     """Parse a RIFF/WAVE stream → (samplerate, samplewidth, wavedata).
 
     Mirrors the reference contract: raw integer samples by default
-    (scipy.io.wavfile semantics: uint8 for 8-bit, int16/int32 for
-    16/24/32-bit, float32 kept as-is); ``normalize=True`` applies the
-    reference's ``/ (2**(8*samplewidth)/2)`` rule
-    (audiofile_read.py:44-50). Mono → 1-D, multi-channel → (n, ch)."""
+    (wavio semantics — the reference bundles wavio.py precisely because
+    scipy upshifts 24-bit into full int32 range, while wavio keeps raw
+    24-bit values, which the ``/ (2**(8*samplewidth)/2)`` normalize
+    rule depends on: uint8 for 8-bit, int16/int32 for 16/24/32-bit with
+    24-bit values NOT upshifted, float32 kept as-is); ``normalize=True``
+    applies the reference's normalize rule (audiofile_read.py:44-50).
+    Mono → 1-D, multi-channel → (n, ch)."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
     pos = 12

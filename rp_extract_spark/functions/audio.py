@@ -188,12 +188,14 @@ def resample_fft(samples: np.ndarray, sr_from: int, sr_to: int) -> np.ndarray:
 
 
 def auto_resample(samples: np.ndarray, samplerate: int) -> tuple[int, np.ndarray]:
-    """wav_read's auto-resample rule (audiofile_read.py:53-77): rates
-    other than 11025/22050/44100 are resampled to 44100 before
-    extraction."""
+    """wav_read's auto-resample rule (audiofile_read.py:68-74): rates
+    other than 11025/22050/44100 are resampled to 22050 when the input
+    rate is below 22050, else to 44100 (``to_samplerate = 22050 if
+    samplerate < 22050 else 44100``) before extraction."""
     if samplerate in SEGMENT_SIZES:
         return samplerate, np.asarray(samples, dtype=np.float64)
-    return 44100, resample_fft(samples, samplerate, 44100)
+    to = 22050 if samplerate < 22050 else 44100
+    return to, resample_fft(samples, samplerate, to)
 
 
 def _hz_to_mel(f: np.ndarray) -> np.ndarray:

@@ -56,6 +56,23 @@ def _token_hash(tok: str) -> int:
     return int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
 
 
+def _hash_token_array(tokens: Sequence[str]) -> np.ndarray:
+    """Vectorized batch token hashing: factorize the token list
+    (Zipfian corpora collapse to a small unique set), blake2b only the
+    uniques, gather back by code. Same hash values as per-token
+    ``_token_hash`` — strictly a throughput optimization (the last
+    per-item Python in the minhash/simhash hot kernel)."""
+    if len(tokens) == 0:
+        return np.empty(0, dtype=np.uint64)
+    codes, uniques = pd.factorize(
+        tokens if isinstance(tokens, np.ndarray) else np.asarray(tokens, dtype=object)
+    )
+    uh = np.fromiter(
+        (_token_hash(t) for t in uniques), dtype=np.uint64, count=len(uniques)
+    )
+    return uh[codes]
+
+
 def _shingle_hashes(text: str, k: int, mode: str = "word") -> np.ndarray:
     """Hashes of k-shingles of the lowercased text.
 
@@ -67,16 +84,7 @@ def _shingle_hashes(text: str, k: int, mode: str = "word") -> np.ndarray:
         toks = text.lower().split()
         if not toks:
             toks = ["_"]
-        h = np.fromiter(
-            (_token_hash(t) for t in toks), dtype=np.uint64, count=len(toks)
-        )
-        if h.size < k:
-            h = np.pad(h, (0, k - h.size), constant_values=np.uint64(0))
-        n = h.size - k + 1
-        base = np.uint64(1099511628211)
-        powers = base ** np.arange(k, dtype=np.uint64)
-        idx = np.arange(n)[:, None] + np.arange(k)[None, :]
-        return (h[idx] * powers[::-1][None, :]).sum(axis=1)  # wraps mod 2^64
+        return _rolling_from_token_hashes(_hash_token_array(toks), k)
     t = " ".join(text.lower().split())
     if len(t) < k:
         t = t.ljust(k, "_")
@@ -86,6 +94,72 @@ def _shingle_hashes(text: str, k: int, mode: str = "word") -> np.ndarray:
     powers = base ** np.arange(k, dtype=np.uint64)
     idx = np.arange(n)[:, None] + np.arange(k)[None, :]
     return (b[idx] * powers[::-1][None, :]).sum(axis=1)
+
+
+def _rolling_from_token_hashes(h: np.ndarray, k: int) -> np.ndarray:
+    """Polynomial rolling hash of k-grams over pre-hashed tokens
+    (wraps mod 2^64 by uint64 arithmetic)."""
+    if h.size < k:
+        h = np.pad(h, (0, k - h.size), constant_values=np.uint64(0))
+    n = h.size - k + 1
+    base = np.uint64(1099511628211)
+    powers = base ** np.arange(k, dtype=np.uint64)
+    idx = np.arange(n)[:, None] + np.arange(k)[None, :]
+    return (h[idx] * powers[::-1][None, :]).sum(axis=1)
+
+
+def _shingle_hashes_flat(
+    texts: Sequence[str], k: int, mode: str = "word"
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batch shingle hashing with NO per-document numpy calls:
+    (flat shingle-hash array, shingles-per-document counts).
+
+    Word mode: tokenize every document, hash the batch's tokens in ONE
+    factorize+gather pass (the whole batch shares one unique-token
+    table — Zipfian corpora collapse it to a fraction of the token
+    stream), then compute every document's k-gram rolling hashes in one
+    global windowed pass (documents shorter than k are zero-padded to
+    k, exactly like the scalar path; windows never cross document
+    boundaries). Identical values to ``_shingle_hashes``."""
+    if mode != "word":
+        per_doc = [_shingle_hashes(t or "", k, mode) for t in texts]
+        counts = np.fromiter((s.size for s in per_doc), dtype=np.int64,
+                             count=len(per_doc))
+        return (np.concatenate(per_doc) if per_doc
+                else np.empty(0, np.uint64)), counts
+    tok_lists = [((t or "").lower().split() or ["_"]) for t in texts]
+    counts = np.fromiter(
+        (len(x) for x in tok_lists), dtype=np.int64, count=len(tok_lists)
+    )
+    all_toks = [tok for toks in tok_lists for tok in toks]
+    h = _hash_token_array(all_toks)
+    # scatter token hashes into zero-padded per-doc segments (>= k each)
+    pad_counts = np.maximum(counts, k)
+    pb = np.concatenate(([0], np.cumsum(pad_counts)))
+    total = int(pb[-1])
+    g = np.zeros(total, dtype=np.uint64)
+    pos_in_seg = np.arange(total) - np.repeat(pb[:-1], pad_counts)
+    g[pos_in_seg < np.repeat(counts, pad_counts)] = h
+    # one global window pass: doc i contributes pad_counts[i]-k+1 windows
+    nwin = pad_counts - k + 1
+    wb = np.concatenate(([0], np.cumsum(nwin)))
+    n_windows = int(wb[-1])
+    wstarts = (np.repeat(pb[:-1], nwin)
+               + np.arange(n_windows) - np.repeat(wb[:-1], nwin))
+    base = np.uint64(1099511628211)
+    powers = (base ** np.arange(k, dtype=np.uint64))[::-1]
+    widx = wstarts[:, None] + np.arange(k)[None, :]
+    sh = (g[widx] * powers[None, :]).sum(axis=1)  # wraps mod 2^64
+    return sh, nwin
+
+
+def _shingle_hashes_batch(
+    texts: Sequence[str], k: int, mode: str = "word"
+) -> list[np.ndarray]:
+    """Per-document view over ``_shingle_hashes_flat`` (identical
+    values to calling ``_shingle_hashes`` per document)."""
+    sh, nwin = _shingle_hashes_flat(texts, k, mode)
+    return np.split(sh, np.cumsum(nwin)[:-1])
 
 
 _HASH_FAMILY_CACHE: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
@@ -145,6 +219,44 @@ def minhash_signature(text: str, n_hashes: int, k: int, seed: int,
     return _min_universal_hash(sh, a, b)
 
 
+def minhash_signatures_batch(
+    texts: Sequence[str], n_hashes: int, k: int, seed: int, mode: str = "word"
+) -> np.ndarray:
+    """(n_docs, n_hashes) MinHash signatures with no per-document
+    Python or numpy dispatch: one flat shingle pass, one universal-hash
+    grid per chunk of documents, per-document mins via
+    ``np.minimum.reduceat``. Identical values to ``minhash_signature``
+    per row (min over the shingle multiset == min over its set, so the
+    per-doc ``np.unique`` is unnecessary here). Chunked along the
+    document axis so the (n_hashes, n_shingles) uint64 grid stays
+    cache-resident regardless of Arrow batch size."""
+    sh, nwin = _shingle_hashes_flat(texts, k, mode)
+    sh = sh % _MERSENNE
+    a, b = _hash_family(n_hashes, seed)
+    bounds = np.concatenate(([0], np.cumsum(nwin)))
+    out = np.empty((len(texts), n_hashes), dtype=np.uint64)
+    # chunk by SHINGLE budget, not doc count: the (n_hashes, ~budget)
+    # grid + the ~12 _modmul61 temporaries stay L2-resident (measured
+    # 2.3x faster than a 256-doc chunk and strictly better than any
+    # global-unique+gather layout, whose random row gathers across a
+    # >L3 table thrash); one pathological long document still gets its
+    # own chunk rather than inflating a shared one
+    budget = 4096
+    c0 = 0
+    while c0 < len(texts):
+        c1 = max(
+            c0 + 1,
+            int(np.searchsorted(bounds, bounds[c0] + budget, side="right")) - 1,
+        )
+        c1 = min(c1, len(texts))
+        lo, hi = int(bounds[c0]), int(bounds[c1])
+        grid = (_modmul61(a[:, None], sh[lo:hi][None, :]) + b[:, None]) % _P61
+        offs = (bounds[c0:c1] - lo).astype(np.intp)
+        out[c0:c1] = np.minimum.reduceat(grid, offs, axis=1).T
+        c0 = c1
+    return out
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -164,11 +276,10 @@ def minhash_signatures(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            sigs = [
-                minhash_signature(t or "", n_hashes, shingle_k, seed, mode).astype(np.int64)
-                for t in b[text_col].values
-            ]
-            yield pd.DataFrame({id_col: b[id_col], "signature": sigs})
+            sigs = minhash_signatures_batch(
+                b[text_col].values, n_hashes, shingle_k, seed, mode
+            ).astype(np.int64)
+            yield pd.DataFrame({id_col: b[id_col], "signature": list(sigs)})
 
     return df.select(id_col, text_col).mapInPandas(run, schema)
 
@@ -300,8 +411,7 @@ def simhash64_batch(texts: Sequence[str], seed: int = 11) -> np.ndarray:
     if nz.size == 0:
         return out
     all_toks = [tok for i in nz for tok in tok_lists[i]]
-    h = np.fromiter((_token_hash(t) for t in all_toks), dtype=np.uint64,
-                    count=len(all_toks))
+    h = _hash_token_array(all_toks)
     h = _mix64(h ^ np.uint64(seed * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF))
     # bit i of h == unpackbits(little) index i on little-endian layout;
     # sum of signs = 2*popcount_per_bit - n_tokens (avoids the 64-wide
@@ -462,11 +572,15 @@ def embedding_cosine_dedup(
     seed: int = 13,
     dim: int | None = None,
     max_bucket_size: int = 512,
+    max_iters: int = 10,
 ) -> DataFrame:
     """Embedding near-duplicate detection: random-hyperplane LSH
     bucketing (same family as similarity.lsh_topk) narrows candidates
-    to same-bucket pairs; exact cosine >= threshold within a bucket
-    elects the min-id representative. Scale path: the pairwise step is
+    to same-bucket pairs; exact cosine >= threshold pairs are edges,
+    merged transitively via min-label propagation (same fixpoint as
+    minhash/simhash), so a chain A~B~C with no shared bucket for (A, C)
+    still lands on one representative — one-hop election would elect a
+    rep that is itself deduped away. Scale path: the pairwise step is
     per-bucket, never corpus x corpus — AND per-bucket membership is
     capped at ``max_bucket_size`` (lowest ids kept) so one degenerate
     bucket (e.g. all-zero embeddings) cannot create a quadratic task
@@ -515,13 +629,17 @@ def embedding_cosine_dedup(
         .filter(F.col("id_b") < F.col("id_a"))
         .withColumn("__cos", cosine_col(F.col("__va"), F.col("__vb")))
         .filter(F.col("__cos") >= threshold)
+        .select("id_a", "id_b")
     )
-    reps = pairs.groupBy("id_a").agg(F.min("id_b").alias("rep_id"))
-    return (
-        b.select(F.col(id_col))
-        .join(reps, b[id_col] == reps["id_a"], "left")
-        .select(
-            F.col(id_col),
-            F.coalesce("rep_id", F.col(id_col)).alias("rep_id"),
+    # verified pairs are edges; 2-member buckets + singleton self-buckets
+    # feed the same fixpoint simhash_dedup uses, so representatives are
+    # fixpoints (rep_id of a rep is itself)
+    edge_bk = F.xxhash64("id_a", "id_b")
+    edges = (
+        pairs.select(F.col("id_a").alias(id_col), edge_bk.alias("__bk"))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col), edge_bk.alias("__bk")))
+        .unionByName(
+            b.select(F.col(id_col), F.xxhash64(id_col, F.lit(-1)).alias("__bk"))
         )
     )
+    return propagate_min_ids(edges, id_col, "__bk", max_iters=max_iters)

@@ -84,6 +84,7 @@ def write_snapshot(
     manifest = {
         "snapshot_id": snapshot_id,
         "created_at": time.time(),
+        "mode": mode,
         "wall_s": round(time.time() - t0, 3),
         "total_rows": int(sum(m["rows"] for m in metrics)),
         "total_errors": int(sum(m["errors"] or 0 for m in metrics)),
@@ -141,16 +142,29 @@ def eta_report(out_dir: str, total_expected: int) -> dict:
     }
 
 
-def list_snapshots(out_dir: str) -> list[dict]:
+def list_snapshots(out_dir: str, include_invalidated: bool = False) -> list[dict]:
     """Snapshot manifests ordered by creation time (Iceberg
-    snapshot-log analog over the plain-parquet layout)."""
+    snapshot-log analog over the plain-parquet layout).
+
+    An ``overwrite`` snapshot deletes the parquet files that earlier
+    manifests pinned, so those manifests are tombstoned: by default
+    only the last overwrite and everything after it are returned
+    (their file lists are the only ones still readable).
+    ``include_invalidated=True`` returns the full history."""
     import glob
 
     out = []
     for p in glob.glob(os.path.join(out_dir, "_metrics", "*.json")):
         with open(p) as f:
             out.append(json.load(f))
-    return sorted(out, key=lambda m: m.get("created_at", 0))
+    out.sort(key=lambda m: m.get("created_at", 0))
+    if include_invalidated:
+        return out
+    cut = 0
+    for i, m in enumerate(out):
+        if m.get("mode") == "overwrite":
+            cut = i
+    return out[cut:]
 
 
 def read_snapshot(
@@ -167,6 +181,12 @@ def read_snapshot(
     else:
         matches = [m for m in snaps if m["snapshot_id"] == snapshot_id]
         if not matches:
+            all_snaps = list_snapshots(out_dir, include_invalidated=True)
+            if any(m["snapshot_id"] == snapshot_id for m in all_snaps):
+                raise ValueError(
+                    f"snapshot {snapshot_id!r} was invalidated by a later "
+                    "mode='overwrite' write (its pinned files were deleted)"
+                )
             raise ValueError(f"unknown snapshot {snapshot_id!r}")
         chosen = matches[0]
     files = chosen.get("files")

@@ -362,13 +362,21 @@ def minhash_lsh_dedup(
     seed: int = 7,
     mode: str = "word",
     max_iters: int = 10,
+    verify_jaccard: float | None = None,
+    jaccard_n: int = 3,
 ) -> DataFrame:
     """Near-duplicate detection: returns (id, rep_id) where rep_id is
     the smallest id in the document's *transitive* duplicate component
     (ids connected through shared LSH band buckets) — min-id labels are
     propagated to fixpoint, so chains A~B~C merge even when A and C
     share no bucket. ``max_iters=1`` gives the cheaper one-hop
-    approximation."""
+    approximation.
+
+    ``verify_jaccard``: when set, candidate pairs from shared band
+    buckets are verified with exact word-``jaccard_n``-gram Jaccard and
+    only pairs >= the threshold become edges (false-positive control;
+    the unverified default is recall-biased and merges any bucket
+    collision)."""
     rows_per_band = n_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k, seed, mode)
     banded = sigs.select(
@@ -382,8 +390,37 @@ def minhash_lsh_dedup(
             )
         ).alias("band", "bucket"),
     )
-    edges = banded.select(id_col, F.xxhash64("band", "bucket").alias("__edge_bk"))
-    return propagate_min_ids(edges, id_col, "__edge_bk", max_iters=max_iters)
+    if verify_jaccard is None:
+        # unverified: every shared band bucket is an edge (recall-biased)
+        edges = banded.select(id_col, F.xxhash64("band", "bucket").alias("__edge_bk"))
+        return propagate_min_ids(edges, id_col, "__edge_bk", max_iters=max_iters)
+    # verified: candidate pairs from shared buckets, exact n-gram
+    # Jaccard >= threshold filters out LSH false positives BEFORE the
+    # component merge — the standard candidates->verify->union-find
+    # near-dup pipeline (verification cost is per candidate pair only)
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bucket"])
+        .filter(F.col(f"a.{id_col}") > F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    verified = ngram_jaccard(df, cand, text_col, id_col, n=jaccard_n).filter(
+        F.col("jaccard") >= verify_jaccard
+    )
+    edge_bk = F.xxhash64("id_a", "id_b")
+    edges = (
+        verified.select(F.col("id_a").alias(id_col), edge_bk.alias("__bk"))
+        .unionByName(
+            verified.select(F.col("id_b").alias(id_col), edge_bk.alias("__bk"))
+        )
+        .unionByName(
+            df.select(F.col(id_col), F.xxhash64(id_col, F.lit(-1)).alias("__bk"))
+        )  # singletons keep themselves
+    )
+    return propagate_min_ids(edges, id_col, "__bk", max_iters=max_iters)
 
 
 def _mix64(h: np.ndarray) -> np.ndarray:

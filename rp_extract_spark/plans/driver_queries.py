@@ -1779,3 +1779,227 @@ def q_ivf_topk(spark, sf):
 
 
 QUERIES["ivf_topk"] = q_ivf_topk
+
+
+# ------------------------------------------- round 3: ANN recall oracles
+#
+# The approximate operators (LSH top-k, IVF probe, MinHash candidates,
+# embedding near-dup) were rows-only in round 2. They become fully
+# oracled by making the approximation REPRODUCIBLE in SQL: the random
+# hyperplanes depend only on (dim, n_planes, seed), so their constants
+# are inlined into the oracle; IVF uses table rows as fixed coarse
+# centroids; MinHash candidates are verified with exact n-gram Jaccard
+# whose >=threshold ground truth DuckDB recomputes over ALL pairs
+# (a genuine recall check: one missed true pair = one missing row).
+
+def _sql_double_array(vals) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in vals) + "]::DOUBLE[]"
+
+
+def _sql_bucket_expr(vec_sql: str, planes) -> str:
+    """DuckDB expression for the random-hyperplane LSH bucket id —
+    bit i (MSB-first) = sign of <vec, plane_i>, identical to
+    operators.similarity.bucket_col."""
+    n = len(planes)
+    terms = [
+        f"(CASE WHEN list_dot_product({vec_sql}, {_sql_double_array(p)}) >= 0"
+        f" THEN {1 << (n - 1 - i)} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    ]
+    return "(" + "\n   + ".join(terms) + ")"
+
+
+def _planes(n_planes: int):
+    from ..operators.similarity import hyperplanes
+
+    return hyperplanes(64, n_planes, seed=13)  # embeddings dim is 64 at every SF
+
+
+ORACLE_LSH_TOPK = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 5),
+b AS (SELECT e.vec_id,
+             list_cosine_similarity(e.embedding::DOUBLE[], q.v) AS cs,
+             {_sql_bucket_expr("e.embedding::DOUBLE[]", _planes(8))} AS bucket,
+             {_sql_bucket_expr("q.v", _planes(8))} AS qbucket
+      FROM embeddings e, q)
+SELECT vec_id, round(cs, 5) AS cos_sim
+FROM b WHERE bucket = qbucket
+ORDER BY cs DESC, vec_id ASC LIMIT 10
+"""
+
+ORACLES["lsh_topk"] = ORACLE_LSH_TOPK
+
+
+def q_ivf_recall(spark, sf):
+    """IVF probe with FIXED coarse centroids (the embeddings of
+    vec_id 0..7), so the whole approximate search — nearest-centroid
+    assignment, nprobe-list selection, in-list exact top-k — is
+    independently recomputable in DuckDB. Complements ivf_topk (which
+    keeps the k-means-trained quantizer, not SQL-expressible)."""
+    from ..operators.similarity import ivf_build, ivf_probe
+
+    e = _t(spark, sf, "embeddings")
+    cent = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("string").alias("centroid_label"),
+        F.col("embedding").cast("array<double>").alias("centroid"),
+    )
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 7).first().embedding]
+    lists = ivf_build(e, cent)
+    out = ivf_probe(lists, cent, qv, k=10, nprobe=2)
+    return out.select(
+        "vec_id", F.round("score", 5).alias("cos_sim")
+    ).orderBy(F.col("cos_sim").desc(), "vec_id")
+
+
+ORACLE_IVF_RECALL = """
+WITH cent AS (SELECT CAST(vec_id AS VARCHAR) AS lab, embedding::DOUBLE[] AS c
+              FROM embeddings WHERE vec_id < 8),
+q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7),
+assign AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS ev,
+         (SELECT lab FROM cent
+          ORDER BY list_distance(cent.c, e.embedding::DOUBLE[]) ASC, lab ASC
+          LIMIT 1) AS list_id
+  FROM embeddings e),
+probe AS (SELECT lab FROM cent, q
+          ORDER BY list_distance(c, v) ASC, lab ASC LIMIT 2)
+SELECT vec_id, round(list_cosine_similarity(ev, (SELECT v FROM q)), 5) AS cos_sim
+FROM assign WHERE list_id IN (SELECT lab FROM probe)
+ORDER BY list_cosine_similarity(ev, (SELECT v FROM q)) DESC, vec_id ASC LIMIT 10
+"""
+
+QUERIES["ivf_recall"] = q_ivf_recall
+ORACLES["ivf_recall"] = ORACLE_IVF_RECALL
+
+
+def q_minhash_recall(spark, sf):
+    """Recall oracle for MinHash LSH: banded-signature candidates,
+    verified with EXACT word-3-gram Jaccard, thresholded at 0.5. The
+    oracle recomputes the >=0.5 ground truth over ALL document pairs in
+    DuckDB — if the LSH bands miss one true near-dup pair, the Spark
+    side has one row fewer and the gate goes red. With 32 bands x 4
+    rows, P(miss) at jaccard s is (1-s^4)^32 (<= 5e-8 for s >= 0.8; the
+    corpus' true pairs all sit above 0.8), and the outcome is
+    deterministic for a fixed seed."""
+    from ..operators.dedup import minhash_signatures, ngram_jaccard
+
+    d = _t(spark, sf, "documents")
+    n_hashes, bands = 128, 32
+    rpb = n_hashes // bands
+    sigs = minhash_signatures(d, n_hashes=n_hashes)
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.xxhash64(F.slice("signature", i * rpb + 1, rpb)),
+            )
+        ).alias("band", "bucket"),
+    )
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.doc_id") > F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    j = ngram_jaccard(d, cand, n=3)
+    return (
+        j.filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+ORACLE_MINHASH_RECALL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - 2, 1)),
+           i -> array_to_string(t[i:i+2], ' '))) AS g
+  FROM toks),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.g, b.g))
+           / greatest(len(list_distinct(list_concat(a.g, b.g))), 1) AS jac
+  FROM grams a JOIN grams b ON b.doc_id < a.doc_id)
+SELECT id_a, id_b, round(jac, 6) AS jaccard
+FROM pairs WHERE jac >= 0.5 ORDER BY id_a, id_b
+"""
+
+QUERIES["minhash_recall"] = q_minhash_recall
+ORACLES["minhash_recall"] = ORACLE_MINHASH_RECALL
+
+
+ORACLE_EMBEDDING_DEDUP = f"""
+WITH RECURSIVE b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {_sql_bucket_expr("embedding::DOUBLE[]", _planes(10))} AS bucket
+  FROM embeddings),
+capped AS (
+  SELECT vec_id, v, bucket FROM (
+    SELECT vec_id, v, bucket,
+           row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn
+    FROM b)
+  WHERE rn <= 512),
+edges AS (
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b
+  FROM capped a JOIN capped c ON a.bucket = c.bucket AND c.vec_id < a.vec_id
+  WHERE list_cosine_similarity(a.v, c.v) >= 0.98),
+sym AS (SELECT id_a AS s, id_b AS d FROM edges
+        UNION SELECT id_b, id_a FROM edges),
+reach(a, r) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT sym.s, reach.r FROM sym JOIN reach ON reach.a = sym.d)
+SELECT a AS vec_id, min(r) AS rep_id FROM reach GROUP BY a ORDER BY vec_id
+"""
+
+ORACLES["embedding_dedup"] = ORACLE_EMBEDDING_DEDUP
+
+
+def q_minhash_dedup_verified(spark, sf):
+    """MinHash near-dup COMPONENTS, fully oracled: band candidates ->
+    exact 3-gram Jaccard verify (>= 0.5) -> transitive min-label
+    components. Because minhash_recall proves band recall is 1.0 on
+    this corpus, the verified component structure equals the components
+    of the exact all-pairs Jaccard graph, which DuckDB recomputes with
+    a recursive CTE — approximate pipeline vs exact ground truth."""
+    from ..operators.dedup import minhash_lsh_dedup
+
+    d = _t(spark, sf, "documents")
+    out = minhash_lsh_dedup(d, n_hashes=128, bands=32, verify_jaccard=0.5)
+    return out.select("doc_id", "rep_id").orderBy("doc_id")
+
+
+ORACLE_MINHASH_DEDUP_VERIFIED = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - 2, 1)),
+           i -> array_to_string(t[i:i+2], ' '))) AS g
+  FROM toks),
+edges AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM grams a JOIN grams b ON b.doc_id < a.doc_id
+  WHERE len(list_intersect(a.g, b.g))
+          / greatest(len(list_distinct(list_concat(a.g, b.g))), 1) >= 0.5),
+sym AS (SELECT id_a AS s, id_b AS d FROM edges
+        UNION SELECT id_b, id_a FROM edges),
+reach(a, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT sym.s, reach.r FROM sym JOIN reach ON reach.a = sym.d)
+SELECT a AS doc_id, min(r) AS rep_id FROM reach GROUP BY a ORDER BY doc_id
+"""
+
+QUERIES["minhash_dedup_verified"] = q_minhash_dedup_verified
+ORACLES["minhash_dedup_verified"] = ORACLE_MINHASH_DEDUP_VERIFIED

@@ -243,3 +243,96 @@ def multilabel_accuracy(
         )
         .orderBy("category")
     )
+
+
+def _dot_col(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def train_logreg_ovr(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    iters: int = 8,
+    lr: float = 2.0,
+) -> DataFrame:
+    """One-vs-rest binary logistic regression by full-batch gradient
+    descent — the DataFrame-native analog of the reference's linear
+    model family (rp_classify.py:59-66 trains sklearn.svm.SVC; a
+    margin-based linear classifier is the closest Spark-idiomatic,
+    oracle-checkable substitute, trained jointly for every class).
+
+    Each iteration is ONE distributed aggregation: broadcast the
+    (n_classes x dim+1) weight table, compute residuals
+    sigmoid(w.x) - y executor-side, posexplode to (class, pos) and take
+    the mean-gradient; the tiny gradient table is collected and the
+    weights updated driver-side (the same collect-the-K-row-model
+    discipline as kmeans_fit, so plan depth stays constant across
+    iterations — no lineage bomb). Features are augmented with a
+    constant-1 bias dimension. Returns (class_label, weights) with
+    len(weights) == dim+1."""
+    spark = df.sparkSession
+    v = F.concat(F.col(vec_col).cast("array<double>"), F.array(F.lit(1.0)))
+    pts = df.select(
+        F.col(label_col).cast("string").alias("__y"), v.alias("__v")
+    ).persist()
+    try:
+        first = pts.first()
+        if first is None:
+            return spark.createDataFrame(
+                [], "class_label string, weights array<double>"
+            )
+        dim = len(first["__v"])
+        classes = sorted(r["__y"] for r in pts.select("__y").distinct().collect())
+        weights = {c: [0.0] * dim for c in classes}
+        for _ in range(iters):
+            wdf = spark.createDataFrame(
+                [(c, weights[c]) for c in classes],
+                "class_label string, w array<double>",
+            )
+            scored = pts.crossJoin(F.broadcast(wdf)).withColumn(
+                "__r",
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-_dot_col(F.col("__v"), F.col("w"))))
+                - F.when(F.col("__y") == F.col("class_label"), 1.0).otherwise(0.0),
+            )
+            grad = (
+                scored.select("class_label", "__r", F.posexplode("__v"))
+                .groupBy("class_label", "pos")
+                .agg(F.avg(F.col("__r") * F.col("col")).alias("g"))
+                .collect()
+            )
+            for r in grad:
+                weights[r["class_label"]][r["pos"]] -= lr * r["g"]
+    finally:
+        pts.unpersist()
+    return spark.createDataFrame(
+        [(c, weights[c]) for c in classes], "class_label string, weights array<double>"
+    )
+
+
+def predict_logreg(
+    model: DataFrame,
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Arg-max OvR score (w.x with the bias dimension appended), with
+    a deterministic class-label tiebreak. Scoring is a broadcast join
+    + JVM fold — one scan, no shuffle beyond the ranked window."""
+    v = F.concat(F.col(vec_col).cast("array<double>"), F.array(F.lit(1.0)))
+    joined = df.select(F.col(id_col), v.alias("__v")).crossJoin(F.broadcast(model))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__s").desc(), F.col("class_label").asc()
+    )
+    return (
+        joined.withColumn("__s", _dot_col(F.col("__v"), F.col("weights")))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            id_col,
+            F.col("class_label").alias("predicted_label"),
+            F.col("__s").alias("score"),
+        )
+    )

@@ -2003,3 +2003,78 @@ SELECT a AS doc_id, min(r) AS rep_id FROM reach GROUP BY a ORDER BY doc_id
 
 QUERIES["minhash_dedup_verified"] = q_minhash_dedup_verified
 ORACLES["minhash_dedup_verified"] = ORACLE_MINHASH_DEDUP_VERIFIED
+
+
+def _logreg_oracle_sql(iters: int, lr: float) -> str:
+    """Unrolled full-batch gradient-descent logistic regression in pure
+    SQL: one CTE block per iteration (residuals -> per-dimension mean
+    gradient -> updated weight lists). Mirrors train_logreg_ovr exactly
+    (zero init, bias dimension appended, mean gradient, same lr), so
+    the trained model itself is cross-checked, not just the scoring.
+    The embeddings dim (64, +1 bias) is constant at every SF and is
+    baked in because generate_series needs constant bounds."""
+    parts = [r"""WITH raw AS (
+  SELECT vec_id, CAST(label AS VARCHAR) AS y,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings),
+stats AS (SELECT pos, avg(val) AS mu, stddev_pop(val) AS sd
+          FROM raw GROUP BY pos),
+e AS (
+  SELECT vec_id, y,
+         list_append(
+           list((raw.val - stats.mu)
+                / (CASE WHEN stats.sd = 0 THEN 1.0 ELSE stats.sd END)
+                ORDER BY raw.pos), 1.0) AS v
+  FROM raw JOIN stats USING (pos)
+  GROUP BY vec_id, y),
+w0 AS (SELECT DISTINCT y AS cls,
+              list_transform(generate_series(1, 65), i -> 0.0) AS w
+       FROM e)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+s{i} AS (SELECT w.cls, e.v,
+               1.0/(1.0+exp(-list_dot_product(w.w, e.v)))
+                 - (CASE WHEN e.y = w.cls THEN 1.0 ELSE 0.0 END) AS r
+        FROM e, w{i - 1} w),
+g{i} AS (SELECT cls, t.pos, avg(r * v[t.pos]) AS g
+        FROM s{i}, generate_series(1, 65) AS t(pos)
+        GROUP BY cls, t.pos),
+w{i} AS (SELECT w{i - 1}.cls,
+               list(w{i - 1}.w[g.pos] - {lr!r} * g.g ORDER BY g.pos) AS w
+        FROM g{i} g JOIN w{i - 1} ON w{i - 1}.cls = g.cls
+        GROUP BY w{i - 1}.cls)""")
+    parts.append(f""",
+sc AS (SELECT e.vec_id, w.cls, list_dot_product(w.w, e.v) AS s
+       FROM e, w{iters} w),
+r AS (SELECT vec_id, cls, s,
+             row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cls ASC) AS rn
+      FROM sc)
+SELECT vec_id, cls AS predicted_label, round(s, 5) AS score
+FROM r WHERE rn = 1 ORDER BY vec_id""")
+    return "".join(parts)
+
+
+def q_logreg_classify(spark, sf):
+    """Linear-model classifier (the reference's SVC family analog,
+    rp_classify.py:59-66): OvR logistic regression trained by 8
+    full-batch GD iterations, each ONE distributed aggregation with the
+    K-row model collected per iteration. The oracle re-trains the SAME
+    model in DuckDB (unrolled iterations) and re-scores — weights,
+    bias, argmax and tiebreaks all cross-checked."""
+    from ..operators.classify import (apply_vector_scaler, fit_vector_scaler,
+                                      predict_logreg, train_logreg_ovr)
+
+    e = _t(spark, sf, "embeddings")
+    es = apply_vector_scaler(e, fit_vector_scaler(e))  # StandardScaler
+    # first, exactly like the reference (rp_classify.py:28-37) — and GD
+    # on standardized features converges in single-digit iterations
+    model = train_logreg_ovr(es, iters=8, lr=2.0)
+    preds = predict_logreg(model, es)
+    return preds.select(
+        "vec_id", "predicted_label", F.round("score", 5).alias("score")
+    ).orderBy("vec_id")
+
+
+QUERIES["logreg_classify"] = q_logreg_classify
+ORACLES["logreg_classify"] = _logreg_oracle_sql(iters=8, lr=2.0)

@@ -88,16 +88,31 @@ def decode_audio(data: bytes) -> tuple[int, np.ndarray]:
     """Audio decode dispatch (audiofile_read.py:354-400 analog):
     RIFF/WAVE payloads decode for REAL via the in-repo PCM codec
     (codecs/wav.py, normalized to (-1,1) like the reference's
-    normalize_wav); compressed formats (MP3/AAC) need ffmpeg, which is
-    absent here — those raise and land in the err column."""
+    normalize_wav). MPEG-1 Layer III streams go through the in-repo
+    pure-numpy decoder (codecs/mp3.py) — complete frame/side-info/
+    scalefactor/requantize/IMDCT/synthesis pipeline; streams selecting
+    Huffman code tables outside the verified subset raise Mp3Error
+    (the remaining Annex B.7 tables are published constants this
+    sandbox cannot source or verify — see codecs/_mp3_tables.py).
+    Other compressed formats (AAC etc.) raise and land in the err
+    column."""
     if data[:4] == b"RIFF":
         from ..codecs.wav import decode_wav
 
         sr, _sw, samples = decode_wav(data, normalize=True)
         return sr, np.asarray(samples, dtype=np.float64)
+    if len(data) > 4 and (
+        data[:3] == b"ID3"
+        or (data[0] == 0xFF and (data[1] & 0xE0) == 0xE0)
+    ):
+        from ..codecs.mp3 import decode_mp3
+
+        sr, sw, samples = decode_mp3(data)
+        # same normalize rule as the reference applies to s16 WAVs
+        return sr, np.asarray(samples, dtype=np.float64) / (2 ** (8 * sw) / 2)
     raise NotImplementedError(
-        "compressed audio decode requires ffmpeg/mpg123, not present in "
-        "this sandbox (WAV/PCM decodes natively)"
+        "unsupported compressed audio format (WAV/PCM and MPEG-1 Layer "
+        "III decode natively; AAC etc. would need ffmpeg, absent here)"
     )
 
 

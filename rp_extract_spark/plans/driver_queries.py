@@ -2078,3 +2078,36 @@ def q_logreg_classify(spark, sf):
 
 QUERIES["logreg_classify"] = q_logreg_classify
 ORACLES["logreg_classify"] = _logreg_oracle_sql(iters=8, lr=2.0)
+
+
+def q_mp3_decode(spark, sf):
+    """S4 (compressed-audio decode): self-generated MPEG-1 Layer III
+    streams (codecs/mp3.encode_mp3_subset, verified-table subset)
+    through the Spark audio-analysis path — full bitstream decode
+    (header/side-info/Huffman/requantize/IMDCT/synthesis) on
+    executors, error isolation for a corrupt row. Rows-only: bit-level
+    codec work has no SQL oracle; byte-exact PCM equality is
+    pytest-enforced (tests/test_mp3.py)."""
+    import numpy as np
+
+    from ..codecs.mp3 import encode_mp3_subset
+    from ..operators.multimodal import analyze_audio
+
+    rng = np.random.default_rng(17)
+    rows = []
+    for i in range(8):
+        pairs = [tuple(int(v) for v in rng.integers(-5, 6, size=2))
+                 for _ in range(24)]
+        rows.append((f"mp3_{i:02d}",
+                     bytearray(encode_mp3_subset([pairs, pairs]))))
+    rows.append(("corrupt", bytearray(b"\xff\xfb\x00\x00garbage")))
+    clips = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    out = analyze_audio(clips)
+    return out.select(
+        "clip_id", "n_samples", "samplerate",
+        F.round("rms", 6).alias("rms"),
+        F.col("err").isNotNull().alias("failed"),
+    ).orderBy("clip_id")
+
+
+QUERIES["mp3_decode"] = q_mp3_decode

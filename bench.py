@@ -51,6 +51,12 @@ RELATIONAL = [
     "knn_euclidean",
     "minhash_dedup",
     "simhash",
+    # round 3
+    "minhash_dedup_verified",
+    "embedding_dedup",
+    "ivf_recall",
+    "logreg_classify",
+    "mp3_decode",
 ]
 
 

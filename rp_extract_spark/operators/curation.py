@@ -1,0 +1,109 @@
+"""Training-data curation operators: sequence packing, stratified
+splits, benchmark decontamination.
+
+These are the corpus-side steps an LLM-scale pipeline runs after
+dedup/quality gating (operators/dedup.py, operators/text.py) and
+before tokenization. No reference analog (the reference stops at
+per-file descriptors); all three are pure DataFrame ops with exact
+DuckDB oracles in the driver contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .text import fingerprint, token_count
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget: int = 1024,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Concatenate-and-chunk sequence assignment (the standard LLM
+    pretraining packing): documents are laid out in ``id_col`` order
+    into one token stream; ``seq_id = start_offset // budget`` is the
+    fixed-budget training sequence each document STARTS in.
+
+    Scale path — a distributed prefix sum, NOT a global window (an
+    unpartitioned window moves the corpus to one task): range-partition
+    by id, cumsum per partition (window partitioned by partition id,
+    fully parallel), then add broadcast per-partition base offsets
+    (P rows). Returns (id, n_tokens, start_offset, seq_id)."""
+    spark = df.sparkSession
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    t = df.select(
+        F.col(id_col), token_count(F.col(text_col)).alias("n_tokens")
+    ).repartitionByRange(n_parts, F.col(id_col))
+    t = t.withColumn("__pid", F.spark_partition_id())
+    # per-partition running total (parallel: window is partitioned)
+    w = Window.partitionBy("__pid").orderBy(id_col)
+    t = t.withColumn("__local_end", F.sum("n_tokens").over(w))
+    # base offset per partition: exclusive prefix sum over P rows
+    parts = t.groupBy("__pid").agg(F.max("__local_end").alias("__psum"))
+    wp = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    bases = parts.select(
+        "__pid", F.coalesce(F.sum("__psum").over(wp), F.lit(0)).alias("__base")
+    )  # P rows only — the single-partition window is over partition COUNT
+    out = t.join(F.broadcast(bases), "__pid").select(
+        F.col(id_col),
+        "n_tokens",
+        (F.col("__base") + F.col("__local_end") - F.col("n_tokens"))
+        .alias("start_offset"),
+        F.floor(
+            (F.col("__base") + F.col("__local_end") - F.col("n_tokens"))
+            / F.lit(budget)
+        ).cast("long").alias("seq_id"),
+    )
+    return out
+
+
+def stratified_split(
+    df: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    fractions: "tuple[tuple[str, float], ...]" = (
+        ("train", 0.8), ("val", 0.1), ("test", 0.1),
+    ),
+) -> DataFrame:
+    """Deterministic stratified train/val/test assignment: within each
+    label, rank by id and cut at floor(n * cumulative_fraction) — every
+    label contributes proportionally, the split is reproducible and
+    engine-independent (no RNG). One shuffle on the label."""
+    w = Window.partitionBy(label_col).orderBy(F.col(id_col).asc())
+    ranked = df.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy(label_col))
+    )
+    expr = None
+    cum = 0.0
+    for name, frac in fractions[:-1]:
+        cum += frac
+        cond = F.col("__rn") <= F.floor(F.col("__n") * F.lit(cum))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    split = (F.lit(fractions[-1][0]) if expr is None
+             else expr.otherwise(fractions[-1][0]))
+    return ranked.withColumn("split", split).drop("__rn", "__n")
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: drop corpus documents whose
+    whitespace-normalized content fingerprint appears in the benchmark
+    set. Broadcast left-anti join on 128-bit digests — benchmark sets
+    are tiny next to the corpus, and no text crosses the exchange. For
+    near-duplicate contamination compose with minhash_lsh_dedup over
+    corpus+benchmark union (operators/dedup.py)."""
+    b = benchmark.select(
+        fingerprint(F.col(text_col)).alias("__bfp")
+    ).distinct()
+    return corpus.withColumn("__fp", fingerprint(F.col(text_col))).join(
+        F.broadcast(b), F.col("__fp") == F.col("__bfp"), "left_anti"
+    ).drop("__fp")

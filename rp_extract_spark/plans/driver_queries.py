@@ -2111,3 +2111,98 @@ def q_mp3_decode(spark, sf):
 
 
 QUERIES["mp3_decode"] = q_mp3_decode
+
+
+# ------------------------------------ round 3: curation operators
+
+_SQL_NTOK = r"""CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                 - length(replace(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ', '')) + 1
+       END"""
+
+
+def q_pack_sequences(spark, sf):
+    """Concatenate-and-chunk sequence packing for LLM pretraining:
+    token stream in doc_id order, seq_id = start_offset // budget.
+    Implemented as a DISTRIBUTED prefix sum (range partition +
+    per-partition window + broadcast base offsets — no global window);
+    the oracle is the plain global running sum in SQL."""
+    from ..operators.curation import pack_sequences
+
+    d = _t(spark, sf, "documents")
+    out = pack_sequences(d, budget=512)
+    return out.select(
+        "doc_id", "n_tokens", "start_offset", "seq_id"
+    ).orderBy("doc_id")
+
+
+ORACLE_PACK_SEQUENCES = rf"""
+WITH t AS (
+  SELECT doc_id, {_SQL_NTOK} AS n_tokens FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS start_offset
+  FROM t)
+SELECT doc_id, n_tokens, start_offset,
+       CAST(FLOOR(start_offset / 512) AS BIGINT) AS seq_id
+FROM c ORDER BY doc_id
+"""
+
+QUERIES["pack_sequences"] = q_pack_sequences
+ORACLES["pack_sequences"] = ORACLE_PACK_SEQUENCES
+
+
+def q_stratified_split(spark, sf):
+    """Deterministic stratified train/val/test assignment (80/10/10
+    within every label, rank-by-id cuts — reproducible, no RNG)."""
+    from ..operators.curation import stratified_split
+
+    e = _t(spark, sf, "embeddings")
+    out = stratified_split(e, label_col="label", id_col="vec_id")
+    return out.select("vec_id", "label", "split").orderBy("vec_id")
+
+
+ORACLE_STRATIFIED_SPLIT = """
+WITH r AS (
+  SELECT vec_id, label,
+         row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn,
+         count(*) OVER (PARTITION BY label) AS n
+  FROM embeddings)
+SELECT vec_id, label,
+       CASE WHEN rn <= FLOOR(n * 0.8) THEN 'train'
+            WHEN rn <= FLOOR(n * 0.9) THEN 'val'
+            ELSE 'test' END AS split
+FROM r ORDER BY vec_id
+"""
+
+QUERIES["stratified_split"] = q_stratified_split
+ORACLES["stratified_split"] = ORACLE_STRATIFIED_SPLIT
+
+
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination: corpus documents whose normalized
+    content fingerprint appears in the 'benchmark' (every 10th doc
+    plays the benchmark here) are dropped — broadcast anti-join on
+    md5 digests, no text in the exchange."""
+    from ..operators.curation import decontaminate
+
+    d = _t(spark, sf, "documents")
+    benchmark = d.filter(F.col("doc_id") % 10 == 0).select("text")
+    kept = decontaminate(d, benchmark)
+    return kept.select("doc_id").orderBy("doc_id")
+
+
+ORACLE_DECONTAMINATE = r"""
+WITH bfp AS (
+  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents WHERE doc_id % 10 = 0)
+SELECT doc_id FROM documents
+WHERE md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+      NOT IN (SELECT fp FROM bfp)
+ORDER BY doc_id
+"""
+
+QUERIES["decontaminate"] = q_decontaminate
+ORACLES["decontaminate"] = ORACLE_DECONTAMINATE

@@ -1,0 +1,105 @@
+"""Curation operators: sequence packing (distributed prefix sum),
+stratified splits, benchmark decontamination."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rp_extract_spark.operators.curation import (
+    decontaminate,
+    pack_sequences,
+    stratified_split,
+)
+
+
+def _docs(spark, n=100, seed=11):
+    rng = np.random.default_rng(seed)
+    rows = [
+        (i, " ".join(f"w{rng.integers(0, 50)}" for _ in range(int(rng.integers(1, 30)))))
+        for i in range(n)
+    ]
+    rows[7] = (7, "")  # empty doc: 0 tokens
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pack_sequences_matches_serial_cumsum(spark):
+    d = _docs(spark)
+    out = {r.doc_id: r for r in pack_sequences(d, budget=64,
+                                               num_partitions=4).collect()}
+    toks = {r.doc_id: r.n_tokens for r in d.select(
+        "doc_id", F.when(F.length(F.trim("text")) == 0, 0)
+        .otherwise(F.size(F.split(F.lower(F.trim("text")), r"\s+")))
+        .alias("n_tokens")).collect()}
+    offset = 0
+    for i in sorted(toks):
+        assert out[i].n_tokens == toks[i]
+        assert out[i].start_offset == offset, i
+        assert out[i].seq_id == offset // 64
+        offset += toks[i]
+
+
+def test_pack_sequences_no_global_window(spark):
+    """The prefix sum must not funnel the corpus through one task: the
+    only single-partition window runs over the P-row partition sums."""
+    d = _docs(spark, n=200)
+    out = pack_sequences(d, budget=128, num_partitions=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the data window is partitioned by the partition id
+    assert "__pid" in plan
+    # and the broadcast join distributes the P base offsets
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_pack_sequences_partition_count_invariant(spark):
+    d = _docs(spark, n=150, seed=3)
+    a = {(r.doc_id, r.start_offset, r.seq_id)
+         for r in pack_sequences(d, budget=100, num_partitions=2).collect()}
+    b = {(r.doc_id, r.start_offset, r.seq_id)
+         for r in pack_sequences(d, budget=100, num_partitions=13).collect()}
+    assert a == b
+
+
+def test_stratified_split_fractions(spark):
+    rows = [(i, i % 3) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, label int")
+    out = stratified_split(df, label_col="label", id_col="vec_id")
+    counts = {(r.label, r.split): r["count"] for r in
+              out.groupBy("label", "split").count().collect()}
+    for lab in range(3):
+        assert counts[(lab, "train")] == 80
+        assert counts[(lab, "val")] == 10
+        assert counts[(lab, "test")] == 10
+    # deterministic: same assignment on re-run
+    out2 = stratified_split(df, label_col="label", id_col="vec_id")
+    assert {(r.vec_id, r.split) for r in out.collect()} == \
+           {(r.vec_id, r.split) for r in out2.collect()}
+
+
+def test_stratified_split_single_bucket(spark):
+    df = spark.createDataFrame([(1, 0), (2, 0)], "vec_id long, label int")
+    out = stratified_split(df, fractions=(("all", 1.0),))
+    assert {r.split for r in out.collect()} == {"all"}
+
+
+def test_decontaminate_normalized_matches(spark):
+    corpus = spark.createDataFrame(
+        [(1, "The Quick  Brown fox"), (2, "something else"),
+         (3, "unrelated text"), (4, "benchmark question two")],
+        "doc_id long, text string",
+    )
+    benchmark = spark.createDataFrame(
+        [("the quick brown fox",), ("Benchmark   Question two",)],
+        "text string",
+    )
+    kept = sorted(r.doc_id for r in decontaminate(corpus, benchmark).collect())
+    assert kept == [2, 3]  # 1 and 4 match after normalization
+
+
+def test_decontaminate_broadcast_anti_plan(spark):
+    corpus = _docs(spark, n=50)
+    benchmark = corpus.filter("doc_id < 5").select("text")
+    out = decontaminate(corpus, benchmark)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # no raw text column in the join keys: digests only
+    assert out.columns == ["doc_id", "text"]

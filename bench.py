@@ -57,6 +57,9 @@ RELATIONAL = [
     "ivf_recall",
     "logreg_classify",
     "mp3_decode",
+    "pack_sequences",
+    "stratified_split",
+    "decontaminate",
 ]
 
 
@@ -104,7 +107,10 @@ def main() -> None:
     ).count().write.format("noop").mode("overwrite").save()
 
     sf_label = SF_DIR.rstrip("/").split("sf")[-1]
-    for name in RELATIONAL:
+    only = os.environ.get("BENCH_ONLY")
+    selected = ([q for q in only.split(",") if q in QUERIES]
+                if only else RELATIONAL)
+    for name in selected:
         fn = QUERIES[name]
         best = float("inf")
         for _ in range(REPS):

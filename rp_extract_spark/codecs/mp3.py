@@ -382,13 +382,15 @@ def _requantize(is_: np.ndarray, g: dict, sf: dict, samplerate: int) -> np.ndarr
     long_limit = 576
     if short:
         long_limit = sfb_l[8] if g["mixed_block"] else 0
-    # long region
-    for band in range(21):
+    # long region: 22 bands; only 21 scalefactors are transmitted —
+    # the top band (sfb 21, lines 418..575 at 44.1 kHz) uses sf = 0
+    for band in range(22):
         lo, hi = sfb_l[band], sfb_l[band + 1]
         if lo >= long_limit:
             break
         hi = min(hi, long_limit)
-        exp = -sfs * (sf["l"][band] + g["preflag"] * _PRETAB[band])
+        sf_band = sf["l"][band] if band < 21 else 0
+        exp = -sfs * (sf_band + g["preflag"] * _PRETAB[band])
         xr[lo:hi] = mag[lo:hi] * gain * 2.0 ** exp
     if not short:
         return xr
@@ -399,9 +401,9 @@ def _requantize(is_: np.ndarray, g: dict, sf: dict, samplerate: int) -> np.ndarr
         n = hi - lo
         base = lo * 3
         for w in range(3):
-            wgain = gain * 2.0 ** (-8.0 * g["subblock_gain"][w] / 4.0 * 2.0)
-            # 2^(global_gain-210)/4 with an extra -8*subblock_gain in the
-            # numerator of the same /4 exponent => factor 2^(-2*sbg)
+            # 2^((global_gain-210)/4) with an extra -8*subblock_gain in
+            # the same /4 exponent => extra factor 2^(-2*sbg)
+            wgain = gain * 2.0 ** (-2.0 * g["subblock_gain"][w])
             exp = -sfs * sf["s"][w][band]
             seg = slice(base + w * n, base + (w + 1) * n)
             xr[seg] = mag[seg] * wgain * 2.0 ** exp

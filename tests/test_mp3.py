@@ -220,3 +220,53 @@ def test_doctest_golden_segment_count():
     plan = segment_plan(n_samples, info["samplerate"])
     assert plan["n_segments"] == 7  # doctest: "Analyzing 7 segments"
     assert plan["segment_size"] == 2 ** 18
+
+
+def test_requantize_short_blocks_formula():
+    """Short-block requantize against the spec formula computed
+    directly: xr = sign * |v|^(4/3) * 2^((gg-210)/4 - 2*sbg)
+    * 2^(-(1+sfs)/2 * scalefac[w][band]) per window (2.4.3.4.6)."""
+    g = {
+        "global_gain": 200, "scalefac_scale": 1, "preflag": 0,
+        "window_switching": 1, "block_type": 2, "mixed_block": 0,
+        "subblock_gain": [0, 1, 3],
+    }
+    sf = {"l": [0] * 22, "s": [[b % 4 for b in range(13)] for _ in range(3)]}
+    rng = np.random.default_rng(9)
+    is_ = rng.integers(-6, 7, size=576).astype(np.int64)
+    xr = mp3._requantize(is_, g, sf, 44100)
+    sfb_s = mp3.SFB_SHORT[44100]
+    for band in range(12):
+        lo, hi = sfb_s[band], sfb_s[band + 1]
+        n = hi - lo
+        for w in range(3):
+            for j in range(n):
+                idx = lo * 3 + w * n + j
+                v = is_[idx]
+                expect = (
+                    np.sign(v) * abs(float(v)) ** (4.0 / 3.0)
+                    * 2.0 ** ((200 - 210) / 4.0 - 2.0 * g["subblock_gain"][w])
+                    * 2.0 ** (-(1 + 1) * 0.5 * sf["s"][w][band])
+                )
+                assert np.isclose(xr[idx], expect, rtol=1e-12), (band, w, j)
+    # lines beyond the last short band (192*3=576: none here) and any
+    # long region are zero for pure short blocks
+    assert (xr[sfb_s[12] * 3:] == 0).all() or sfb_s[12] * 3 >= 576
+
+
+def test_requantize_long_preflag_scale():
+    g = {
+        "global_gain": 214, "scalefac_scale": 0, "preflag": 1,
+        "window_switching": 0, "block_type": 0, "mixed_block": 0,
+        "subblock_gain": [0, 0, 0],
+    }
+    sf = {"l": [b % 3 for b in range(22)], "s": [[0] * 13 for _ in range(3)]}
+    is_ = np.zeros(576, dtype=np.int64)
+    is_[0] = 8        # band 0 (pretab 0, sf 0)
+    is_[418] = -2     # band 21 start (pretab 0 at band 21, sf 21%3=0)
+    is_[134] = 3      # band 15 start (pretab 2, sf 15%3=0)
+    xr = mp3._requantize(is_, g, sf, 44100)
+    base = 2.0  # 2^((214-210)/4)
+    assert np.isclose(xr[0], 8 ** (4 / 3) * base)
+    assert np.isclose(xr[418], -(2 ** (4 / 3)) * base * 2.0 ** (-0.5 * 0))
+    assert np.isclose(xr[134], 3 ** (4 / 3) * base * 2.0 ** (-0.5 * (0 + 2)))

@@ -256,21 +256,6 @@ def _read_scalefactors(br: _Bits, g: dict, scfsi: list[int],
     return sf
 
 
-def _scalefac_bits(g: dict, scfsi: list[int], is_gr1: bool) -> int:
-    """part2 length in bits (sanity bound for the Huffman budget)."""
-    slen1, slen2 = _SLEN[g["scalefac_compress"]]
-    short = g["window_switching"] and g["block_type"] == 2
-    if short and not g["mixed_block"]:
-        return 18 * slen1 + 18 * slen2
-    if short and g["mixed_block"]:
-        return 17 * slen1 + 18 * slen2
-    bits = 0
-    groups = [(6, slen1), (5, slen1), (5, slen2), (5, slen2)]
-    for gi, (n, slen) in enumerate(groups):
-        if not (is_gr1 and scfsi[gi]):
-            bits += n * slen
-    return bits
-
 
 def _decode_huffman_pair(br: _Bits, table: dict, linbits: int,
                          end_bit: int) -> tuple[int, int]:

@@ -29,7 +29,6 @@ logger = logging.getLogger(__name__)
 
 # Mersenne prime field 2^61-1 for universal hashing
 _MERSENNE = (1 << 61) - 1
-_MAXH = np.uint64((1 << 64) - 1)
 
 
 def exact_dedup(df: DataFrame, cols: Sequence[str], id_col: str) -> DataFrame:

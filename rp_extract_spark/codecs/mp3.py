@@ -772,21 +772,30 @@ class _BitWriter:
 
 
 def encode_mp3_subset(
-    pairs_per_frame: "list[list[tuple[int, int]]]", global_gain: int = 210
+    pairs_per_frame: "list[list[tuple[int, int]]]", global_gain: int = 210,
+    samplerate: int = 44100,
 ) -> bytes:
     """Minimal MPEG-1 Layer III ENCODER over the verified-table subset
     (fixture generator, the audio analog of codecs.avi.encode_mjpeg_avi):
-    mono 44.1 kHz 320 kbps long-block frames whose big-value region
-    carries the given integer (x, y) spectral pairs (|v| <= 5, Huffman
-    table 9), zero scalefactors, no count1 region. Output decodes with
-    ``decode_mp3`` to exactly the requantized spectrum — used by the
-    roundtrip tests and driver query to exercise the full bitstream
-    path end-to-end without external encoders."""
+    mono 320 kbps long-block frames at 44.1/48/32 kHz whose big-value
+    region carries the given integer (x, y) spectral pairs (|v| <= 5,
+    Huffman table 9), zero scalefactors, no count1 region. Output
+    decodes with ``decode_mp3`` to exactly the requantized spectrum —
+    used by the roundtrip tests and driver query to exercise the full
+    bitstream path end-to-end without external encoders."""
+    if samplerate not in _SAMPLERATES:
+        raise ValueError("MPEG-1 samplerates: 44100/48000/32000")
+    sr_idx = _SAMPLERATES.index(samplerate)
+    # big values must stay inside region0 (= sfb_long[16] lines)
+    max_pairs = SFB_LONG[samplerate][16] // 2
     enc9 = {xy: lc for lc, xy in HUFF_TABLES[9].items()}
     frames = []
     for pairs in pairs_per_frame:
-        if len(pairs) > 81:  # 162 lines = region0 cap (table B.8 sfb 16)
-            raise ValueError("subset encoder: at most 81 pairs per granule")
+        if len(pairs) > max_pairs:
+            raise ValueError(
+                f"subset encoder: at most {max_pairs} pairs per granule "
+                f"at {samplerate} Hz (region0 cap)"
+            )
         payload = _BitWriter()
         granule_bits = []
         for _gr in range(2):
@@ -818,9 +827,10 @@ def encode_mp3_subset(
             side.write(0, 1)
             side.write(0, 1)
             side.write(0, 1)
-        frame_len = 144 * 320000 // 44100
+        frame_len = 144 * 320000 // samplerate
+        header = bytes([0xFF, 0xFB, 0xE0 | (sr_idx << 2), 0xC0])
         frames.append(
-            bytes([0xFF, 0xFB, 0xE0, 0xC0])
+            header
             + side.to_bytes()
             + payload.to_bytes(pad_to=frame_len - 4 - 17)
         )

@@ -107,3 +107,30 @@ def decontaminate(
     return corpus.withColumn("__fp", fingerprint(F.col(text_col))).join(
         F.broadcast(b), F.col("__fp") == F.col("__bfp"), "left_anti"
     ).drop("__fp")
+
+
+def sequences_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget: int = 1024,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Materialized view of ``pack_sequences``: one row per training
+    sequence with its member documents in stream order and the token
+    total — (seq_id, doc_ids, n_docs, total_tokens). One exchange on
+    seq_id after the distributed prefix sum."""
+    packed = pack_sequences(df, text_col, id_col, budget, num_partitions)
+    return (
+        packed.groupBy("seq_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("start_offset", F.col(id_col)))
+                ),
+                lambda s: s[id_col],
+            ).alias("doc_ids"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )

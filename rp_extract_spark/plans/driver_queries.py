@@ -2206,3 +2206,40 @@ ORDER BY doc_id
 
 QUERIES["decontaminate"] = q_decontaminate
 ORACLES["decontaminate"] = ORACLE_DECONTAMINATE
+
+
+def q_sequences_table(spark, sf):
+    """Materialized packing view: per training sequence, member docs in
+    stream order + token totals (groupBy over the distributed prefix
+    sum; the first doc id stands in for the array in the compare —
+    arrays hash fine too, but a scalar keeps the oracle readable)."""
+    from ..operators.curation import sequences_table
+
+    d = _t(spark, sf, "documents")
+    out = sequences_table(d, budget=512)
+    return out.select(
+        "seq_id",
+        F.element_at("doc_ids", 1).alias("first_doc"),
+        "n_docs",
+        "total_tokens",
+    ).orderBy("seq_id")
+
+
+ORACLE_SEQUENCES_TABLE = rf"""
+WITH t AS (
+  SELECT doc_id, {_SQL_NTOK} AS n_tokens FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS start_offset
+  FROM t)
+SELECT CAST(FLOOR(start_offset / 512) AS BIGINT) AS seq_id,
+       MIN(doc_id) AS first_doc,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS total_tokens
+FROM c GROUP BY 1 ORDER BY seq_id
+"""
+
+QUERIES["sequences_table"] = q_sequences_table
+ORACLES["sequences_table"] = ORACLE_SEQUENCES_TABLE

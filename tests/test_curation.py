@@ -103,3 +103,20 @@ def test_decontaminate_broadcast_anti_plan(spark):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     # no raw text column in the join keys: digests only
     assert out.columns == ["doc_id", "text"]
+
+
+def test_sequences_table_members_in_stream_order(spark):
+    from rp_extract_spark.operators.curation import sequences_table
+
+    d = _docs(spark, n=60, seed=5)
+    rows = {r.seq_id: r for r in sequences_table(d, budget=100,
+                                                 num_partitions=5).collect()}
+    packed = {r.doc_id: r for r in pack_sequences(d, budget=100,
+                                                  num_partitions=5).collect()}
+    # members listed in stream (offset) order; totals add up
+    for seq_id, r in rows.items():
+        offs = [packed[i].start_offset for i in r.doc_ids]
+        assert offs == sorted(offs)
+        assert r.n_docs == len(r.doc_ids)
+        assert r.total_tokens == sum(packed[i].n_tokens for i in r.doc_ids)
+    assert sum(r.n_docs for r in rows.values()) == 60

@@ -270,3 +270,33 @@ def test_requantize_long_preflag_scale():
     assert np.isclose(xr[0], 8 ** (4 / 3) * base)
     assert np.isclose(xr[418], -(2 ** (4 / 3)) * base * 2.0 ** (-0.5 * 0))
     assert np.isclose(xr[134], 3 ** (4 / 3) * base * 2.0 ** (-0.5 * (0 + 2)))
+
+
+@pytest.mark.parametrize("sr", [44100, 48000, 32000])
+def test_end_to_end_all_mpeg1_rates(sr):
+    """The 48/32 kHz scalefactor-band tables and region boundaries are
+    exercised end-to-end: build frames at each MPEG-1 rate, decode,
+    and compare against the directly-computed expectation."""
+    rng = np.random.default_rng(sr)
+    pair_sets = [[tuple(int(v) for v in rng.integers(-5, 6, size=2))
+                  for _ in range(20)] for _ in range(2)]
+    data = mp3.encode_mp3_subset(pair_sets, samplerate=sr)
+    got_sr, sw, pcm = mp3.decode_mp3(data)
+    assert (got_sr, sw) == (sr, 2) and pcm.shape == (2 * 1152,)
+
+    g = {"global_gain": 210, "scalefac_scale": 0, "preflag": 0,
+         "window_switching": 0, "block_type": 0, "mixed_block": 0,
+         "subblock_gain": [0, 0, 0]}
+    sf = {"l": [0] * 22, "s": [[0] * 13 for _ in range(3)]}
+    overlap = np.zeros((32, 18))
+    synth = mp3._Synth()
+    out = []
+    for pairs in pair_sets:
+        for _gr in range(2):
+            is_ = np.zeros(576, dtype=np.int64)
+            for i, (x, y) in enumerate(pairs):
+                is_[2 * i], is_[2 * i + 1] = x, y
+            xr = mp3._alias_reduce(mp3._requantize(is_, g, sf, sr), g)
+            out.append(synth.run(mp3._hybrid_synthesis(xr, g, overlap)))
+    expected = np.clip(np.rint(np.concatenate(out) * 32768.0), -32768, 32767)
+    assert np.array_equal(pcm, expected.astype(np.int16))

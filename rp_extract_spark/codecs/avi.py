@@ -96,13 +96,17 @@ def demux_avi(data: bytes) -> tuple[float, list[bytes]]:
                 subtype = buf[body_start:body_start + 4]
                 if subtype in (b"hdrl", b"strl", b"movi"):
                     walk(buf, body_start + 4, body_start + size)
-            elif cid == b"strh" and size >= 32 and body_start + 28 <= len(buf):
-                fcc_type = buf[body_start:body_start + 4]
-                if fcc_type == b"vids" and video_stream < 0:
-                    video_stream = n_streams
-                    vid_prefix = b"%02d" % n_streams
-                    scale, rate = struct.unpack_from("<II", buf, body_start + 20)
-                    fps = rate / scale if scale else 0.0
+            elif cid == b"strh":
+                # every strh advances the stream index, even a malformed
+                # one — otherwise later streams' chunk prefixes desync
+                if size >= 32 and body_start + 28 <= len(buf):
+                    fcc_type = buf[body_start:body_start + 4]
+                    if fcc_type == b"vids" and video_stream < 0:
+                        video_stream = n_streams
+                        vid_prefix = b"%02d" % n_streams
+                        scale, rate = struct.unpack_from(
+                            "<II", buf, body_start + 20)
+                        fps = rate / scale if scale else 0.0
                 n_streams += 1
             elif (cid[2:4] in (b"dc", b"db") and size > 0
                   and cid[:2] == vid_prefix):

@@ -379,9 +379,11 @@ def _requantize(is_: np.ndarray, g: dict, sf: dict, samplerate: int) -> np.ndarr
         xr[lo:hi] = mag[lo:hi] * gain * 2.0 ** exp
     if not short:
         return xr
-    # short region: samples are stored window-interleaved per band
+    # short region: samples are stored window-interleaved per band.
+    # 13 bands; only 12 scalefactors are transmitted — the top band
+    # (sfb 12) uses sf = 0, mirroring the long path's sfb-21 rule.
     start_band = 3 if g["mixed_block"] else 0
-    for band in range(start_band, 12):
+    for band in range(start_band, 13):
         lo, hi = sfb_s[band], sfb_s[band + 1]
         n = hi - lo
         base = lo * 3
@@ -389,7 +391,7 @@ def _requantize(is_: np.ndarray, g: dict, sf: dict, samplerate: int) -> np.ndarr
             # 2^((global_gain-210)/4) with an extra -8*subblock_gain in
             # the same /4 exponent => extra factor 2^(-2*sbg)
             wgain = gain * 2.0 ** (-2.0 * g["subblock_gain"][w])
-            exp = -sfs * sf["s"][w][band]
+            exp = -sfs * (sf["s"][w][band] if band < 12 else 0)
             seg = slice(base + w * n, base + (w + 1) * n)
             xr[seg] = mag[seg] * wgain * 2.0 ** exp
     return xr
@@ -597,8 +599,8 @@ def decode_mp3(data: bytes, max_frames: int | None = None):
     Returns (samplerate, samplewidth=2, wavedata) in the reference's
     audiofile_read contract: int16-range raw samples (mono 1-D,
     stereo (n, 2)). PCM is float internally and quantized to int16 at
-    the end (round-half-away, clipped) like the reference's external
-    decoders emit s16 WAVs.
+    the end (np.rint: round-half-to-even, clipped) like the
+    reference's external decoders emit s16 WAVs.
 
     Raises Mp3Error for LSF/Layer-I/II/free-format streams and for
     streams selecting Huffman tables outside the verified subset (see
@@ -638,6 +640,9 @@ def decode_mp3(data: bytes, max_frames: int | None = None):
             for ch in range(nch):
                 g = si["granules"][gr][ch]
                 part2_3_end = br.pos + g["part2_3_length"]
+                if part2_3_end > 8 * len(main):
+                    raise Mp3Error("part2_3_length exceeds available "
+                                   "main data")
                 sf = _read_scalefactors(br, g, si["scfsi"][ch],
                                         prev_sf[ch] if gr == 1 else None)
                 if gr == 0:

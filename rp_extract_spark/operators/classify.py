@@ -16,6 +16,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .similarity import _dot
+
 
 def _sq_dist(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -245,12 +247,6 @@ def multilabel_accuracy(
     )
 
 
-def _dot_col(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
-    )
-
-
 def train_logreg_ovr(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -294,7 +290,7 @@ def train_logreg_ovr(
             )
             scored = pts.crossJoin(F.broadcast(wdf)).withColumn(
                 "__r",
-                F.lit(1.0) / (F.lit(1.0) + F.exp(-_dot_col(F.col("__v"), F.col("w"))))
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-_dot(F.col("__v"), F.col("w"))))
                 - F.when(F.col("__y") == F.col("class_label"), 1.0).otherwise(0.0),
             )
             grad = (
@@ -327,7 +323,7 @@ def predict_logreg(
         F.col("__s").desc(), F.col("class_label").asc()
     )
     return (
-        joined.withColumn("__s", _dot_col(F.col("__v"), F.col("weights")))
+        joined.withColumn("__s", _dot(F.col("__v"), F.col("weights")))
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select(

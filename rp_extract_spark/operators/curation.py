@@ -40,8 +40,11 @@ def pack_sequences(
         F.col(id_col), token_count(F.col(text_col)).alias("n_tokens")
     ).repartitionByRange(n_parts, F.col(id_col))
     t = t.withColumn("__pid", F.spark_partition_id())
-    # per-partition running total (parallel: window is partitioned)
-    w = Window.partitionBy("__pid").orderBy(id_col)
+    # per-partition running total (parallel: window is partitioned).
+    # ROWS frame, not the default RANGE: duplicate ids must not share a
+    # peer-inclusive total (it would overlap their token spans).
+    w = (Window.partitionBy("__pid").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     t = t.withColumn("__local_end", F.sum("n_tokens").over(w))
     # base offset per partition: exclusive prefix sum over P rows
     parts = t.groupBy("__pid").agg(F.max("__local_end").alias("__psum"))
@@ -93,7 +96,6 @@ def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """Benchmark decontamination: drop corpus documents whose
     whitespace-normalized content fingerprint appears in the benchmark

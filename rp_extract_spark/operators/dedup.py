@@ -659,6 +659,21 @@ def embedding_cosine_dedup(
         ),
     ).persist()  # the overflow count and the pair join both consume it;
     # without the persist the scan + LSH bucketing would run twice
+    try:
+        return _embedding_dedup_from_ranked(
+            ranked, b, id_col, threshold, max_bucket_size, max_iters)
+    finally:
+        # propagate_min_ids eagerly materializes the labels (it
+        # localCheckpoints each round), so the cache is consumed by
+        # the time we return — release it instead of pinning executor
+        # storage for the session
+        ranked.unpersist()
+
+
+def _embedding_dedup_from_ranked(ranked, b, id_col, threshold,
+                                 max_bucket_size, max_iters):
+    from .similarity import cosine_col
+
     n_over = ranked.filter(F.col("__rn") > max_bucket_size).count()
     if n_over:
         logger.warning(

@@ -236,22 +236,21 @@ def test_requantize_short_blocks_formula():
     is_ = rng.integers(-6, 7, size=576).astype(np.int64)
     xr = mp3._requantize(is_, g, sf, 44100)
     sfb_s = mp3.SFB_SHORT[44100]
-    for band in range(12):
+    # 13 bands: band 12's scalefactor is untransmitted => sf 0
+    for band in range(13):
         lo, hi = sfb_s[band], sfb_s[band + 1]
         n = hi - lo
         for w in range(3):
             for j in range(n):
                 idx = lo * 3 + w * n + j
                 v = is_[idx]
+                sf_band = sf["s"][w][band] if band < 12 else 0
                 expect = (
                     np.sign(v) * abs(float(v)) ** (4.0 / 3.0)
                     * 2.0 ** ((200 - 210) / 4.0 - 2.0 * g["subblock_gain"][w])
-                    * 2.0 ** (-(1 + 1) * 0.5 * sf["s"][w][band])
+                    * 2.0 ** (-(1 + 1) * 0.5 * sf_band)
                 )
                 assert np.isclose(xr[idx], expect, rtol=1e-12), (band, w, j)
-    # lines beyond the last short band (192*3=576: none here) and any
-    # long region are zero for pure short blocks
-    assert (xr[sfb_s[12] * 3:] == 0).all() or sfb_s[12] * 3 >= 576
 
 
 def test_requantize_long_preflag_scale():

@@ -258,3 +258,88 @@ def test_append_history_unaffected_by_tombstone_logic(spark, tmp_path):
     ]
     assert read_snapshot(spark, out, m1["snapshot_id"]).count() == 4
     assert read_snapshot(spark, out).count() == 8
+
+
+# ---------- review fixes: mp3 top short band, part2_3 bound ----------
+
+def test_requantize_short_top_band_not_dropped():
+    """Short-block band 12's scalefactor is untransmitted (sf = 0) but
+    its spectral lines must still be scaled — a pure short-block
+    granule with content above SFB_SHORT[sr][12]*3 lost it before the
+    fix."""
+    from rp_extract_spark.codecs import mp3
+
+    g = {
+        "global_gain": 210, "scalefac_scale": 0, "preflag": 0,
+        "window_switching": 1, "block_type": 2, "mixed_block": 0,
+        "subblock_gain": [0, 0, 0],
+    }
+    sf = {"l": [0] * 22, "s": [[0] * 13 for _ in range(3)]}
+    is_ = np.zeros(576, dtype=np.int64)
+    top = mp3.SFB_SHORT[44100][12] * 3
+    is_[top] = 1
+    xr = mp3._requantize(is_, g, sf, 44100)
+    assert xr[top] == 1.0  # 1^(4/3) * 2^0, NOT dropped to 0
+
+
+def _set_bits(buf: bytearray, start: int, n: int) -> None:
+    for i in range(start, start + n):
+        buf[i // 8] |= 0x80 >> (i % 8)
+
+
+def test_part2_3_overflow_raises_mp3error():
+    """A granule claiming more part2_3 bits than the frame's main data
+    must raise Mp3Error (fuzz contract), not escape as IndexError."""
+    from rp_extract_spark.codecs import mp3
+
+    frame = bytearray(mp3.encode_mp3_subset([[(1, 1)]], samplerate=48000))
+    side = bytearray(frame[4:21])
+    # gr0 part2_3_length: side-info bits 18-29; gr1: bits 77-88.
+    # 4095+4095 bits > the 939-byte main data of a 48 kHz 320 kbps frame
+    _set_bits(side, 18, 12)
+    _set_bits(side, 77, 12)
+    frame[4:21] = side
+    with pytest.raises(mp3.Mp3Error):
+        mp3.decode_mp3(bytes(frame))
+
+
+def test_demux_avi_malformed_strh_keeps_stream_index():
+    """A corrupt (undersized) strh must still advance the stream index:
+    a following vids stream is stream 1 and its chunks are 01dc."""
+    from rp_extract_spark.codecs.avi import _chunk, _list, demux_avi
+
+    def strh(fcc_type: bytes, scale: int, rate: int) -> bytes:
+        return struct.pack(
+            "<4s4sIHHIIIIIIIIhhhh",
+            fcc_type, b"\x00\x00\x00\x00", 0, 0, 0,
+            0, scale, rate, 0, 2, 64, 0xFFFFFFFF, 0, 0, 0, 8, 8,
+        )
+
+    bad_strl = _list(b"strl", _chunk(b"strh", b"\x00" * 8))  # size < 32
+    vids_strl = _list(b"strl", _chunk(b"strh", strh(b"vids", 1, 25))
+                      + _chunk(b"strf", b"\x00" * 40))
+    hdrl = _list(b"hdrl", bad_strl + vids_strl)
+    movi = _list(b"movi", _chunk(b"01dc", b"FRAME-0")
+                 + _chunk(b"00dc", b"FOREIGN"))
+    body = b"AVI " + hdrl + movi
+    data = b"RIFF" + struct.pack("<I", len(body)) + body
+    fps, frames = demux_avi(data)
+    assert fps == 25.0
+    assert frames == [b"FRAME-0"]
+
+
+def test_pack_sequences_duplicate_ids_do_not_overlap(spark):
+    """Duplicate id values must not share a peer-inclusive running
+    total (RANGE-frame pitfall): spans tile [0, total) exactly."""
+    from rp_extract_spark.operators.curation import pack_sequences
+
+    rows = [("a", "w1 w2 w3"), ("a", "u1 u2"), ("b", "v1"),
+            ("b", "x1 x2 x3 x4")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = pack_sequences(df, budget=4, num_partitions=2).collect()
+    spans = sorted((r.start_offset, r.n_tokens) for r in out)
+    pos = 0
+    for start, n in spans:
+        assert start == pos, spans
+        pos += n
+    assert pos == 10

@@ -2243,3 +2243,56 @@ FROM c GROUP BY 1 ORDER BY seq_id
 
 QUERIES["sequences_table"] = q_sequences_table
 ORACLES["sequences_table"] = ORACLE_SEQUENCES_TABLE
+
+
+# ------------------------------------------- HDF5 feature-store interop
+
+def q_hdf5_roundtrip(spark, sf):
+    """S8/S10 HDF5 interop evidence: WRITE the embeddings table as a
+    reference-layout ``.h5`` feature store (HDF5FeatureWriter schema:
+    vec + file_ids + file_ids2 + vec_dim/vec_type attrs,
+    rp_feature_io.py:93-264) through the pure-numpy codec, then READ
+    it back with the distributed binaryFile scan and derive per-row
+    checksums. The oracle recomputes the same values from the parquet
+    directly, so the full byte-level h5 write/read path is what is
+    under test."""
+    import os
+    import tempfile
+
+    from ..sources.hdf5 import read_h5_features, write_h5_features
+
+    e = _t(spark, sf, "embeddings")
+    src = e.select(
+        F.col("vec_id").cast("string").alias("id"),
+        F.col("embedding").alias("vec"),
+        F.col("label").alias("lbl"),
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), f"rp_extract_spark_h5_{os.getpid()}.ssd"
+    )
+    write_h5_features(src, path, id2_col="lbl", vec_type="ssd")
+    back = read_h5_features(spark, path + ".h5")
+    return back.select(
+        "file_id",
+        F.col("file_id2").alias("label"),
+        F.size("vec").alias("dim"),
+        F.round(
+            F.aggregate("vec", F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("vec_sum"),
+        "vec_type",
+    ).orderBy("file_id")
+
+
+ORACLE_HDF5_ROUNDTRIP = """
+SELECT CAST(vec_id AS VARCHAR) AS file_id,
+       label,
+       len(embedding) AS dim,
+       ROUND(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum'), 6)
+         AS vec_sum,
+       'SSD' AS vec_type
+FROM embeddings
+ORDER BY file_id
+"""
+
+QUERIES["hdf5_roundtrip"] = q_hdf5_roundtrip
+ORACLES["hdf5_roundtrip"] = ORACLE_HDF5_ROUNDTRIP

@@ -35,6 +35,7 @@ from ..codecs.hdf5 import Hdf5Error, read_hdf5, write_hdf5
 
 _SCHEMA = ("path string, file_id string, file_id2 string, "
            "vec array<double>, vec_type string")
+_SCHEMA_LENIENT = _SCHEMA + ", err string"
 
 
 def h5_feature_bytes(
@@ -130,31 +131,59 @@ def write_h5_features(
     return path
 
 
-def read_h5_features(spark: SparkSession, path: str) -> DataFrame:
+def read_h5_features(spark: SparkSession, path: str,
+                     lenient: bool = False) -> DataFrame:
     """Distributed scan of reference-layout ``.h5`` feature files:
     binaryFile rows (one per file) decoded where they land via
     mapInPandas -> (path, file_id, file_id2, vec, vec_type). Accepts
-    a single file, directory, or glob. Corrupt files raise (use the
-    extract-layer quarantine for lenient pipelines)."""
+    a single file, directory, or glob. A corrupt file fails the scan
+    by default; ``lenient=True`` adds an ``err`` column and emits one
+    quarantine row per bad FILE instead (per-record isolation, same
+    discipline as operators/extract.py — compose with
+    operators.extract.quarantine to split them off).
+
+    Fat-file stores (100 MB+ per .h5): like the audio batch scan,
+    bound per-task memory at the session level —
+    spark.sql.files.maxPartitionBytes=16m keeps few files per
+    partition and spark.sql.execution.arrow.maxRecordsPerBatch low
+    (e.g. 32) keeps few whole-file rows per Arrow batch."""
     src = spark.read.format("binaryFile")
     if not path.endswith(".h5"):
         src = src.option("pathGlobFilter", "*.h5")
     files = src.load(path).select("path", "content")
 
+    def one_file(fpath: str, content: bytes) -> pd.DataFrame:
+        ids, vec, ids2, attrs = parse_h5_features(content)
+        n = vec.shape[0]
+        out = {
+            "path": [fpath] * n,
+            "file_id": ids,
+            "file_id2": ids2 if ids2 is not None else [None] * n,
+            "vec": [r.astype(np.float64).tolist() for r in vec],
+            "vec_type": [str(attrs.get("vec_type", ""))] * n,
+        }
+        if lenient:
+            out["err"] = [None] * n
+        return pd.DataFrame(out)
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for fpath, content in zip(pdf["path"], pdf["content"]):
-                ids, vec, ids2, attrs = parse_h5_features(bytes(content))
-                n = vec.shape[0]
-                yield pd.DataFrame({
-                    "path": [fpath] * n,
-                    "file_id": ids,
-                    "file_id2": ids2 if ids2 is not None else [None] * n,
-                    "vec": [r.astype(np.float64).tolist() for r in vec],
-                    "vec_type": [str(attrs.get("vec_type", ""))] * n,
-                })
+                if not lenient:
+                    yield one_file(fpath, bytes(content))
+                    continue
+                try:
+                    yield one_file(fpath, bytes(content))
+                except Exception as e:  # noqa: BLE001 — per-file isolation
+                    yield pd.DataFrame({
+                        "path": [fpath], "file_id": [None],
+                        "file_id2": [None], "vec": [None],
+                        "vec_type": [None],
+                        "err": [f"{type(e).__name__}: {e}"],
+                    })
 
-    return files.mapInPandas(decode, schema=_SCHEMA)
+    return files.mapInPandas(
+        decode, schema=_SCHEMA_LENIENT if lenient else _SCHEMA)
 
 
 def read_multiple_h5_feature_files(

@@ -194,3 +194,18 @@ def test_spark_scan_glob_parallel_files(spark, tmp_path):
         spark, str(tmp_path / "store"), ["rh", "ssd"])
     got = dict(multi.groupBy("feature_type").count().collect())
     assert got == {"rh": 10, "ssd": 10}
+
+
+def test_spark_scan_lenient_quarantines_bad_file(spark, tmp_path):
+    base = spark.range(6).select(F_concat_id(), F_vec())
+    good = write_h5_features(base, str(tmp_path / "good"))
+    (tmp_path / "bad.h5").write_bytes(b"\x89HDF\r\n\x1a\n" + b"\x00" * 40)
+    # strict scan fails on the corrupt file
+    with pytest.raises(Exception):
+        read_h5_features(spark, str(tmp_path)).count()
+    out = read_h5_features(spark, str(tmp_path), lenient=True)
+    rows = out.collect()
+    errs = [r for r in rows if r.err is not None]
+    assert len(rows) == 7 and len(errs) == 1
+    assert errs[0].path.endswith("bad.h5") and "Hdf5Error" in errs[0].err
+    assert sum(r.vec is not None for r in rows) == 6

@@ -60,6 +60,8 @@ RELATIONAL = [
     "pack_sequences",
     "stratified_split",
     "decontaminate",
+    "hdf5_roundtrip",
+    "bm25_rank",
 ]
 
 

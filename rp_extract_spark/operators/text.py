@@ -140,3 +140,70 @@ def pattern_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "digit_ratio": F.round(digit_ratio(t), 6),
         }
     )
+
+
+def _term_tf(toks: Column, term: str) -> Column:
+    """Exact term frequency inside a token array (JVM-side filter; the
+    term is bound per call — HOF lambdas must not close over loop
+    variables, see CLAUDE.md PySpark 4.1 notes)."""
+    return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+
+def bm25_rank(
+    df: DataFrame,
+    query_terms: "list[str] | tuple[str, ...]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """BM25 ranked retrieval over the corpus (the lexical side of a
+    training-data search/dedup stack; complements the embedding kNN in
+    operators/similarity.py). Okapi BM25 with the Lucene idf form:
+
+        idf_t  = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+        score  = sum_t idf_t * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    Scale path: corpus statistics (N, avgdl, per-term document
+    frequencies) come from ONE aggregate over a single scan —
+    query_terms is a handful of constants, so each df_t is a
+    conditional sum in the same pass — broadcast back as one row;
+    scoring is a second stateless scan (JVM array ops, no Python) and
+    the result is a global top-k (TakeOrdered, no full sort). Two
+    scans, zero wide shuffles.
+
+    Returns (id, score, dl) for the top_k docs with score > 0,
+    deterministically ordered (rounded score desc, id asc)."""
+    toks = tokens_col(F.col(text_col))
+    d = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        token_count(F.col(text_col)).alias("dl"),
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg("dl").alias("__avgdl"),
+        *[
+            F.sum(F.array_contains("__toks", t).cast("long")).alias(f"__df_{i}")
+            for i, t in enumerate(query_terms)
+        ],
+    )
+    scored = d.crossJoin(F.broadcast(stats))  # one broadcast row
+    score = F.lit(0.0)
+    for i, t in enumerate(query_terms):
+        tf = _term_tf(F.col("__toks"), t).cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("__n") - F.col(f"__df_{i}") + 0.5) / (F.col(f"__df_{i}") + 0.5)
+        )
+        norm = tf + k1 * (1.0 - b + b * F.col("dl") / F.col("__avgdl"))
+        score = score + idf * tf * (k1 + 1.0) / norm
+    return (
+        scored.withColumn("__raw", score)
+        .filter(F.col("__raw") > 0)  # pre-rounding, as the SQL oracle
+        .withColumn("score", F.round("__raw", 6))
+        .select(id_col, "score", "dl")
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(top_k)
+    )

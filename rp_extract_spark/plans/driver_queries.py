@@ -2296,3 +2296,62 @@ ORDER BY file_id
 
 QUERIES["hdf5_roundtrip"] = q_hdf5_roundtrip
 ORACLES["hdf5_roundtrip"] = ORACLE_HDF5_ROUNDTRIP
+
+
+# --------------------------------------------------- BM25 retrieval
+
+_BM25_TERMS = ("spark", "merge", "vector")
+
+
+def q_bm25_rank(spark, sf):
+    """Lexical ranked retrieval over documents: Okapi BM25 (Lucene idf
+    form) for a fixed 3-term query — the text-battery complement of
+    the embedding kNN queries. One aggregate pass for corpus stats
+    (N, avgdl, per-term document frequencies), one stateless scoring
+    scan, global top-k."""
+    from ..operators.text import bm25_rank
+
+    d = _t(spark, sf, "documents")
+    return bm25_rank(d, list(_BM25_TERMS), top_k=10)
+
+
+def _bm25_oracle_sql(terms=_BM25_TERMS, k1=1.2, b=0.75, top_k=10):
+    """BM25 recomputed from scratch in SQL: same tokenizer as the
+    Spark side (whitespace split of the lowercased trimmed text),
+    same idf/norm formulas, same rounding and tiebreaks."""
+    toks = (r"string_split(regexp_replace(lower(trim(text)), '\s+', ' ', "
+            r"'g'), ' ')")
+    per_term = []
+    stats_cols = []
+    for i, t in enumerate(terms):
+        stats_cols.append(
+            f"SUM(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END)"
+            f" AS df_{i}"
+        )
+        per_term.append(
+            f"""ln(1.0 + (s.n - s.df_{i} + 0.5) / (s.df_{i} + 0.5))
+             * tf_{i} * ({k1} + 1.0)
+             / (tf_{i} + {k1} * (1.0 - {b} + {b} * d.dl / s.avgdl))"""
+        )
+    tf_cols = ", ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS DOUBLE) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, {toks} AS toks, CAST({_SQL_NTOK} AS BIGINT) AS dl
+  FROM documents),
+t AS (
+  SELECT doc_id, dl, {tf_cols} FROM d),
+s AS (
+  SELECT COUNT(*) AS n, AVG(dl) AS avgdl, {", ".join(stats_cols)} FROM d)
+SELECT d.doc_id, ROUND({" + ".join(per_term)}, 6) AS score, d.dl
+FROM t d, s
+WHERE {" + ".join(per_term)} > 0
+ORDER BY score DESC, d.doc_id ASC
+LIMIT {top_k}
+"""
+
+
+QUERIES["bm25_rank"] = q_bm25_rank
+ORACLES["bm25_rank"] = _bm25_oracle_sql()

@@ -294,3 +294,44 @@ def test_classes_from_filename(spark):
     by_dot = [r.c for r in df.select(
         classes_from_filename(F.col("id"), ".").alias("c")).collect()]
     assert by_dot[2] == "jazz"
+
+
+def test_bm25_rank_hand_computed(spark):
+    """BM25 on a 3-doc corpus, checked against the formula by hand:
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)), Okapi tf norm."""
+    import math
+
+    from rp_extract_spark.operators.text import bm25_rank
+
+    rows = [
+        ("a", "cat dog cat"),    # dl 3, tf(cat)=2
+        ("b", "dog dog dog"),    # dl 3, tf(cat)=0
+        ("c", "cat fish"),       # dl 2, tf(cat)=1
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r.doc_id: r for r in bm25_rank(df, ["cat"], top_k=10).collect()}
+    assert set(out) == {"a", "c"}  # b has no query terms
+    n, avgdl, dfreq, k1, b = 3, 8 / 3, 2, 1.2, 0.75
+    idf = math.log(1 + (n - dfreq + 0.5) / (dfreq + 0.5))
+
+    def expect(tf, dl):
+        return round(idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl)), 6)
+
+    assert out["a"].score == pytest.approx(expect(2, 3), abs=1e-6)
+    assert out["c"].score == pytest.approx(expect(1, 2), abs=1e-6)
+    assert out["a"].score > out["c"].score  # higher tf wins here
+
+
+def test_bm25_multi_term_additive(spark):
+    from rp_extract_spark.operators.text import bm25_rank
+
+    rows = [("a", "x y"), ("b", "x x"), ("c", "z z z")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    single_x = {r.doc_id: r.score
+                for r in bm25_rank(df, ["x"], top_k=10).collect()}
+    single_y = {r.doc_id: r.score
+                for r in bm25_rank(df, ["y"], top_k=10).collect()}
+    both = {r.doc_id: r.score
+            for r in bm25_rank(df, ["x", "y"], top_k=10).collect()}
+    assert both["a"] == pytest.approx(single_x["a"] + single_y["a"], abs=2e-6)
+    assert "c" not in both

@@ -62,6 +62,7 @@ RELATIONAL = [
     "decontaminate",
     "hdf5_roundtrip",
     "bm25_rank",
+    "bpe_merges",
 ]
 
 

@@ -3,9 +3,11 @@ splits, benchmark decontamination.
 
 These are the corpus-side steps an LLM-scale pipeline runs after
 dedup/quality gating (operators/dedup.py, operators/text.py) and
-before tokenization. No reference analog (the reference stops at
-per-file descriptors); all three are pure DataFrame ops with exact
-DuckDB oracles in the driver contract.
+before tokenization, plus a real BPE vocabulary trainer/tokenizer.
+No reference analog (the reference stops at per-file descriptors);
+all are pure DataFrame ops with exact DuckDB oracles in the driver
+contract (BPE training is oracled by unrolling one SQL CTE stage per
+merge).
 """
 
 from __future__ import annotations
@@ -135,4 +137,110 @@ def sequences_table(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
         )
+    )
+
+
+def _bpe_pairs():
+    # adjacent symbol pairs of the double-space-joined sym column
+    # (built lazily: F.expr needs an active session)
+    return F.expr(
+        "zip_with(slice(split(sym,'  '),1,size(split(sym,'  '))-1),"
+        "         slice(split(sym,'  '),2,size(split(sym,'  '))-1),"
+        "         (l,r) -> concat(l,'  ',r))"
+    )
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10,
+    min_count: int = 2,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Learn a byte-pair-encoding merge list from the corpus (the real
+    trainer behind the BPE-ish token counter in operators/text.py).
+
+    Scale path — the standard word-frequency reduction: ONE
+    corpus-scale pass builds the (word, count) table (vocabulary-sized,
+    bounded, orders of magnitude smaller than the corpus); every merge
+    iteration then runs on that table only — adjacent-pair counts
+    weighted by word count (one small shuffle), argmax with a
+    deterministic (count desc, pair asc) tiebreak (a 1-row collect,
+    like kmeans_fit collecting K centroids), and a stateless literal
+    replace. Lineage is truncated by localCheckpoint every
+    ``checkpoint_every`` merges, the propagate_min_ids recipe.
+
+    Words are represented as double-space-joined symbol strings, so
+    applying a merge is ``replace(sym, 'a  b', 'ab')`` — literal
+    left-to-right non-overlapping replacement, which IS the BPE merge
+    rule, and is expressible identically in the DuckDB oracle.
+
+    Returns (rank, lhs, rhs, merged, pair_count), ranks in merge
+    order. Stops early when the best pair count falls below
+    ``min_count``."""
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                                    r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.concat_ws("  ", F.split("w", "")).alias("sym"), "cnt")
+    )
+    merges: list = []
+    for rank in range(n_merges):
+        best = (
+            words.select(F.explode(_bpe_pairs()).alias("pair"), "cnt")
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["c"] < min_count:
+            break
+        pair, c = best[0]["pair"], int(best[0]["c"])
+        lhs, rhs = pair.split("  ")
+        merges.append((rank, lhs, rhs, lhs + rhs, c))
+        words = words.withColumn(
+            "sym", F.replace("sym", F.lit(pair), F.lit(lhs + rhs))
+        )
+        if (rank + 1) % checkpoint_every == 0:
+            words = words.localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges,
+        "rank int, lhs string, rhs string, merged string, pair_count long",
+    )
+
+
+def apply_bpe(
+    df: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Tokenize the corpus with a learned merge list: per whitespace
+    token, split to characters and apply the merges in rank order
+    (each one literal replace on the symbol string — chained JVM
+    expressions, no Python in the data path). The merge list is a
+    model table (tiny), collected and inlined as literals. Adds
+    ``out_col`` (array<string>) and ``n_{out_col}``."""
+    ranked = [
+        (m["lhs"], m["rhs"], m["merged"])
+        for m in merges.orderBy("rank").collect()
+    ]
+
+    def encode_token(t):
+        sym = F.concat_ws("  ", F.split(t, ""))
+        for lhs, rhs, merged in ranked:
+            sym = F.replace(sym, F.lit(f"{lhs}  {rhs}"), F.lit(merged))
+        return F.split(sym, "  ")
+
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda w: w != "",
+    )
+    out = F.flatten(F.transform(toks, encode_token))
+    return df.withColumn(out_col, out).withColumn(
+        f"n_{out_col}", F.size(out)
     )

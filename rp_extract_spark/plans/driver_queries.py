@@ -2355,3 +2355,51 @@ LIMIT {top_k}
 
 QUERIES["bm25_rank"] = q_bm25_rank
 ORACLES["bm25_rank"] = _bm25_oracle_sql()
+
+
+# --------------------------------------------------- BPE merge training
+
+def q_bpe_merges(spark, sf):
+    """Learned BPE merge list over documents (4 merges, full corpus).
+    The oracle recomputes training from scratch in DuckDB: the same
+    word-frequency reduction, pair counting over double-space symbol
+    strings, (count desc, pair asc) argmax, and literal-replace merge
+    application, unrolled one CTE stage per merge (the unrolled-GD
+    logreg discipline)."""
+    from ..operators.curation import train_bpe
+
+    d = _t(spark, sf, "documents")
+    return train_bpe(d, n_merges=4, min_count=1).orderBy("rank")
+
+
+def _bpe_oracle_sql(n_merges=4):
+    tok = (r"unnest(string_split(regexp_replace(lower(trim(text)), "
+           r"'\s+', ' ', 'g'), ' '))")
+    sql = f"""WITH words AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT {tok} AS w FROM documents) WHERE w <> '' GROUP BY w),
+s0 AS (SELECT array_to_string(string_split(w, ''), '  ') AS sym, cnt
+       FROM words)"""
+    selects = []
+    for i in range(n_merges):
+        sql += f""",
+p{i} AS (SELECT z[1] || '  ' || z[2] AS pair, CAST(SUM(cnt) AS BIGINT) AS c
+         FROM (SELECT unnest(list_zip(s[1:len(s)-1], s[2:len(s)])) AS z, cnt
+               FROM (SELECT string_split(sym, '  ') AS s, cnt FROM s{i}))
+         GROUP BY 1),
+m{i} AS (SELECT pair, c FROM p{i} ORDER BY c DESC, pair ASC LIMIT 1),
+s{i + 1} AS (SELECT replace(sym, (SELECT pair FROM m{i}),
+                    replace((SELECT pair FROM m{i}), '  ', '')) AS sym, cnt
+             FROM s{i})"""
+        selects.append(
+            f"""SELECT {i} AS rank,
+       string_split((SELECT pair FROM m{i}), '  ')[1] AS lhs,
+       string_split((SELECT pair FROM m{i}), '  ')[2] AS rhs,
+       replace((SELECT pair FROM m{i}), '  ', '') AS merged,
+       (SELECT c FROM m{i}) AS pair_count"""
+        )
+    return sql + "\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY rank"
+
+
+QUERIES["bpe_merges"] = q_bpe_merges
+ORACLES["bpe_merges"] = _bpe_oracle_sql()

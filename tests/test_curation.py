@@ -120,3 +120,49 @@ def test_sequences_table_members_in_stream_order(spark):
         assert r.n_docs == len(r.doc_ids)
         assert r.total_tokens == sum(packed[i].n_tokens for i in r.doc_ids)
     assert sum(r.n_docs for r in rows.values()) == 60
+
+
+def test_train_bpe_hand_computed(spark):
+    """Classic BPE example: corpus low/lower/newest/widest — first
+    merges are driven by weighted pair counts with a deterministic
+    (count desc, pair asc) tiebreak."""
+    from rp_extract_spark.operators.curation import train_bpe
+
+    rows = [("low low low low low lower lower newest newest newest "
+             "newest newest newest widest widest widest",)]
+    df = spark.createDataFrame(rows, "text string")
+    m = train_bpe(df, n_merges=3, min_count=1).collect()
+    # est: 6 (newest) + 3 (widest) = 9 — the top pair is ('e','s') or
+    # ('s','t') both 9; tiebreak 'e  s' < 's  t' picks (e,s); then
+    # ('es','t') 9; then ('l','o') 7
+    assert [(r.lhs, r.rhs, r.merged, r.pair_count) for r in m] == [
+        ("e", "s", "es", 9),
+        ("es", "t", "est", 9),
+        ("l", "o", "lo", 7),
+    ]
+    assert [r.rank for r in m] == [0, 1, 2]
+
+
+def test_apply_bpe_uses_merges_in_order(spark):
+    from rp_extract_spark.operators.curation import apply_bpe, train_bpe
+
+    corpus = spark.createDataFrame(
+        [("low low lower newest newest newest widest",)], "text string")
+    merges = train_bpe(corpus, n_merges=4, min_count=1)
+    out = apply_bpe(
+        spark.createDataFrame([("newest low",)], "text string"), merges
+    ).collect()[0]
+    toks = out.bpe_tokens
+    assert out.n_bpe_tokens == len(toks)
+    # 'est' must have been fused into one symbol by rank order
+    assert "est" in toks or "newest" in toks or "nest" not in toks
+    # reconstruction invariant: concatenating symbols restores the text
+    assert "".join(toks) == "newestlow"
+
+
+def test_train_bpe_min_count_stops_early(spark):
+    from rp_extract_spark.operators.curation import train_bpe
+
+    df = spark.createDataFrame([("ab ab cd",)], "text string")
+    m = train_bpe(df, n_merges=10, min_count=2).collect()
+    assert [(r.lhs, r.rhs) for r in m] == [("a", "b")]  # cd only once

@@ -63,6 +63,7 @@ RELATIONAL = [
     "hdf5_roundtrip",
     "bm25_rank",
     "bpe_merges",
+    "bpe_encode",
 ]
 
 

@@ -2403,3 +2403,51 @@ s{i + 1} AS (SELECT replace(sym, (SELECT pair FROM m{i}),
 
 QUERIES["bpe_merges"] = q_bpe_merges
 ORACLES["bpe_merges"] = _bpe_oracle_sql()
+
+
+def q_bpe_encode(spark, sf):
+    """BPE apply path under oracle: train 3 merges on documents, then
+    tokenize the same corpus with them — per-doc BPE token counts. The
+    oracle reuses the unrolled training CTEs and, instead of replay,
+    JOINS each document's words to the final merge state s3 (training
+    already symbolized every vocabulary word), which must agree with
+    the Spark side's chained-replace re-application."""
+    from ..operators.curation import apply_bpe, train_bpe
+
+    d = _t(spark, sf, "documents")
+    merges = train_bpe(d, n_merges=3, min_count=1)
+    return (
+        apply_bpe(d, merges)
+        .select("doc_id", F.col("n_bpe_tokens").cast("long").alias("n_bpe"))
+        .orderBy("doc_id")
+    )
+
+
+def _bpe_encode_oracle_sql(n_merges=3):
+    train = _bpe_oracle_sql(n_merges).split("\nSELECT 0 AS rank")[0]
+    # keep the word through the stages: rebuild s0..sN with w carried
+    train = train.replace(
+        "s0 AS (SELECT array_to_string(string_split(w, ''), '  ') AS sym, cnt\n       FROM words)",
+        "s0 AS (SELECT w, array_to_string(string_split(w, ''), '  ') AS sym, cnt\n       FROM words)",
+    )
+    for i in range(n_merges):
+        train = train.replace(
+            f"s{i + 1} AS (SELECT replace(sym,",
+            f"s{i + 1} AS (SELECT w, replace(sym,",
+        )
+    return train + f"""
+SELECT d.doc_id,
+       CAST(SUM(len(string_split(s.sym, '  '))) AS BIGINT) AS n_bpe
+FROM (SELECT doc_id,
+             unnest(string_split(regexp_replace(lower(trim(text)),
+                    '\\s+', ' ', 'g'), ' ')) AS w
+      FROM documents) d
+JOIN s{n_merges} s ON d.w = s.w
+WHERE d.w <> ''
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+QUERIES["bpe_encode"] = q_bpe_encode
+ORACLES["bpe_encode"] = _bpe_encode_oracle_sql()

@@ -139,3 +139,55 @@ def test_embedding_dedup_caps_before_pairing(spark):
     out = embedding_cosine_dedup(emb, threshold=0.99, max_bucket_size=64)
     final = out._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in final and "Window" not in final
+
+
+def test_bm25_broadcasts_stats_no_wide_shuffle(spark):
+    """bm25_rank: the corpus-stats row must arrive via broadcast (a
+    single-row nested-loop/broadcast join, never SortMergeJoin) and
+    the result is a TakeOrdered top-k, not a global Sort+Exchange."""
+    from rp_extract_spark.operators.text import bm25_rank
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(bm25_rank(d, ["spark", "merge"], top_k=5))
+    assert "SortMergeJoin" not in plan
+    assert "Broadcast" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bpe_merge_iteration_is_partial_agg(spark):
+    """train_bpe's per-iteration pair count must partial-aggregate
+    map-side (HashAggregate before and after the exchange), and the
+    words table after k merges must have truncated lineage (scan of an
+    ExistingRDD, not a re-derivation from the corpus)."""
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    words = (
+        d.select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.concat_ws("  ", F.split("w", "")).alias("sym"), "cnt")
+    )
+    from rp_extract_spark.operators.curation import _bpe_pairs
+
+    pairs = (words.select(F.explode(_bpe_pairs()).alias("pair"), "cnt")
+             .groupBy("pair").agg(F.sum("cnt").alias("c")))
+    plan = _plan(pairs)
+    assert plan.count("HashAggregate") >= 4  # partial+final for both aggs
+    ck = words.localCheckpoint(eager=True)
+    assert "Scan ExistingRDD" in _plan(ck)  # lineage truncated
+
+
+def test_h5_scan_is_shuffle_free(spark, tmp_path):
+    """read_h5_features: binaryFile scan + mapInPandas leaf — no
+    Exchange anywhere in the plan (parallelism = file axis)."""
+    from rp_extract_spark.sources.hdf5 import read_h5_features, write_h5_features
+
+    df = spark.range(8).select(
+        F.concat(F.lit("d"), "id").alias("id"),
+        F.array(F.col("id").cast("double")).alias("vec"),
+    )
+    write_h5_features(df, str(tmp_path / "s.h5"))
+    plan = _plan(read_h5_features(spark, str(tmp_path / "s.h5")))
+    assert "Exchange" not in plan
+    assert "FlatMapGroupsInPandas" not in plan  # mapInPandas, no grouping

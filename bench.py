@@ -64,6 +64,7 @@ RELATIONAL = [
     "bm25_rank",
     "bpe_merges",
     "bpe_encode",
+    "corpus_sample",
 ]
 
 

@@ -244,3 +244,45 @@ def apply_bpe(
     return df.withColumn(out_col, out).withColumn(
         f"n_{out_col}", F.size(out)
     )
+
+
+def hash_sample(
+    df: DataFrame,
+    rate: float,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic corpus sampling by stable content hash: keep rows
+    whose md5(key || salt) falls below the rate threshold. Unlike
+    ``df.sample`` this is reproducible across runs, engines, partition
+    layouts and cluster sizes — the property a 100-TB pipeline needs so
+    a re-run (or a different engine validating the sample) selects the
+    SAME rows. Changing ``salt`` draws an independent sample.
+
+    Pure JVM filter on the scan, no shuffle; the threshold compare is
+    on the first 8 hex chars (string compare == numeric compare for
+    fixed-width hex), expressible identically in SQL."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("rate must be in [0, 1]")
+    thr = format(int(rate * 16**8), "08x")
+    h = F.substring(F.md5(F.concat(F.col(key_col).cast("string"),
+                                   F.lit(salt))), 1, 8)
+    return df.filter(h < F.lit(thr))
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Group-balanced downsampling: keep at most ``k`` rows per group,
+    chosen deterministically (lowest ``order_col`` first) — the
+    anti-skew companion of ``hash_sample`` (a dominant source cannot
+    drown the mixture). One shuffle on the group key."""
+    w = Window.partitionBy(group_col).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -2451,3 +2451,32 @@ ORDER BY d.doc_id
 
 QUERIES["bpe_encode"] = q_bpe_encode
 ORACLES["bpe_encode"] = _bpe_encode_oracle_sql()
+
+
+# ------------------------------------------- deterministic sampling
+
+def q_corpus_sample(spark, sf):
+    """Reproducible corpus subsetting: stable-hash sample at 20% then
+    a per-source cap of 15 (deterministic lowest-doc_id winners). Both
+    steps recompute exactly in SQL."""
+    from ..operators.curation import cap_per_group, hash_sample
+
+    d = _t(spark, sf, "documents")
+    out = cap_per_group(hash_sample(d, 0.2, "doc_id"), "source", 15)
+    return out.select("doc_id", "source", "lang").orderBy("doc_id")
+
+
+ORACLE_CORPUS_SAMPLE = f"""
+WITH s AS (
+  SELECT doc_id, source, lang
+  FROM documents
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{format(int(0.2 * 16**8), "08x")}'),
+r AS (
+  SELECT doc_id, source, lang,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id ASC) AS rn
+  FROM s)
+SELECT doc_id, source, lang FROM r WHERE rn <= 15 ORDER BY doc_id
+"""
+
+QUERIES["corpus_sample"] = q_corpus_sample
+ORACLES["corpus_sample"] = ORACLE_CORPUS_SAMPLE

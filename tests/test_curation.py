@@ -166,3 +166,31 @@ def test_train_bpe_min_count_stops_early(spark):
     df = spark.createDataFrame([("ab ab cd",)], "text string")
     m = train_bpe(df, n_merges=10, min_count=2).collect()
     assert [(r.lhs, r.rhs) for r in m] == [("a", "b")]  # cd only once
+
+
+def test_hash_sample_deterministic_and_rate(spark):
+    from rp_extract_spark.operators.curation import hash_sample
+
+    df = spark.range(5000).select(F.concat(F.lit("d"), "id").alias("doc_id"))
+    a = sorted(r.doc_id for r in hash_sample(df, 0.1).collect())
+    b = sorted(r.doc_id for r in hash_sample(df, 0.1).collect())
+    assert a == b  # reproducible
+    assert 350 < len(a) < 650  # ~10% of 5000
+    # nested property: a 5% sample is a subset of the 10% sample
+    c = set(r.doc_id for r in hash_sample(df, 0.05).collect())
+    assert c <= set(a)
+    # independent salt draws a different set
+    d2 = set(r.doc_id for r in hash_sample(df, 0.1, salt="v2").collect())
+    assert d2 != set(a)
+    with pytest.raises(ValueError):
+        hash_sample(df, 1.5)
+
+
+def test_cap_per_group_keeps_lowest_ids(spark):
+    from rp_extract_spark.operators.curation import cap_per_group
+
+    rows = [("s1", f"d{i:02d}") for i in range(10)] + [("s2", "d99")]
+    df = spark.createDataFrame(rows, "source string, doc_id string")
+    out = cap_per_group(df, "source", 3).collect()
+    got = sorted((r.source, r.doc_id) for r in out)
+    assert got == [("s1", "d00"), ("s1", "d01"), ("s1", "d02"), ("s2", "d99")]

@@ -65,6 +65,7 @@ RELATIONAL = [
     "bpe_merges",
     "bpe_encode",
     "corpus_sample",
+    "chunk_documents",
 ]
 
 

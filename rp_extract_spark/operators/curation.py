@@ -286,3 +286,54 @@ def cap_per_group(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int = 256,
+    overlap: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping token-window chunking (retrieval/context-window
+    prep): chunks start every ``chunk_size - overlap`` tokens and span
+    up to ``chunk_size`` tokens. Row-local JVM array ops only
+    (sequence + posexplode + slice) — embarrassingly parallel, no
+    shuffle; the same windows are expressible with SQL
+    generate_series + list slicing for the oracle.
+
+    Returns (id, chunk_idx, start_tok, n_chunk_tokens, chunk_text);
+    empty/whitespace docs contribute no chunks."""
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be smaller than chunk_size")
+    step = chunk_size - overlap
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda w: w != "",
+    )
+    d = df.select(F.col(id_col), toks.alias("__toks")).filter(
+        F.size("__toks") > 0
+    )
+    starts = F.sequence(
+        F.lit(0), F.size("__toks") - 1, F.lit(step)
+    )
+    return (
+        d.select(
+            id_col,
+            "__toks",
+            F.posexplode(starts).alias("chunk_idx", "start_tok"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            "start_tok",
+            F.slice("__toks", F.col("start_tok") + 1, chunk_size).alias("__c"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            "start_tok",
+            F.size("__c").alias("n_chunk_tokens"),
+            F.array_join("__c", " ").alias("chunk_text"),
+        )
+    )

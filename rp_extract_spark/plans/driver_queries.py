@@ -2480,3 +2480,36 @@ SELECT doc_id, source, lang FROM r WHERE rn <= 15 ORDER BY doc_id
 
 QUERIES["corpus_sample"] = q_corpus_sample
 ORACLES["corpus_sample"] = ORACLE_CORPUS_SAMPLE
+
+
+def q_chunk_documents(spark, sf):
+    """Overlapping token-window chunking (retrieval prep): 40-token
+    chunks every 32 tokens. Oracle recomputes the same windows via
+    generate_series + list slicing."""
+    from ..operators.curation import chunk_documents
+
+    d = _t(spark, sf, "documents")
+    return chunk_documents(d, chunk_size=40, overlap=8).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+ORACLE_CHUNK_DOCUMENTS = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(trim(text)),
+                     '\s+', ' ', 'g'), ' '), x -> x <> '') AS toks
+  FROM documents),
+s AS (SELECT unnest(generate_series(0, 100000, 32)) AS n)
+SELECT t.doc_id,
+       CAST(s.n // 32 AS INT) AS chunk_idx,
+       CAST(s.n AS INT) AS start_tok,
+       CAST(len(toks[s.n + 1 : s.n + 40]) AS INT) AS n_chunk_tokens,
+       array_to_string(toks[s.n + 1 : s.n + 40], ' ') AS chunk_text
+FROM t, s
+WHERE s.n < len(toks)
+ORDER BY doc_id, chunk_idx
+"""
+
+QUERIES["chunk_documents"] = q_chunk_documents
+ORACLES["chunk_documents"] = ORACLE_CHUNK_DOCUMENTS

@@ -194,3 +194,21 @@ def test_cap_per_group_keeps_lowest_ids(spark):
     out = cap_per_group(df, "source", 3).collect()
     got = sorted((r.source, r.doc_id) for r in out)
     assert got == [("s1", "d00"), ("s1", "d01"), ("s1", "d02"), ("s2", "d99")]
+
+
+def test_chunk_documents_windows(spark):
+    from rp_extract_spark.operators.curation import chunk_documents
+
+    df = spark.createDataFrame(
+        [("d1", "a b c d e f g"), ("d2", "x"), ("d3", "   ")],
+        "doc_id string, text string")
+    out = chunk_documents(df, chunk_size=3, overlap=1).collect()
+    got = sorted((r.doc_id, r.chunk_idx, r.start_tok, r.chunk_text)
+                 for r in out)
+    assert got == [
+        ("d1", 0, 0, "a b c"), ("d1", 1, 2, "c d e"),
+        ("d1", 2, 4, "e f g"), ("d1", 3, 6, "g"),
+        ("d2", 0, 0, "x"),
+    ]  # d3 (whitespace only) contributes nothing
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_size=3, overlap=3)

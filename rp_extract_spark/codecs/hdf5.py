@@ -127,24 +127,72 @@ def _attr_message(name: str, value) -> bytes:
     return head + p8(nm) + p8(dt) + p8(ds) + data
 
 
-def _chunk_btree(buf: _Buf, chunks: list, rank: int) -> int:
-    """One-level v1 chunk B-tree (node type 1). ``chunks`` is a list of
-    (offsets tuple incl. trailing 0, nbytes, address)."""
+# libhdf5 reads v1 B-tree / symbol nodes at their FULL-capacity size
+# (derived from the superblock K values), not at used-entries size —
+# nodes must be written padded to capacity or a read near EOF fails.
+_GROUP_LEAF_K = 4      # superblock "group leaf node k" -> SNOD cap 2K
+_GROUP_INT_K = 16      # superblock "group internal node k"
+_CHUNK_K = 32          # libhdf5 default indexed-storage K (v0 superblock)
+
+
+def _chunk_btree(buf: _Buf, chunks: list, rank: int, crows: int) -> int:
+    """v1 chunk B-tree (node type 1), libhdf5-compatible: nodes padded
+    to full 2K capacity, strictly-increasing keys with a past-the-end
+    trailing key, sibling links, and an internal level when the chunk
+    count exceeds one leaf. ``chunks`` is a list of (offsets tuple
+    incl. trailing 0, nbytes, address); ``crows`` is the chunk's
+    first-dimension size (for the past-the-end key)."""
+    rank1 = rank + 1
+    key_size = 8 + 8 * rank1
+    cap = 2 * _CHUNK_K
+    node_size = 24 + (cap + 1) * key_size + cap * 8
+    end_key = (0, 0, (chunks[-1][0][0] + crows,) + (0,) * rank)
+    groups = [chunks[i:i + cap] for i in range(0, len(chunks), cap)]
+    if len(groups) > cap:
+        raise Hdf5Error(
+            f"{len(chunks)} chunks exceed the 2-level B-tree capacity "
+            f"({cap * cap}); raise chunk_rows"
+        )
+
+    def key_bytes(nbytes: int, fmask: int, offs: tuple) -> bytes:
+        return struct.pack("<II", nbytes, fmask) + b"".join(
+            struct.pack("<Q", o) for o in offs
+        )
+
     buf.pad8()
-    addr = buf.tell()
+    base = buf.tell()
+    leaf_addrs = [base + i * node_size for i in range(len(groups))]
+    for gi, grp in enumerate(groups):
+        left = leaf_addrs[gi - 1] if gi > 0 else UNDEF
+        right = leaf_addrs[gi + 1] if gi < len(groups) - 1 else UNDEF
+        body = bytearray()
+        body += b"TREE" + struct.pack("<BBH", 1, 0, len(grp))
+        body += struct.pack("<QQ", left, right)
+        for offs, nbytes, caddr in grp:
+            body += key_bytes(nbytes, 0, offs)
+            body += struct.pack("<Q", caddr)
+        if gi < len(groups) - 1:
+            nxt = groups[gi + 1][0]
+            body += key_bytes(nxt[1], 0, nxt[0])
+        else:
+            body += key_bytes(*end_key)
+        body += b"\x00" * (node_size - len(body))
+        buf.write(bytes(body))
+    if len(groups) == 1:
+        return leaf_addrs[0]
+    # internal node (level 1): key_i = first chunk key of child i
+    buf.pad8()
+    root = buf.tell()
     body = bytearray()
-    body += b"TREE" + struct.pack("<BBH", 1, 0, len(chunks))
+    body += b"TREE" + struct.pack("<BBH", 1, 1, len(groups))
     body += struct.pack("<QQ", UNDEF, UNDEF)
-    for offs, nbytes, caddr in chunks:
-        body += struct.pack("<II", nbytes, 0)
-        body += b"".join(struct.pack("<Q", o) for o in offs)
-        body += struct.pack("<Q", caddr)
-    # one trailing key (the +1th): offsets just past the last chunk
-    last = chunks[-1][0]
-    body += struct.pack("<II", 0, 0)
-    body += b"".join(struct.pack("<Q", o) for o in last)
+    for gi, grp in enumerate(groups):
+        body += key_bytes(grp[0][1], 0, grp[0][0])
+        body += struct.pack("<Q", leaf_addrs[gi])
+    body += key_bytes(*end_key)
+    body += b"\x00" * (node_size - len(body))
     buf.write(bytes(body))
-    return addr
+    return root
 
 
 def write_hdf5(datasets: "dict[str, np.ndarray]",
@@ -204,7 +252,7 @@ def write_hdf5(datasets: "dict[str, np.ndarray]",
             offs = (r0,) + (0,) * (rank - 1) + (0,)
             chunks.append((offs, len(raw), caddr))
         if chunks:
-            bt_addr = _chunk_btree(buf, chunks, rank)
+            bt_addr = _chunk_btree(buf, chunks, rank, crows)
         else:
             bt_addr = UNDEF
 
@@ -233,22 +281,33 @@ def write_hdf5(datasets: "dict[str, np.ndarray]",
             struct.pack("<BxHII4x", 1, len(msgs), 1, len(mblock)) + mblock
         )
 
-    # ---- SNOD with one entry per dataset
+    # ---- SNOD with one entry per dataset, padded to 2K capacity
+    # (libhdf5 reads the full-capacity node size)
+    if len(names) > 2 * _GROUP_LEAF_K:
+        raise Hdf5Error(
+            f"{len(names)} root datasets exceed the symbol-node "
+            f"capacity ({2 * _GROUP_LEAF_K})"
+        )
     buf.pad8()
     snod_addr = buf.tell()
-    snod = b"SNOD" + struct.pack("<BBH", 1, 0, len(names))
+    snod = bytearray(b"SNOD" + struct.pack("<BBH", 1, 0, len(names)))
     for n in names:
         snod += struct.pack("<QQII16x", name_off[n], oh_addrs[n], 0, 0)
-    buf.write(snod)
+    snod += b"\x00" * (8 + 2 * _GROUP_LEAF_K * 40 - len(snod))
+    buf.write(bytes(snod))
 
-    # ---- group B-tree (node type 0) pointing at the SNOD
+    # ---- group B-tree (node type 0) pointing at the SNOD, padded to
+    # the internal-K node size
     buf.pad8()
-    btree_addr = buf.write(
+    gnode = bytearray(
         b"TREE" + struct.pack("<BBH", 0, 0, 1)
         + struct.pack("<QQ", UNDEF, UNDEF)
         + struct.pack("<QQQ", 0, snod_addr,
                       name_off[names[-1]] if names else 0)
     )
+    gnode += b"\x00" * (24 + (2 * _GROUP_INT_K + 1) * 8
+                        + 2 * _GROUP_INT_K * 8 - len(gnode))
+    btree_addr = buf.write(bytes(gnode))
 
     # ---- root group object header (symbol table message)
     buf.pad8()

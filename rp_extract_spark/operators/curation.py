@@ -140,13 +140,33 @@ def sequences_table(
     )
 
 
+# Symbol sentinel: every symbol in the working representation is
+# wrapped as "\x1fsym\x1f" so a literal pair replace can only match
+# WHOLE adjacent symbols — without it, pattern "a  t" would also match
+# inside "a  th" (prefix of a longer symbol) and merge across symbol
+# boundaries. \x1f is stripped from input tokens first, so it can
+# never occur inside a symbol.
+_S = "\x1f"
+
+
 def _bpe_pairs():
-    # adjacent symbol pairs of the double-space-joined sym column
-    # (built lazily: F.expr needs an active session)
+    # adjacent (wrapped) symbol pairs of the double-space-joined sym
+    # column (built lazily: F.expr needs an active session)
     return F.expr(
         "zip_with(slice(split(sym,'  '),1,size(split(sym,'  '))-1),"
         "         slice(split(sym,'  '),2,size(split(sym,'  '))-1),"
         "         (l,r) -> concat(l,'  ',r))"
+    )
+
+
+def _wrap_chars(word: Column) -> Column:
+    """word -> '\\x1fc\\x1f  \\x1fc\\x1f ...' initial symbol string."""
+    return F.concat_ws(
+        "  ",
+        F.transform(
+            F.split(F.translate(word, _S, ""), ""),
+            lambda c: F.concat(F.lit(_S), c, F.lit(_S)),
+        ),
     )
 
 
@@ -170,22 +190,25 @@ def train_bpe(
     replace. Lineage is truncated by localCheckpoint every
     ``checkpoint_every`` merges, the propagate_min_ids recipe.
 
-    Words are represented as double-space-joined symbol strings, so
-    applying a merge is ``replace(sym, 'a  b', 'ab')`` — literal
-    left-to-right non-overlapping replacement, which IS the BPE merge
-    rule, and is expressible identically in the DuckDB oracle.
+    Words are represented as double-space-joined SENTINEL-WRAPPED
+    symbol strings ('\\x1fa\\x1f  \\x1fb\\x1f'), so applying a merge is
+    one literal replace of the whole-symbol pair pattern — literal
+    left-to-right non-overlapping replacement of complete symbols IS
+    the BPE merge rule, and is expressible identically in the DuckDB
+    oracle. The sentinel prevents the pattern matching a PREFIX of a
+    longer symbol (e.g. pair (a,t) inside 'a  th').
 
     Returns (rank, lhs, rhs, merged, pair_count), ranks in merge
     order. Stops early when the best pair count falls below
     ``min_count``."""
+    from .text import nonempty_tokens_col
+
     spark = df.sparkSession
     words = (
-        df.select(F.explode(F.split(F.lower(F.trim(F.col(text_col))),
-                                    r"\s+")).alias("w"))
-        .filter(F.col("w") != "")
+        df.select(F.explode(nonempty_tokens_col(F.col(text_col))).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(F.concat_ws("  ", F.split("w", "")).alias("sym"), "cnt")
+        .select(_wrap_chars(F.col("w")).alias("sym"), "cnt")
     )
     merges: list = []
     for rank in range(n_merges):
@@ -200,10 +223,11 @@ def train_bpe(
         if not best or best[0]["c"] < min_count:
             break
         pair, c = best[0]["pair"], int(best[0]["c"])
-        lhs, rhs = pair.split("  ")
+        lhs_w, rhs_w = pair.split("  ")
+        lhs, rhs = lhs_w.strip(_S), rhs_w.strip(_S)
         merges.append((rank, lhs, rhs, lhs + rhs, c))
         words = words.withColumn(
-            "sym", F.replace("sym", F.lit(pair), F.lit(lhs + rhs))
+            "sym", F.replace("sym", F.lit(pair), F.lit(_S + lhs + rhs + _S))
         )
         if (rank + 1) % checkpoint_every == 0:
             words = words.localCheckpoint(eager=True)
@@ -225,20 +249,27 @@ def apply_bpe(
     expressions, no Python in the data path). The merge list is a
     model table (tiny), collected and inlined as literals. Adds
     ``out_col`` (array<string>) and ``n_{out_col}``."""
+    from .text import nonempty_tokens_col
+
     ranked = [
-        (m["lhs"], m["rhs"], m["merged"])
-        for m in merges.orderBy("rank").collect()
+        (m["lhs"], m["rhs"]) for m in merges.orderBy("rank").collect()
     ]
 
     def encode_token(t):
-        sym = F.concat_ws("  ", F.split(t, ""))
-        for lhs, rhs, merged in ranked:
-            sym = F.replace(sym, F.lit(f"{lhs}  {rhs}"), F.lit(merged))
-        return F.split(sym, "  ")
+        sym = _wrap_chars(t)
+        for lhs, rhs in ranked:
+            sym = F.replace(
+                sym,
+                F.lit(f"{_S}{lhs}{_S}  {_S}{rhs}{_S}"),
+                F.lit(f"{_S}{lhs}{rhs}{_S}"),
+            )
+        return F.transform(
+            F.split(sym, "  "), lambda s: F.translate(s, _S, "")
+        )
 
     toks = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-        lambda w: w != "",
+        nonempty_tokens_col(F.col(text_col)),
+        lambda w: F.translate(w, _S, "") != "",  # sentinel-only tokens
     )
     out = F.flatten(F.transform(toks, encode_token))
     return df.withColumn(out_col, out).withColumn(
@@ -264,6 +295,11 @@ def hash_sample(
     fixed-width hex), expressible identically in SQL."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError("rate must be in [0, 1]")
+    if rate >= 1.0:
+        # int(1.0 * 16**8) formats to NINE hex chars, breaking the
+        # fixed-width lexicographic == numeric invariant — rate 1.0
+        # means keep everything, so skip the filter entirely
+        return df
     thr = format(int(rate * 16**8), "08x")
     h = F.substring(F.md5(F.concat(F.col(key_col).cast("string"),
                                    F.lit(salt))), 1, 8)
@@ -274,13 +310,20 @@ def cap_per_group(
     df: DataFrame,
     group_col: str,
     k: int,
-    order_col: str = "doc_id",
+    order_cols: "str | list[str] | tuple[str, ...]" = "doc_id",
 ) -> DataFrame:
     """Group-balanced downsampling: keep at most ``k`` rows per group,
-    chosen deterministically (lowest ``order_col`` first) — the
-    anti-skew companion of ``hash_sample`` (a dominant source cannot
-    drown the mixture). One shuffle on the group key."""
-    w = Window.partitionBy(group_col).orderBy(F.col(order_col).asc())
+    lowest ``order_cols`` first — the anti-skew companion of
+    ``hash_sample`` (a dominant source cannot drown the mixture). One
+    shuffle on the group key. Deterministic ONLY when ``order_cols``
+    is unique within each group (pass extra tiebreak columns for a
+    non-unique primary sort, e.g. ["score", "doc_id"]) — row_number
+    breaks remaining ties by task arrival order."""
+    if isinstance(order_cols, str):
+        order_cols = [order_cols]
+    w = Window.partitionBy(group_col).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
@@ -306,11 +349,10 @@ def chunk_documents(
     empty/whitespace docs contribute no chunks."""
     if overlap >= chunk_size:
         raise ValueError("overlap must be smaller than chunk_size")
+    from .text import nonempty_tokens_col
+
     step = chunk_size - overlap
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-        lambda w: w != "",
-    )
+    toks = nonempty_tokens_col(F.col(text_col))
     d = df.select(F.col(id_col), toks.alias("__toks")).filter(
         F.size("__toks") > 0
     )

@@ -26,6 +26,14 @@ def tokens_col(text: Column) -> Column:
     return F.split(F.lower(F.trim(text)), r"\s+")
 
 
+def nonempty_tokens_col(text: Column) -> Column:
+    """``tokens_col`` minus empty strings (whitespace-only text -> []).
+    The single definition shared by the curation operators — keep any
+    tokenizer change here in sync with the oracle SQL tokenizer
+    (plans/driver_queries._SQL_NTOK family)."""
+    return F.filter(tokens_col(text), lambda w: w != "")
+
+
 def token_count(text: Column) -> Column:
     return F.when(F.length(F.trim(text)) == 0, 0).otherwise(
         F.size(tokens_col(text))

@@ -2373,15 +2373,24 @@ def q_bpe_merges(spark, sf):
 
 
 def _bpe_oracle_sql(n_merges=4):
+    """Mirrors train_bpe's sentinel-wrapped representation: symbols
+    are '\\x1fsym\\x1f' (chr(31)), so the literal pair replace can only
+    match whole adjacent symbols, never a prefix of a longer symbol."""
     tok = (r"unnest(string_split(regexp_replace(lower(trim(text)), "
            r"'\s+', ' ', 'g'), ' '))")
     sql = f"""WITH words AS (
-  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
-  FROM (SELECT {tok} AS w FROM documents) WHERE w <> '' GROUP BY w),
-s0 AS (SELECT array_to_string(string_split(w, ''), '  ') AS sym, cnt
+  SELECT replace(w, chr(31), '') AS w, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT {tok} AS w FROM documents) WHERE w <> ''
+  GROUP BY 1),
+s0 AS (SELECT array_to_string(
+         list_transform(string_split(w, ''),
+                        c -> chr(31) || c || chr(31)), '  ') AS sym, cnt
        FROM words)"""
     selects = []
     for i in range(n_merges):
+        # merged-wrapped = chr(31) || lhs || rhs || chr(31)
+        merged_w = (f"chr(31) || replace(replace((SELECT pair FROM m{i}), "
+                    f"chr(31), ''), '  ', '') || chr(31)")
         sql += f""",
 p{i} AS (SELECT z[1] || '  ' || z[2] AS pair, CAST(SUM(cnt) AS BIGINT) AS c
          FROM (SELECT unnest(list_zip(s[1:len(s)-1], s[2:len(s)])) AS z, cnt
@@ -2389,13 +2398,16 @@ p{i} AS (SELECT z[1] || '  ' || z[2] AS pair, CAST(SUM(cnt) AS BIGINT) AS c
          GROUP BY 1),
 m{i} AS (SELECT pair, c FROM p{i} ORDER BY c DESC, pair ASC LIMIT 1),
 s{i + 1} AS (SELECT replace(sym, (SELECT pair FROM m{i}),
-                    replace((SELECT pair FROM m{i}), '  ', '')) AS sym, cnt
+                    {merged_w}) AS sym, cnt
              FROM s{i})"""
         selects.append(
             f"""SELECT {i} AS rank,
-       string_split((SELECT pair FROM m{i}), '  ')[1] AS lhs,
-       string_split((SELECT pair FROM m{i}), '  ')[2] AS rhs,
-       replace((SELECT pair FROM m{i}), '  ', '') AS merged,
+       replace(string_split((SELECT pair FROM m{i}), '  ')[1],
+               chr(31), '') AS lhs,
+       replace(string_split((SELECT pair FROM m{i}), '  ')[2],
+               chr(31), '') AS rhs,
+       replace(replace((SELECT pair FROM m{i}), chr(31), ''),
+               '  ', '') AS merged,
        (SELECT c FROM m{i}) AS pair_count"""
         )
     return sql + "\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY rank"
@@ -2427,25 +2439,29 @@ def _bpe_encode_oracle_sql(n_merges=3):
     train = _bpe_oracle_sql(n_merges).split("\nSELECT 0 AS rank")[0]
     # keep the word through the stages: rebuild s0..sN with w carried
     train = train.replace(
-        "s0 AS (SELECT array_to_string(string_split(w, ''), '  ') AS sym, cnt\n       FROM words)",
-        "s0 AS (SELECT w, array_to_string(string_split(w, ''), '  ') AS sym, cnt\n       FROM words)",
+        "s0 AS (SELECT array_to_string(",
+        "s0 AS (SELECT w, array_to_string(",
     )
     for i in range(n_merges):
         train = train.replace(
             f"s{i + 1} AS (SELECT replace(sym,",
             f"s{i + 1} AS (SELECT w, replace(sym,",
         )
+    # LEFT join from documents: empty/whitespace-only docs must emit
+    # n_bpe = 0, exactly as apply_bpe's empty token array does
     return train + f"""
-SELECT d.doc_id,
-       CAST(SUM(len(string_split(s.sym, '  '))) AS BIGINT) AS n_bpe
-FROM (SELECT doc_id,
-             unnest(string_split(regexp_replace(lower(trim(text)),
-                    '\\s+', ' ', 'g'), ' ')) AS w
-      FROM documents) d
-JOIN s{n_merges} s ON d.w = s.w
-WHERE d.w <> ''
-GROUP BY d.doc_id
-ORDER BY d.doc_id
+SELECT d0.doc_id, CAST(COALESCE(x.n, 0) AS BIGINT) AS n_bpe
+FROM documents d0
+LEFT JOIN (
+  SELECT d.doc_id, SUM(len(string_split(s.sym, '  '))) AS n
+  FROM (SELECT doc_id, replace(
+               unnest(string_split(regexp_replace(lower(trim(text)),
+                      '\\s+', ' ', 'g'), ' ')), chr(31), '') AS w
+        FROM documents) d
+  JOIN s{n_merges} s ON d.w = s.w
+  WHERE d.w <> ''
+  GROUP BY d.doc_id) x ON d0.doc_id = x.doc_id
+ORDER BY d0.doc_id
 """
 
 

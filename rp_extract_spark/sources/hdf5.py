@@ -196,6 +196,8 @@ def read_multiple_h5_feature_files(
     (rp_feature_io.py:608-636): one DataFrame with a ``feature_type``
     column instead of per-type dicts — ``<stub>.<type>.<h5ext>`` per
     type, unioned."""
+    if not feature_types:
+        raise ValueError("feature_types must be non-empty")
     out = None
     for e in feature_types:
         part = read_h5_features(

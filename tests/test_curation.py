@@ -154,8 +154,27 @@ def test_apply_bpe_uses_merges_in_order(spark):
     ).collect()[0]
     toks = out.bpe_tokens
     assert out.n_bpe_tokens == len(toks)
-    # 'est' must have been fused into one symbol by rank order
-    assert "est" in toks or "newest" in toks or "nest" not in toks
+    # independent expectation: replay the learned merges with a
+    # reference python BPE (leftmost non-overlapping, rank order)
+    ranked = [(m.lhs, m.rhs, m.merged)
+              for m in merges.orderBy("rank").collect()]
+
+    def ref_bpe(word):
+        syms = list(word)
+        for lhs, rhs, merged in ranked:
+            i, mo = 0, []
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == lhs
+                        and syms[i + 1] == rhs):
+                    mo.append(merged)
+                    i += 2
+                else:
+                    mo.append(syms[i])
+                    i += 1
+            syms = mo
+        return syms
+
+    assert toks == ref_bpe("newest") + ref_bpe("low")
     # reconstruction invariant: concatenating symbols restores the text
     assert "".join(toks) == "newestlow"
 
@@ -212,3 +231,28 @@ def test_chunk_documents_windows(spark):
     ]  # d3 (whitespace only) contributes nothing
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_size=3, overlap=3)
+
+
+def test_bpe_merge_respects_symbol_boundaries(spark):
+    """Regression (review finding): pair (a,t) must not match the
+    PREFIX of a longer symbol — 'ath' after merging (t,h) is
+    ['a','th'], and a later (a,t) merge must leave it alone."""
+    from rp_extract_spark.operators.curation import apply_bpe, train_bpe
+
+    corpus = spark.createDataFrame(
+        [("at at th th th ath",)], "text string")
+    merges = train_bpe(corpus, n_merges=2, min_count=1)
+    got = [(m.lhs, m.rhs) for m in merges.orderBy("rank").collect()]
+    assert got == [("t", "h"), ("a", "t")]
+    out = apply_bpe(
+        spark.createDataFrame([("ath",)], "text string"), merges
+    ).collect()[0]
+    assert out.bpe_tokens == ["a", "th"]  # NOT ['ath']
+
+
+def test_hash_sample_rate_one_keeps_everything(spark):
+    from rp_extract_spark.operators.curation import hash_sample
+
+    df = spark.range(200).select(F.concat(F.lit("d"), "id").alias("doc_id"))
+    assert hash_sample(df, 1.0).count() == 200
+    assert hash_sample(df, 0.0).count() == 0

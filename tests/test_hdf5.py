@@ -91,8 +91,8 @@ def test_reader_multilevel_chunk_btree():
     a = np.arange(8, dtype=np.int64).reshape(4, 2)
     addr0 = buf.write(a[:2].tobytes())
     addr1 = buf.write(a[2:].tobytes())
-    leaf0 = _chunk_btree(buf, [((0, 0, 0), 32, addr0)], rank=2)
-    leaf1 = _chunk_btree(buf, [((2, 0, 0), 32, addr1)], rank=2)
+    leaf0 = _chunk_btree(buf, [((0, 0, 0), 32, addr0)], rank=2, crows=2)
+    leaf1 = _chunk_btree(buf, [((2, 0, 0), 32, addr1)], rank=2, crows=2)
     buf.pad8()
     root = buf.tell()
     node = b"TREE" + struct.pack("<BBH", 1, 1, 2)  # level 1, 2 entries

@@ -80,7 +80,7 @@ def main():
     oracles = entrymod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
-        if args.only and name != args.only:
+        if args.only and name not in args.only.split(","):
             continue
         t0 = time.time()
         try:

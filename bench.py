@@ -66,6 +66,7 @@ RELATIONAL = [
     "bpe_encode",
     "corpus_sample",
     "chunk_documents",
+    "cms_counts",
 ]
 
 

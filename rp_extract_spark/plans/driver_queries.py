@@ -2529,3 +2529,65 @@ ORDER BY doc_id, chunk_idx
 
 QUERIES["chunk_documents"] = q_chunk_documents
 ORACLES["chunk_documents"] = ORACLE_CHUNK_DOCUMENTS
+
+
+# --------------------------------------------------- count-min sketch
+
+_CMS_DEPTH, _CMS_WIDTH = 4, 256
+_CMS_KEYS = ("scan", "column", "window", "spark", "merge",
+             "zz-absent-token")
+
+
+def q_cms_counts(spark, sf):
+    """Count-min sketch over document tokens (depth 4 x width 256 —
+    small enough to force collisions) probed for 6 fixed keys. The
+    oracle rebuilds the identical sketch in SQL (md5-prefix hashing
+    parity) and takes the same min-over-depth estimates."""
+    from ..operators.sketch import cms_estimate, count_min_sketch
+    from ..operators.text import nonempty_tokens_col
+
+    d = _t(spark, sf, "documents")
+    items = d.select(
+        F.explode(nonempty_tokens_col(F.col("text"))).alias("token")
+    )
+    sketch = count_min_sketch(items, "token", _CMS_DEPTH, _CMS_WIDTH)
+    return cms_estimate(
+        sketch, list(_CMS_KEYS), _CMS_DEPTH, _CMS_WIDTH
+    ).orderBy("key")
+
+
+def _cms_oracle_sql(depth=_CMS_DEPTH, width=_CMS_WIDTH, keys=_CMS_KEYS):
+    bucket = (lambda expr, j:
+              f"CAST('0x' || substr(md5({expr} || chr(30) || 'cms{j}'), "
+              f"1, 8) AS BIGINT) % {width}")
+    key_rows = ", ".join(f"('{k}')" for k in keys)
+    cell_selects = "\nUNION ALL\n".join(
+        f"SELECT token, {j} AS depth, {bucket('token', j)} AS bucket FROM items"
+        for j in range(depth)
+    )
+    probe_selects = "\nUNION ALL\n".join(
+        f"SELECT key, {j} AS depth, {bucket('key', j)} AS bucket FROM ks"
+        for j in range(depth)
+    )
+    return rf"""
+WITH items AS (
+  SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\s+',
+                ' ', 'g'), ' ')) AS token
+  FROM documents),
+cells AS ({cell_selects.replace('FROM items',
+                                "FROM items WHERE token <> ''")}),
+sketch AS (
+  SELECT depth, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM cells GROUP BY 1, 2),
+ks(key) AS (VALUES {key_rows}),
+probes AS ({probe_selects})
+SELECT p.key, CAST(MIN(COALESCE(s.cnt, 0)) AS BIGINT) AS est
+FROM probes p LEFT JOIN sketch s
+  ON p.depth = s.depth AND p.bucket = s.bucket
+GROUP BY p.key
+ORDER BY p.key
+"""
+
+
+QUERIES["cms_counts"] = q_cms_counts
+ORACLES["cms_counts"] = _cms_oracle_sql()

@@ -67,6 +67,7 @@ RELATIONAL = [
     "corpus_sample",
     "chunk_documents",
     "cms_counts",
+    "mix_corpus",
 ]
 
 

@@ -379,3 +379,53 @@ def chunk_documents(
             F.array_join("__c", " ").alias("chunk_text"),
         )
     )
+
+
+def mix_corpus(
+    df: DataFrame,
+    weights: "dict[str, float]",
+    token_budget: int,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Corpus mixture weighting: downsample each source to its target
+    share of a token budget. Per source s with weight w_s and total
+    tokens T_s, the acceptance rate is min(1, token_budget*w_s / T_s);
+    documents are kept by the same stable-hash rule as ``hash_sample``
+    (reproducible, engine-portable), so re-runs and validators select
+    identical rows. Sources absent from ``weights`` get rate 0.
+
+    Scale path: one aggregate computes the per-source token totals
+    (source-cardinality rows, collected like a K-row model), rates are
+    driver-side arithmetic, and the filter is a broadcast join on the
+    source plus the shuffle-free hash compare. Adds a ``rate`` column
+    (rounded to 6)."""
+    from .text import token_count
+
+    stats = (
+        df.groupBy(source_col)
+        .agg(F.sum(token_count(F.col(text_col))).alias("__T"))
+        .collect()
+    )
+    rows = []
+    for r in stats:
+        t = int(r["__T"] or 0)
+        w = float(weights.get(r[source_col], 0.0))
+        rate = min(1.0, (token_budget * w) / t) if t else 0.0
+        # rate >= 1 would format to nine hex chars and break the
+        # fixed-width compare; 'g' sorts above every hex digit
+        thr = "g" if rate >= 1.0 else format(int(rate * 16**8), "08x")
+        rows.append((r[source_col], thr, round(rate, 6)))
+    thr_df = df.sparkSession.createDataFrame(
+        rows, f"{source_col} string, __thr string, rate double"
+    )
+    h = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8
+    )
+    return (
+        df.join(F.broadcast(thr_df), source_col)
+        .filter(h < F.col("__thr"))
+        .drop("__thr")
+    )

@@ -2591,3 +2591,56 @@ ORDER BY p.key
 
 QUERIES["cms_counts"] = q_cms_counts
 ORACLES["cms_counts"] = _cms_oracle_sql()
+
+
+# --------------------------------------------------- corpus mixing
+
+_MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2, "src3": 2.0}
+_MIX_BUDGET = 1500
+
+
+def q_mix_corpus(spark, sf):
+    """Mixture weighting: per-source acceptance rates from a token
+    budget (incl. one weight large enough to cap at rate 1.0 — the
+    keep-everything path), applied via the stable-hash rule. The
+    oracle recomputes totals, rates, thresholds and the hash filter
+    with identical double-precision arithmetic."""
+    from ..operators.curation import mix_corpus
+
+    d = _t(spark, sf, "documents")
+    out = mix_corpus(d, dict(_MIX_WEIGHTS), _MIX_BUDGET)
+    return out.select(
+        "doc_id", "source", F.round("rate", 6).alias("rate")
+    ).orderBy("doc_id")
+
+
+def _mix_oracle_sql(weights=_MIX_WEIGHTS, budget=_MIX_BUDGET):
+    case = " ".join(
+        f"WHEN '{s}' THEN {w!r}" for s, w in sorted(weights.items())
+    )
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, source, CAST({_SQL_NTOK} AS BIGINT) AS nt
+  FROM documents),
+tot AS (SELECT source, CAST(SUM(nt) AS BIGINT) AS t FROM tok GROUP BY 1),
+r AS (
+  SELECT source,
+         LEAST(1.0, ({budget} * (CASE source {case} ELSE 0.0 END)) / t)
+           AS rate
+  FROM tot),
+thr AS (
+  SELECT source, rate,
+         CASE WHEN rate >= 1.0 THEN 'g'
+              ELSE lower(lpad(to_hex(CAST(FLOOR(rate * 4294967296.0)
+                                          AS BIGINT)), 8, '0'))
+         END AS h
+  FROM r)
+SELECT d.doc_id, d.source, ROUND(thr.rate, 6) AS rate
+FROM documents d JOIN thr USING (source)
+WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.h
+ORDER BY d.doc_id
+"""
+
+
+QUERIES["mix_corpus"] = q_mix_corpus
+ORACLES["mix_corpus"] = _mix_oracle_sql()

@@ -256,3 +256,36 @@ def test_hash_sample_rate_one_keeps_everything(spark):
     df = spark.range(200).select(F.concat(F.lit("d"), "id").alias("doc_id"))
     assert hash_sample(df, 1.0).count() == 200
     assert hash_sample(df, 0.0).count() == 0
+
+
+def test_mix_corpus_rates_and_determinism(spark):
+    from rp_extract_spark.operators.curation import mix_corpus
+
+    rows = []
+    for s, n in [("a", 40), ("b", 40), ("c", 40)]:
+        rows += [(f"{s}{i:03d}", s, "w " * 10) for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id string, source string, text string")
+    # each source has 400 tokens; budget 400 with weights .5/.25 ->
+    # rates a=0.5, b=0.25, c=0 (absent)
+    out = mix_corpus(df, {"a": 0.5, "b": 0.25}, 400)
+    got = out.groupBy("source").count().collect()
+    counts = {r.source: r["count"] for r in got}
+    assert "c" not in counts  # unweighted source fully dropped
+    assert 10 <= counts.get("a", 0) <= 30  # ~20 of 40
+    assert 3 <= counts.get("b", 0) <= 18   # ~10 of 40
+    rates = {r.source: r.rate for r in
+             out.select("source", "rate").distinct().collect()}
+    assert rates == {"a": 0.5, "b": 0.25}
+    # reproducible
+    again = mix_corpus(df, {"a": 0.5, "b": 0.25}, 400)
+    assert sorted(r.doc_id for r in out.collect()) == \
+           sorted(r.doc_id for r in again.collect())
+
+
+def test_mix_corpus_rate_capped_keeps_all(spark):
+    from rp_extract_spark.operators.curation import mix_corpus
+
+    rows = [(f"d{i}", "only", "tok tok tok") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id string, source string, text string")
+    out = mix_corpus(df, {"only": 1.0}, 10**6)  # budget >> tokens
+    assert out.count() == 20  # rate capped at 1.0 -> keep everything

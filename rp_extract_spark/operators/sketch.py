@@ -6,7 +6,10 @@ where the exact (key, count) table is itself too hot to keep — a CMS
 is a fixed depth x width grid (a few KB) built in ONE pass and ONE
 shuffle, mergeable across partitions/days by cell-wise addition, and
 answers point queries with one-sided error (estimate >= true count,
-overshoot bounded by ~2N/width with probability 1 - 2^-depth).
+overshoot bounded by ~2N/width with probability 1 - 2^-depth). The
+builder is source-agnostic: the same aggregate runs under Structured
+Streaming (complete-mode memory/table sink) and the streamed grid
+equals the batch grid over the data seen so far (tested).
 
 Engine-portable hashing: row j's hash is the first 8 hex chars of
 md5(key || '\\x1e' || 'cms' || j) taken as an integer mod width —

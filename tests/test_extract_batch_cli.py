@@ -55,3 +55,23 @@ def test_batch_cli_audio(spark, tmp_path):
     feats = spark.read.parquet(out + "/data")
     r = feats.orderBy("clip_id").first()
     assert r.err is None and len(r.rp) == 1440 and r.samplerate == 11025
+
+
+def test_batch_cli_h5_sidecar(spark, tmp_path):
+    """--h5 writes reference-layout .h5 stores readable back through
+    the distributed scan (the reference's -h5 flag analog)."""
+    from rp_extract_spark.sources.hdf5 import read_h5_features
+    from tools.extract_batch import main
+
+    src = tmp_path / "in" / "setB"
+    _write_images(src, n=4)
+    out = str(tmp_path / "out_h5")
+    m = main([str(tmp_path / "in"), out, "--h5", "--cores", "4"])
+    assert m["total_rows"] == 4
+    back = read_h5_features(spark, f"{out}/features.ssd.h5")
+    rows = back.collect()
+    assert len(rows) == 4
+    assert all(len(r.vec) == 168 for r in rows)  # ssd dim
+    assert rows[0].vec_type == "SSD"
+    rp = read_h5_features(spark, f"{out}/features.rp.h5").first()
+    assert len(rp.vec) == 1440

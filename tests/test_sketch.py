@@ -56,3 +56,30 @@ def test_cms_weighted_build(spark):
     sk = count_min_sketch(df, "token", depth=2, width=32, weight_col="n")
     est = {r.key: r.est for r in cms_estimate(sk, ["a", "b"], 2, 32).collect()}
     assert est == {"a": 10, "b": 3}
+
+
+def test_cms_streaming_incremental(spark, tmp_path):
+    """The sketch builder is source-agnostic: the same groupBy agg
+    runs under Structured Streaming (complete mode), and the streamed
+    grid equals the batch grid over the files seen so far."""
+    src = str(tmp_path / "items")
+    spark.createDataFrame([("a",)] * 9 + [("b",)] * 4, "token string") \
+        .write.mode("append").parquet(src)
+    stream = spark.readStream.schema("token string").parquet(src)
+    q = (count_min_sketch(stream, "token", depth=3, width=32)
+         .writeStream.outputMode("complete")
+         .format("memory").queryName("cms_mem").start())
+    try:
+        q.processAllAvailable()
+        batch1 = count_min_sketch(spark.read.parquet(src), "token", 3, 32)
+        assert sorted(map(tuple, spark.table("cms_mem").collect())) == \
+               sorted(map(tuple, batch1.collect()))
+        # late-arriving files fold into the same grid
+        spark.createDataFrame([("c",)] * 7, "token string") \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+        batch2 = count_min_sketch(spark.read.parquet(src), "token", 3, 32)
+        assert sorted(map(tuple, spark.table("cms_mem").collect())) == \
+               sorted(map(tuple, batch2.collect()))
+    finally:
+        q.stop()

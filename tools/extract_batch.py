@@ -33,6 +33,11 @@ def main(argv=None) -> dict:
                     help="incremental resume (anti-join against output)")
     ap.add_argument("--csv", action="store_true",
                     help="also write the reference id,v1..vN CSV layout (rp)")
+    ap.add_argument("--h5", action="store_true",
+                    help="also write reference HDF5 feature stores "
+                         "(<out>/features.<type>.h5 per feature type, "
+                         "the reference's -h5 flag, "
+                         "rp_extract_batch.py:480)")
     ap.add_argument("--cores", type=int, default=8)
     args = ap.parse_args(argv)
 
@@ -92,14 +97,25 @@ def main(argv=None) -> dict:
     else:
         manifest = write_snapshot(extract(df), args.out_dir, ts_col=None)
 
+    if args.csv or args.h5:
+        feats = spark.read.parquet(os.path.join(args.out_dir, "data"))
+        ok = feats.filter(F.col("err").isNull()) if "err" in feats.columns else feats
     if args.csv:
         from rp_extract_spark.sources.files import write_csv_features
 
-        feats = spark.read.parquet(os.path.join(args.out_dir, "data"))
-        ok = feats.filter(F.col("err").isNull()) if "err" in feats.columns else feats
         write_csv_features(
             ok, os.path.join(args.out_dir, "csv_rp"), feature="rp", id_col=key
         )
+    if args.h5:
+        from rp_extract_spark.sources.hdf5 import write_h5_features
+
+        for ftype in ("rp", "ssd", "rh"):
+            if ftype in ok.columns:
+                write_h5_features(
+                    ok.select(key, F.col(ftype).alias("vec")),
+                    os.path.join(args.out_dir, f"features.{ftype}"),
+                    id_col=key, vec_type=ftype,
+                )
 
     print({"rows": manifest["total_rows"], "errors": manifest["total_errors"],
            "snapshot": manifest["snapshot_id"]})

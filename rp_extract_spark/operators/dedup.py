@@ -306,30 +306,56 @@ def propagate_min_ids(
     graph by iterated min-label propagation: every id converges to the
     smallest id in its component (= transitive duplicate group).
 
-    Each round is two shuffles (min per bucket, min per id); labels are
-    localCheckpoint'ed per round so iteration i+1's plan does not
-    re-execute iteration i. Converges in O(log(component diameter))
-    rounds — duplicate chains A~B~C with no shared bucket for (A, C)
-    land in one group, which one-hop election cannot do. Stops early
-    when a round changes no label; logs per-round change counts (the
-    loop is data-dependent, so the action per round is inherent)."""
-    e = edges.select(F.col(id_col).alias("__id"),
-                     F.col(bucket_col).alias("__bk")).localCheckpoint()
-    labels = e.groupBy("__id").agg(F.min("__id").alias("rep_id"))  # identity
-    # seed: min id per bucket, then min over an id's buckets (one hop)
+    Per-round fixed cost is kept minimal — this loop is the only
+    serial (driver-coordinated) part of the dedup pipeline, so at high
+    parallelism its stage latency bounds scaling efficiency:
+
+    - the edge set is checkpointed TWICE, pre-partitioned by id and by
+      bucket, so both per-round joins reuse an existing partitioning
+      and plan with zero extra exchange on the edge side
+      (localCheckpoint preserves outputPartitioning; 2x edge storage
+      is the explicit trade for 2 fewer 4M-row shuffles per round);
+    - labels are seeded with the one-hop bucket-min (round 0 needs no
+      join against identity labels);
+    - the convergence count is a scan of the already-checkpointed
+      round result carrying its previous label (no extra shuffle join
+      per round).
+
+    Labels are localCheckpoint'ed per round so iteration i+1's plan
+    does not re-execute iteration i. Converges in
+    O(log(component diameter)) rounds — duplicate chains A~B~C with no
+    shared bucket for (A, C) land in one group, which one-hop election
+    cannot do. Stops early when a round changes no label; logs
+    per-round change counts (the loop is data-dependent, so the action
+    per round is inherent)."""
+    sel = edges.select(F.col(id_col).alias("__id"),
+                       F.col(bucket_col).alias("__bk"))
+    e_by_id = sel.repartition("__id").localCheckpoint()
+    e_by_bk = e_by_id.repartition("__bk").localCheckpoint()
+    # seed = one hop: min id per bucket, then min over an id's buckets
+    # (every id is a member of its own buckets, so seed <= id)
+    labels = (
+        e_by_bk.join(
+            e_by_bk.groupBy("__bk").agg(F.min("__id").alias("__bmin")), "__bk"
+        )
+        .groupBy("__id")
+        .agg(F.min("__bmin").alias("rep_id"))
+        .localCheckpoint()
+    )
     for it in range(max_iters):
         bucket_min = (
-            e.join(labels, "__id")
+            e_by_id.join(labels, "__id")
             .groupBy("__bk")
             .agg(F.min("rep_id").alias("__bmin"))
         )
         cand = (
-            e.join(bucket_min, "__bk")
+            e_by_bk.join(bucket_min, "__bk")
             .groupBy("__id")
             .agg(F.min("__bmin").alias("__cand"))
         )
         hopped = labels.join(cand, "__id", "left").select(
             "__id",
+            F.col("rep_id").alias("__old"),
             F.least("rep_id", F.coalesce("__cand", "rep_id")).alias("rep_id"),
         )
         # pointer halving (rep := label(rep)) — contracts chains
@@ -343,15 +369,11 @@ def propagate_min_ids(
                 "rep_id",
                 "left",
             )
-            .select("__id", F.coalesce("__rep2", "rep_id").alias("rep_id"))
+            .select("__id", "__old", F.coalesce("__rep2", "rep_id").alias("rep_id"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("rep_id", "__old"), "__id")
-            .filter(F.col("rep_id") != F.col("__old"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("rep_id") != F.col("__old")).count()
+        labels = new_labels.drop("__old")
         logger.info("propagate_min_ids round %d: %d labels changed", it + 1, changed)
         if changed == 0:
             break
@@ -381,8 +403,9 @@ def minhash_lsh_dedup(
     the smallest id in the document's *transitive* duplicate component
     (ids connected through shared LSH band buckets) — min-id labels are
     propagated to fixpoint, so chains A~B~C merge even when A and C
-    share no bucket. ``max_iters=1`` gives the cheaper one-hop
-    approximation.
+    share no bucket. Labels are seeded with the one-hop bucket-min, so
+    ``max_iters=0`` gives the cheap one-hop approximation and
+    ``max_iters=1`` a two-hop pass with pointer halving.
 
     ``verify_jaccard``: when set, candidate pairs from shared band
     buckets are verified with exact word-``jaccard_n``-gram Jaccard and

@@ -360,6 +360,12 @@ def _parse_datatype(b: bytes):
             raise Hdf5Error(f"unsupported float size {size}")
         return np.dtype(f"<f{size}"), cls
     if cls == 3:  # fixed string
+        # bound BEFORE np.dtype: a corrupted 32-bit size overflows
+        # numpy's C itemsize to a NEGATIVE value, which then slips past
+        # every `len(raw) < n * itemsize` guard and segfaults frombuffer
+        # element access (observed under single-byte fuzzing)
+        if size == 0 or size > (1 << 20):
+            raise Hdf5Error(f"implausible string size {size}")
         return np.dtype(f"S{size}"), cls
     raise Hdf5Error(f"unsupported datatype class {cls}")
 
@@ -434,7 +440,9 @@ def _parse_attr(body: bytes):
     pos += pad(dt_sz)
     shape = _parse_dataspace(body[pos:pos + ds_sz])
     pos += pad(ds_sz)
-    n = int(np.prod(shape, dtype=np.int64)) if shape else 1
+    n = int(np.prod(shape, dtype=np.float64)) if shape else 1
+    if n < 0 or n * dtype.itemsize > len(body):
+        raise Hdf5Error("attribute dataspace larger than message")
     raw = body[pos:pos + n * dtype.itemsize]
     if len(raw) < n * dtype.itemsize:
         raise Hdf5Error("attribute data truncated")
@@ -608,7 +616,20 @@ def _read_dataset(rd: _Rd, oh_addr: int):
 
 def read_hdf5(data: bytes) -> "dict[str, tuple[np.ndarray, dict]]":
     """Parse an HDF5 byte stream -> {dataset name: (array, attrs)} for
-    every dataset directly under the root group."""
+    every dataset directly under the root group.
+
+    Corrupt input raises ``Hdf5Error`` (a ``ValueError``) — never
+    ``struct.error``/``IndexError`` from truncated internal structures
+    (required by the per-file quarantine path in sources/hdf5.py)."""
+    try:
+        return _read_hdf5(data)
+    except Hdf5Error:
+        raise
+    except (struct.error, IndexError, ValueError, OverflowError) as e:
+        raise Hdf5Error(f"corrupt HDF5 stream: {e}") from None
+
+
+def _read_hdf5(data: bytes) -> "dict[str, tuple[np.ndarray, dict]]":
     if len(data) < 96 or data[:8] != _SIG:
         raise Hdf5Error("not an HDF5 stream")
     rd = _Rd(data)

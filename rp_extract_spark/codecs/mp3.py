@@ -110,15 +110,21 @@ class _Bits:
         v = 0
         pos = self.pos
         data = self.data
-        for _ in range(n):
-            v = (v << 1) | ((data[pos >> 3] >> (7 - (pos & 7))) & 1)
-            pos += 1
+        try:
+            for _ in range(n):
+                v = (v << 1) | ((data[pos >> 3] >> (7 - (pos & 7))) & 1)
+                pos += 1
+        except IndexError:
+            raise Mp3Error("bitstream truncated") from None
         self.pos = pos
         return v
 
     def read1(self) -> int:
         pos = self.pos
-        v = (self.data[pos >> 3] >> (7 - (pos & 7))) & 1
+        try:
+            v = (self.data[pos >> 3] >> (7 - (pos & 7))) & 1
+        except IndexError:
+            raise Mp3Error("bitstream truncated") from None
         self.pos = pos + 1
         return v
 
@@ -705,6 +711,8 @@ def validate_stream(data: bytes) -> dict:
     validation of the shipped tables: a wrong code length cannot hit
     the exact budget across many independent granules."""
     frames = list(iter_frames(data))
+    if not frames:
+        raise Mp3Error("no MPEG-1 Layer III frames found")
     nch = frames[0][0]["nch"]
     sr = frames[0][0]["samplerate"]
     reservoir = b""
@@ -712,6 +720,8 @@ def validate_stream(data: bytes) -> dict:
              "skipped_missing_table": 0, "reservoir_underruns": 0,
              "errors": 0}
     for h, pos in frames:
+        if h["nch"] != nch or h["samplerate"] != sr:
+            raise Mp3Error("samplerate/channel change mid-stream")
         si_off = pos + 4 + (2 if h["crc"] else 0)
         si_len = 17 if nch == 1 else 32
         si = _parse_side_info(data, si_off, nch)

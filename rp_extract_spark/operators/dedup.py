@@ -386,6 +386,31 @@ def propagate_min_ids(
     return labels.select(F.col("__id").alias(id_col), "rep_id")
 
 
+def banded_signatures(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """(id, band, bucket) rows from a minhash-signature table — bucket
+    is the xxhash64 of the band's signature slice. The single source of
+    the banding construction, shared by ``minhash_lsh_dedup`` and the
+    recall-oracle driver query so the proof stays tied to the
+    production code path."""
+    rows_per_band = n_hashes // bands
+    return sigs.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.xxhash64(
+                    F.slice("signature", i * rows_per_band + 1, rows_per_band)
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -398,6 +423,7 @@ def minhash_lsh_dedup(
     max_iters: int = 10,
     verify_jaccard: float | None = None,
     jaccard_n: int = 3,
+    max_bucket_size: int = 512,
 ) -> DataFrame:
     """Near-duplicate detection: returns (id, rep_id) where rep_id is
     the smallest id in the document's *transitive* duplicate component
@@ -411,20 +437,12 @@ def minhash_lsh_dedup(
     buckets are verified with exact word-``jaccard_n``-gram Jaccard and
     only pairs >= the threshold become edges (false-positive control;
     the unverified default is recall-biased and merges any bucket
-    collision)."""
-    rows_per_band = n_hashes // bands
+    collision). ``max_bucket_size`` caps the all-pairs join per
+    (band, bucket); overflow members fall back to one star edge
+    against the bucket's min id (linear, keeps exact-duplicate
+    recall)."""
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k, seed, mode)
-    banded = sigs.select(
-        id_col,
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda i: F.xxhash64(
-                    F.slice("signature", i * rows_per_band + 1, rows_per_band)
-                ),
-            )
-        ).alias("band", "bucket"),
-    )
+    banded = banded_signatures(sigs, id_col, n_hashes, bands)
     if verify_jaccard is None:
         # unverified: every shared band bucket is an edge (recall-biased)
         edges = banded.select(id_col, F.xxhash64("band", "bucket").alias("__edge_bk"))
@@ -432,14 +450,37 @@ def minhash_lsh_dedup(
     # verified: candidate pairs from shared buckets, exact n-gram
     # Jaccard >= threshold filters out LSH false positives BEFORE the
     # component merge — the standard candidates->verify->union-find
-    # near-dup pipeline (verification cost is per candidate pair only)
+    # near-dup pipeline (verification cost is per candidate pair only).
+    # Hot-bucket cap: a degenerate bucket (e.g. a 100k-member exact-
+    # duplicate group — precisely what dedup exists to find) must not
+    # build an O(n^2) all-pairs join. All-pairs only among the first
+    # ``max_bucket_size`` ids per (band, bucket); every OVERFLOW member
+    # gets one linear star edge to the bucket's min id instead, so true
+    # duplicates beyond the cap still verify and merge (1 pair each)
+    # while candidate count stays O(n * cap) per bucket.
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("band", "bucket").orderBy(F.col(id_col))
+    ranked = banded.withColumn("__rn", F.row_number().over(w))
+    head = ranked.filter(F.col("__rn") <= max_bucket_size)
+    star = (
+        ranked.filter(F.col("__rn") > max_bucket_size)
+        .join(
+            ranked.filter(F.col("__rn") == 1).select(
+                "band", "bucket", F.col(id_col).alias("id_b")
+            ),
+            ["band", "bucket"],
+        )
+        .select(F.col(id_col).alias("id_a"), "id_b")
+    )
     cand = (
-        banded.alias("a")
-        .join(banded.alias("b"), ["band", "bucket"])
+        head.alias("a")
+        .join(head.alias("b"), ["band", "bucket"])
         .filter(F.col(f"a.{id_col}") > F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
+        .unionByName(star)
         .distinct()
     )
     verified = ngram_jaccard(df, cand, text_col, id_col, n=jaccard_n).filter(

@@ -1863,9 +1863,17 @@ assign AS (
   FROM embeddings e),
 probe AS (SELECT lab FROM cent, q
           ORDER BY list_distance(c, v) ASC, lab ASC LIMIT 2)
-SELECT vec_id, round(list_cosine_similarity(ev, (SELECT v FROM q)), 5) AS cos_sim
-FROM assign WHERE list_id IN (SELECT lab FROM probe)
-ORDER BY list_cosine_similarity(ev, (SELECT v FROM q)) DESC, vec_id ASC LIMIT 10
+SELECT * FROM (
+  SELECT vec_id,
+         round(list_cosine_similarity(ev, (SELECT v FROM q)), 5) AS cos_sim
+  FROM assign WHERE list_id IN (SELECT lab FROM probe)
+  ORDER BY list_cosine_similarity(ev, (SELECT v FROM q)) DESC, vec_id ASC
+  LIMIT 10)
+-- top-10 membership by RAW score (matches topk_similar's orderBy);
+-- final row order by the ROUNDED alias + id, exactly like the Spark
+-- side's orderBy(cos_sim, vec_id) — raw-score final order could
+-- disagree when two scores round to the same 5-decimal value
+ORDER BY cos_sim DESC, vec_id ASC
 """
 
 QUERIES["ivf_recall"] = q_ivf_recall
@@ -1881,21 +1889,13 @@ def q_minhash_recall(spark, sf):
     rows, P(miss) at jaccard s is (1-s^4)^32 (<= 5e-8 for s >= 0.8; the
     corpus' true pairs all sit above 0.8), and the outcome is
     deterministic for a fixed seed."""
-    from ..operators.dedup import minhash_signatures, ngram_jaccard
+    from ..operators.dedup import (
+        banded_signatures, minhash_signatures, ngram_jaccard)
 
     d = _t(spark, sf, "documents")
     n_hashes, bands = 128, 32
-    rpb = n_hashes // bands
     sigs = minhash_signatures(d, n_hashes=n_hashes)
-    banded = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda i: F.xxhash64(F.slice("signature", i * rpb + 1, rpb)),
-            )
-        ).alias("band", "bucket"),
-    )
+    banded = banded_signatures(sigs, "doc_id", n_hashes, bands)
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "bucket"])

@@ -212,3 +212,20 @@ def test_embedding_dedup_within_cap_unaffected(spark):
          for r in embedding_cosine_dedup(df, threshold=0.99).collect()}
     assert all(m[i] == 0 for i in range(5))
     assert all(m[i] == 10 for i in range(10, 15))
+
+
+def test_minhash_verified_hot_bucket_star_edges(spark):
+    # adversarial: 40 IDENTICAL docs (one bucket per band holds all 40)
+    # with cap=8. All-pairs is bounded to the first 8 ids per bucket;
+    # overflow members get a linear star edge to the bucket min, so
+    # every true duplicate STILL verifies and merges into one group.
+    docs = [(f"d{i:03d}", "alpha beta gamma delta epsilon zeta eta theta "
+             "iota kappa " * 4) for i in range(40)]
+    docs.append(("zzz", "totally different content about spark plans "
+                 "and parquet footers " * 4))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = minhash_lsh_dedup(df, n_hashes=32, bands=8, verify_jaccard=0.8,
+                            max_bucket_size=8)
+    m = {r.doc_id: r.rep_id for r in out.collect()}
+    assert all(m[f"d{i:03d}"] == "d000" for i in range(40)), m
+    assert m["zzz"] == "zzz"

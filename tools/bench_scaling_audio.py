@@ -13,13 +13,13 @@ from __future__ import annotations
 
 import json
 import os
-import re
 import shutil
 import subprocess
 import sys
 import tempfile
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _scaling import REPO, format_section, measure, splice_section  # noqa: E402
 
 GEN = r"""
 import sys
@@ -78,15 +78,6 @@ spark.stop()
 """
 
 
-def run_py(code: str, timeout: int = 2400) -> dict:
-    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                         text=True, timeout=timeout, cwd=REPO)
-    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
-    if out.returncode != 0 or not lines:
-        raise RuntimeError(f"run failed:\n{out.stderr[-3000:]}")
-    return json.loads(lines[-1])
-
-
 def main() -> None:
     n_clips = int(os.environ.get("AUDIO_CLIPS", "7200"))
     n_small = int(os.environ.get("SCALING_N", "2"))
@@ -99,49 +90,25 @@ def main() -> None:
                         GEN.format(repo=REPO, n_clips=n_clips, clip_dir=clip_dir)],
                        check=True, capture_output=True, text=True,
                        timeout=2400, cwd=REPO)
-        runs_a, runs_b = [], []
-        for _ in range(reps):
-            runs_a.append(run_py(RUNNER.format(repo=REPO, cores=n_small,
-                                               clip_dir=clip_dir)))
-            runs_b.append(run_py(RUNNER.format(repo=REPO, cores=n_large,
-                                               clip_dir=clip_dir)))
+        result = measure(
+            RUNNER.format(repo=REPO, cores=n_small, clip_dir=clip_dir),
+            RUNNER.format(repo=REPO, cores=n_large, clip_dir=clip_dir),
+            reps,
+        )
     finally:
         shutil.rmtree(base, ignore_errors=True)
-    a = max(runs_a, key=lambda r: r["rows_per_sec"])
-    b = max(runs_b, key=lambda r: r["rows_per_sec"])
-    eff = b["rows_per_sec"] / (4.0 * a["rows_per_sec"])
-    result = {
+    result.update({
         "job": "parquet scan -> WAV decode -> TRUE audio spectrogram+descriptor kernel",
         "input": f"{n_clips} x 13 s 22.05 kHz WAV clips, parquet, identical file set",
-        "all_runs": {"small": runs_a, "large": runs_b},
-        "runs": [a, b],
-        "scaling_efficiency": round(eff, 3),
-        "target": 0.8,
-        "meets_target": eff >= 0.8,
-    }
-    md_path = os.path.join(REPO, "BENCH", "BASELINE.md")
-    with open(md_path) as f:
-        md = f.read()
-    section = (
-        "## Audio-path scaling (official, tools/bench_scaling_audio.py)\n\n"
+    })
+    intro = (
         f"Job: parquet scan -> WAV decode -> TRUE audio kernel "
         f"(spectrogram + RP/SSD/RH/MVD), {n_clips} x 13 s clips, fresh JVM per\n"
-        "run, interleaved repetitions, best per level:\n\n"
-        "| cores | rows | wall_s | rows/sec |\n|---|---|---|---|\n"
-        + "".join(
-            f"| local[{r['cores']}] | {r['rows']} | {r['wall_s']:.2f} "
-            f"| {r['rows_per_sec']:.2f} |\n" for r in result["runs"])
-        + f"\n**Scaling efficiency = {b['rows_per_sec']:.2f} / (4 x "
-        f"{a['rows_per_sec']:.2f}) = {result['scaling_efficiency']}** "
-        f"({'meets' if result['meets_target'] else 'MISSES'} the 0.8 target)\n"
-        + "\nAll repetitions (rows/sec): "
-        + "small=" + str([round(r["rows_per_sec"], 1) for r in runs_a])
-        + ", large=" + str([round(r["rows_per_sec"], 1) for r in runs_b]) + "\n"
+        "run, interleaved repetitions, best per level:"
     )
-    pat = re.compile(r"## Audio-path scaling.*?(?=\n## |\Z)", re.S)
-    md = pat.sub(section, md) if pat.search(md) else md + "\n" + section
-    with open(md_path, "w") as f:
-        f.write(md)
+    splice_section("Audio-path scaling", format_section(
+        "Audio-path scaling (official, tools/bench_scaling_audio.py)",
+        intro, result))
     print(json.dumps(result))
 
 

@@ -14,13 +14,13 @@ from __future__ import annotations
 
 import json
 import os
-import re
 import shutil
 import subprocess
 import sys
 import tempfile
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _scaling import REPO, format_section, measure, splice_section  # noqa: E402
 
 GEN = r"""
 import sys
@@ -91,17 +91,6 @@ spark.stop()
 """
 
 
-def run_py(code: str, timeout: int = 2400) -> dict:
-    out = subprocess.run(
-        [sys.executable, "-c", code],
-        capture_output=True, text=True, timeout=timeout, cwd=REPO,
-    )
-    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
-    if out.returncode != 0 or not lines:
-        raise RuntimeError(f"run failed:\n{out.stderr[-3000:]}")
-    return json.loads(lines[-1])
-
-
 def main() -> None:
     n_docs = int(os.environ.get("SCALING_DOCS", "60000"))
     n_small = int(os.environ.get("SCALING_N", "2"))
@@ -116,54 +105,31 @@ def main() -> None:
             check=True, capture_output=True, text=True, timeout=2400,
             cwd=REPO,
         )
-        runs_a, runs_b = [], []
-        for _ in range(reps):
-            runs_a.append(run_py(RUNNER.format(
-                repo=REPO, cores=n_small, doc_dir=doc_dir, n_docs=n_docs)))
-            runs_b.append(run_py(RUNNER.format(
-                repo=REPO, cores=n_large, doc_dir=doc_dir, n_docs=n_docs)))
+        result = measure(
+            RUNNER.format(repo=REPO, cores=n_small, doc_dir=doc_dir,
+                          n_docs=n_docs),
+            RUNNER.format(repo=REPO, cores=n_large, doc_dir=doc_dir,
+                          n_docs=n_docs),
+            reps,
+        )
     finally:
         shutil.rmtree(base, ignore_errors=True)
-    a = max(runs_a, key=lambda r: r["rows_per_sec"])
-    b = max(runs_b, key=lambda r: r["rows_per_sec"])
-    eff = b["rows_per_sec"] / (4.0 * a["rows_per_sec"])
-    result = {
+    result.update({
         "job": ("parquet scan -> quality gates -> MinHash-LSH dedup "
                 "(banded join + component fixpoint) -> sequence packing "
                 "(distributed prefix sum)"),
         "input": f"{n_docs} synthesized docs (~10% exact dups), parquet",
-        "all_runs": {"small": runs_a, "large": runs_b},
-        "runs": [a, b],
-        "scaling_efficiency": round(eff, 3),
-        "target": 0.8,
-        "meets_target": eff >= 0.8,
-    }
-    md_path = os.path.join(REPO, "BENCH", "BASELINE.md")
-    with open(md_path) as f:
-        md = f.read()
-    section = (
-        "## Corpus-pipeline scaling (tools/bench_scaling_text.py)\n\n"
+    })
+    intro = (
         f"Job: quality gates -> MinHash-LSH dedup -> sequence packing on\n"
         f"{n_docs} docs — the shuffle-heavy member of the scaling trio\n"
         "(banded signature join, component fixpoint, distributed prefix\n"
         "sum). Fresh JVM per run, interleaved repetitions, best per\n"
-        "level; docs/sec counts INPUT documents:\n\n"
-        "| cores | out rows | wall_s | docs/sec |\n|---|---|---|---|\n"
-        + "".join(
-            f"| local[{r['cores']}] | {r['rows']} | {r['wall_s']:.2f} "
-            f"| {r['rows_per_sec']:.2f} |\n" for r in result["runs"])
-        + f"\n**Scaling efficiency = {b['rows_per_sec']:.2f} / (4 x "
-        f"{a['rows_per_sec']:.2f}) = {result['scaling_efficiency']}** "
-        f"({'meets' if result['meets_target'] else 'MISSES'} the 0.8 target)\n"
-        + "\nAll repetitions (docs/sec): "
-        + "small=" + str([round(r["rows_per_sec"], 1) for r in runs_a])
-        + ", large=" + str([round(r["rows_per_sec"], 1) for r in runs_b])
-        + "\n"
+        "level; docs/sec counts INPUT documents:"
     )
-    pat = re.compile(r"## Corpus-pipeline scaling.*?(?=\n## |\Z)", re.S)
-    md = pat.sub(section, md) if pat.search(md) else md + "\n" + section
-    with open(md_path, "w") as f:
-        f.write(md)
+    splice_section("Corpus-pipeline scaling", format_section(
+        "Corpus-pipeline scaling (tools/bench_scaling_text.py)",
+        intro, result, rate_label="docs/sec"))
     print(json.dumps(result))
 
 

@@ -310,11 +310,13 @@ def propagate_min_ids(
     serial (driver-coordinated) part of the dedup pipeline, so at high
     parallelism its stage latency bounds scaling efficiency:
 
-    - the edge set is checkpointed TWICE, pre-partitioned by id and by
-      bucket, so both per-round joins reuse an existing partitioning
-      and plan with zero extra exchange on the edge side
-      (localCheckpoint preserves outputPartitioning; 2x edge storage
-      is the explicit trade for 2 fewer 4M-row shuffles per round);
+    - the edge set is persisted TWICE, pre-partitioned by id and by
+      bucket, so per-round joins/aggs on the edge side reuse the
+      cached exchange with zero new shuffle (InMemoryRelation
+      preserves outputPartitioning; localCheckpoint does NOT through
+      the Python API — verified via explain. The edges are
+      loop-constant, so caching them does not grow lineage; 2x edge
+      storage is the explicit trade for the per-round edge shuffles);
     - labels are seeded with the one-hop bucket-min (round 0 needs no
       join against identity labels);
     - the convergence count is a scan of the already-checkpointed
@@ -330,8 +332,8 @@ def propagate_min_ids(
     per round is inherent)."""
     sel = edges.select(F.col(id_col).alias("__id"),
                        F.col(bucket_col).alias("__bk"))
-    e_by_id = sel.repartition("__id").localCheckpoint()
-    e_by_bk = e_by_id.repartition("__bk").localCheckpoint()
+    e_by_id = sel.repartition("__id").persist()
+    e_by_bk = e_by_id.repartition("__bk").persist()
     # seed = one hop: min id per bucket, then min over an id's buckets
     # (every id is a member of its own buckets, so seed <= id)
     labels = (
@@ -383,6 +385,10 @@ def propagate_min_ids(
             "chain); labels are a refinement of the true components",
             max_iters,
         )
+    # labels is checkpointed (materialized, lineage-free), so the
+    # cached edge copies can be released before returning
+    e_by_id.unpersist()
+    e_by_bk.unpersist()
     return labels.select(F.col("__id").alias(id_col), "rep_id")
 
 

@@ -700,11 +700,13 @@ def embedding_cosine_dedup(
     minhash/simhash), so a chain A~B~C with no shared bucket for (A, C)
     still lands on one representative — one-hop election would elect a
     rep that is itself deduped away. Scale path: the pairwise step is
-    per-bucket, never corpus x corpus — AND per-bucket membership is
-    capped at ``max_bucket_size`` (lowest ids kept) so one degenerate
-    bucket (e.g. all-zero embeddings) cannot create a quadratic task
-    that never finishes. Overflow is counted and logged, never silent;
-    rows beyond the cap keep themselves as representative."""
+    per-bucket, never corpus x corpus — AND all-pairs membership per
+    bucket is capped at ``max_bucket_size`` (lowest ids) so one
+    degenerate bucket (e.g. all-zero embeddings) cannot create a
+    quadratic task that never finishes. Overflow rows are NOT dropped:
+    each gets one star verification pair against the bucket's min-id
+    member (linear), so true duplicates beyond the cap still merge;
+    the overflow count is logged, never silent."""
     from pyspark.sql.window import Window
 
     from .similarity import bucket_col, cosine_col, hyperplanes
@@ -747,9 +749,9 @@ def _embedding_dedup_from_ranked(ranked, b, id_col, threshold,
     n_over = ranked.filter(F.col("__rn") > max_bucket_size).count()
     if n_over:
         logger.warning(
-            "embedding_cosine_dedup: %d rows beyond max_bucket_size=%d were "
-            "excluded from candidate pairing (hot LSH bucket(s); raise "
-            "n_planes to split them)", n_over, max_bucket_size,
+            "embedding_cosine_dedup: %d rows beyond max_bucket_size=%d fell "
+            "back to star verification against the bucket min (hot LSH "
+            "bucket(s); raise n_planes to split them)", n_over, max_bucket_size,
         )
     capped = ranked.filter(F.col("__rn") <= max_bucket_size).drop("__rn")
     left = capped.select(
@@ -758,9 +760,24 @@ def _embedding_dedup_from_ranked(ranked, b, id_col, threshold,
     right = capped.select(
         F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"), "__bucket"
     )
+    # overflow members: one linear star pair each vs the bucket's
+    # min-id member (rank 1) instead of all-pairs — true duplicates
+    # beyond the cap still verify and merge
+    star = (
+        ranked.filter(F.col("__rn") > max_bucket_size)
+        .select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"),
+                "__bucket")
+        .join(
+            ranked.filter(F.col("__rn") == 1).select(
+                F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"),
+                "__bucket"),
+            "__bucket",
+        )
+    )
     pairs = (
         left.join(right, "__bucket")
         .filter(F.col("id_b") < F.col("id_a"))
+        .unionByName(star.select("id_a", "__va", "__bucket", "id_b", "__vb"))
         .withColumn("__cos", cosine_col(F.col("__va"), F.col("__vb")))
         .filter(F.col("__cos") >= threshold)
         .select("id_a", "id_b")

@@ -190,17 +190,30 @@ def test_embedding_dedup_empty_input(spark):
 
 def test_embedding_dedup_hot_bucket_capped(spark):
     # adversarial: 60 identical vectors all land in ONE LSH bucket.
-    # cap=10 bounds the pairwise step; rows beyond the cap keep
-    # themselves as rep (logged, not silent).
+    # cap=10 bounds the all-pairs step; rows beyond the cap fall back
+    # to ONE star pair vs the bucket min, so true duplicates still
+    # merge (linear candidate count, logged overflow).
     rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(60)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     out = embedding_cosine_dedup(df, threshold=0.99, max_bucket_size=10)
     m = {r.vec_id: r.rep_id for r in out.collect()}
     assert len(m) == 60
-    for i in range(10):
+    for i in range(60):
         assert m[i] == 0
-    for i in range(10, 60):
-        assert m[i] == i  # excluded from pairing, self-representative
+
+
+def test_embedding_dedup_star_rejects_non_duplicates(spark):
+    # overflow members that are NOT near the bucket min must not merge:
+    # the star pair is cosine-verified like any other candidate.
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(12)]
+    # same LSH bucket is not guaranteed for the outlier, but if it does
+    # share a bucket its cosine vs the min fails the threshold
+    rows.append((99, [-1.0, -2.0, -3.0, -4.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = embedding_cosine_dedup(df, threshold=0.99, max_bucket_size=5)
+    m = {r.vec_id: r.rep_id for r in out.collect()}
+    assert all(m[i] == 0 for i in range(12))
+    assert m[99] == 99
 
 
 def test_embedding_dedup_within_cap_unaffected(spark):

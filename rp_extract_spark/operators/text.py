@@ -150,6 +150,91 @@ def pattern_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# PII redaction (corpus sanitization before training) — chained JVM
+# regexp_replace; patterns restricted to syntax that behaves
+# identically under Java regex (Spark) and RE2 (DuckDB oracle): plain
+# char classes, no lookaround/backrefs. Order matters (URLs first so
+# their digits never count as phones); each kind is counted on the
+# text as it stands BEFORE that kind's replacement.
+PII_PATTERNS: "list[tuple[str, str, str]]" = [
+    ("url", URL_PATTERN, "<URL>"),
+    ("email", EMAIL_PATTERN, "<EMAIL>"),
+    ("ip", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+    ("phone", r"\+?[0-9][0-9()\[\]. -]{6,14}[0-9]", "<PHONE>"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace URLs / emails / IPv4s / phone-like digit runs with typed
+    placeholder tokens; adds ``n_<kind>`` match counts and
+    ``text_redacted``. The whole pass is stateless JVM regexp (one
+    projection, no shuffle) — at corpus scale it fuses into the scan."""
+    cols: "dict[str, Column]" = {}
+    cur = F.col(text_col)
+    for kind, pat, token in PII_PATTERNS:
+        cols[f"n_{kind}"] = F.regexp_count(cur, F.lit(pat)).cast("int")
+        cur = F.regexp_replace(cur, pat, token)
+    cols["text_redacted"] = cur
+    return df.withColumns(cols)
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals, all JVM array ops (one
+    projection, shuffle-free):
+
+    - ``dup_token_frac``: 1 - distinct_tokens/tokens;
+    - ``dup_line_frac``: 1 - distinct_nonblank_lines/nonblank_lines;
+    - ``top_2gram_share``: share of the most frequent word 2-gram among
+      all 2-grams (sorted-adjacent run-length via one HOF aggregate —
+      no per-row explode/groupBy)."""
+    t = F.col(text_col)
+    toks = nonempty_tokens_col(t)
+    n = F.size(toks)
+    dup_token_frac = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round(1 - F.size(F.array_distinct(toks)) / n, 6)
+    )
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    n_lines = F.size(lines)
+    dup_line_frac = F.when(n_lines == 0, F.lit(0.0)).otherwise(
+        F.round(1 - F.size(F.array_distinct(lines)) / n_lines, 6)
+    )
+    grams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sorted_g = F.array_sort(grams)
+    best_run = F.aggregate(
+        sorted_g,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                a["best"],
+                F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda a: a["best"],
+    )
+    top_share = F.round(best_run / F.greatest(F.size(grams), F.lit(1)), 6)
+    return df.withColumns(
+        {
+            "dup_token_frac": dup_token_frac,
+            "dup_line_frac": dup_line_frac,
+            "top_2gram_share": top_share,
+        }
+    )
+
+
 def _term_tf(toks: Column, term: str) -> Column:
     """Exact term frequency inside a token array (JVM-side filter; the
     term is bound per call — HOF lambdas must not close over loop

@@ -2644,3 +2644,122 @@ ORDER BY d.doc_id
 
 QUERIES["mix_corpus"] = q_mix_corpus
 ORACLES["mix_corpus"] = _mix_oracle_sql()
+
+
+# --------------------------------------------- repetition / redaction
+
+def q_repetition_stats(spark, sf):
+    """Gopher-style repetition quality signals (duplicate-token /
+    duplicate-line fractions, top word-2-gram share) — all JVM array
+    ops, no explode/groupBy; the oracle recomputes them with
+    unnest + group-by per document."""
+    from ..operators.text import repetition_stats
+
+    d = _t(spark, sf, "documents")
+    return repetition_stats(d).select(
+        "doc_id", "dup_token_frac", "dup_line_frac", "top_2gram_share"
+    ).orderBy("doc_id")
+
+
+ORACLE_REPETITION_STATS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(trim(text)),
+                                                 '\s+', ' ', 'g'), ' '),
+                     x -> x <> '') AS t,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    x -> trim(x)),
+                     x -> x <> '') AS lines
+  FROM documents),
+g AS (
+  SELECT doc_id, t, lines,
+         list_transform(generate_series(1, len(t) - 1),
+                        i -> t[i] || ' ' || t[i + 1]) AS grams
+  FROM toks),
+gc AS (
+  SELECT doc_id, x, count(*) AS c
+  FROM g, unnest(g.grams) AS u(x)
+  GROUP BY doc_id, x),
+top AS (
+  SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM gc GROUP BY doc_id)
+SELECT g.doc_id,
+       CASE WHEN len(t) = 0 THEN 0.0
+            ELSE round(1 - len(list_distinct(t))::DOUBLE / len(t), 6)
+       END AS dup_token_frac,
+       CASE WHEN len(lines) = 0 THEN 0.0
+            ELSE round(1 - len(list_distinct(lines))::DOUBLE / len(lines), 6)
+       END AS dup_line_frac,
+       coalesce(round(top.mx::DOUBLE / top.tot, 6), 0.0) AS top_2gram_share
+FROM g LEFT JOIN top USING (doc_id)
+ORDER BY g.doc_id
+"""
+
+QUERIES["repetition_stats"] = q_repetition_stats
+ORACLES["repetition_stats"] = ORACLE_REPETITION_STATS
+
+
+def q_redact_pii(spark, sf):
+    """PII redaction: the corpus has no PII-like content, so both
+    sides append an IDENTICAL deterministic suffix derived from doc_id
+    (email, IP, phone, URL) and then redact. Counts per kind + the
+    exact redacted string are compared — regex semantics must agree
+    between Java regex and RE2 on real replacements, not on a no-op."""
+    from ..operators.text import redact_pii
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id").cast("string")
+    suffix = F.concat(
+        F.lit(" contact u"), did, F.lit("@ex.com or 10.0."),
+        (F.col("doc_id") % 256).cast("string"), F.lit(".7 call +1 555-010-"),
+        (1000 + F.col("doc_id") % 9000).cast("string"),
+        F.lit(" see https://ex.org/d/"), did,
+    )
+    d2 = d.select("doc_id", F.concat(F.col("text"), suffix).alias("text"))
+    return redact_pii(d2).select(
+        "doc_id", "n_url", "n_email", "n_ip", "n_phone", "text_redacted"
+    ).orderBy("doc_id")
+
+
+ORACLE_REDACT_PII = r"""
+WITH t0 AS (
+  SELECT doc_id,
+         text || ' contact u' || CAST(doc_id AS VARCHAR)
+              || '@ex.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.7 call +1 555-010-'
+              || CAST(1000 + doc_id % 9000 AS VARCHAR)
+              || ' see https://ex.org/d/' || CAST(doc_id AS VARCHAR)
+           AS s
+  FROM documents),
+t1 AS (SELECT doc_id,
+              CAST(len(regexp_extract_all(s, 'https?://[^\s]+')) AS INT)
+                AS n_url,
+              regexp_replace(s, 'https?://[^\s]+', '<URL>', 'g') AS s
+       FROM t0),
+t2 AS (SELECT doc_id, n_url,
+              CAST(len(regexp_extract_all(s,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+                AS n_email,
+              regexp_replace(s,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                '<EMAIL>', 'g') AS s
+       FROM t1),
+t3 AS (SELECT doc_id, n_url, n_email,
+              CAST(len(regexp_extract_all(s,
+                '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS INT)
+                AS n_ip,
+              regexp_replace(s,
+                '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}',
+                '<IP>', 'g') AS s
+       FROM t2),
+t4 AS (SELECT doc_id, n_url, n_email, n_ip,
+              CAST(len(regexp_extract_all(s,
+                '\+?[0-9][0-9()\[\]. -]{6,14}[0-9]')) AS INT) AS n_phone,
+              regexp_replace(s, '\+?[0-9][0-9()\[\]. -]{6,14}[0-9]',
+                             '<PHONE>', 'g') AS s
+       FROM t3)
+SELECT doc_id, n_url, n_email, n_ip, n_phone, s AS text_redacted
+FROM t4 ORDER BY doc_id
+"""
+
+QUERIES["redact_pii"] = q_redact_pii
+ORACLES["redact_pii"] = ORACLE_REDACT_PII

@@ -335,3 +335,43 @@ def test_bm25_multi_term_additive(spark):
             for r in bm25_rank(df, ["x", "y"], top_k=10).collect()}
     assert both["a"] == pytest.approx(single_x["a"] + single_y["a"], abs=2e-6)
     assert "c" not in both
+
+
+# ---------- repetition signals + PII redaction (round 3) ----------
+
+def test_repetition_stats_hand_computed(spark):
+    from rp_extract_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [("a", "a b a b a b c"),   # 7 tokens/3 distinct; 2-grams: ab,ba,ab,ba,ab,bc
+         ("b", "x\n  x \ny\n\n"),  # lines x,x,y
+         ("c", ""),
+         ("d", "w1 w2 w3 w4")],
+        ["doc_id", "text"])
+    m = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert m["a"].dup_token_frac == pytest.approx(1 - 3 / 7, abs=1e-6)
+    assert m["a"].top_2gram_share == pytest.approx(3 / 6)
+    assert m["a"].dup_line_frac == 0.0
+    assert m["b"].dup_line_frac == pytest.approx(1 - 2 / 3, abs=1e-6)
+    assert m["c"].dup_token_frac == 0.0 and m["c"].dup_line_frac == 0.0
+    assert m["c"].top_2gram_share == 0.0
+    assert m["d"].dup_token_frac == 0.0
+    assert m["d"].top_2gram_share == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_redact_pii_kinds_and_order(spark):
+    from rp_extract_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [("a", "mail u1@ex.com or u2@ex.org see https://ex.org/a?q=1 "
+               "ip 10.0.3.7 tel +1 555-010-1234"),
+         ("b", "no pii here")],
+        ["doc_id", "text"])
+    m = {r.doc_id: r for r in redact_pii(df).collect()}
+    a = m["a"]
+    assert (a.n_url, a.n_email, a.n_ip, a.n_phone) == (1, 2, 1, 1)
+    assert a.text_redacted == ("mail <EMAIL> or <EMAIL> see <URL> "
+                               "ip <IP> tel <PHONE>")
+    # URL digits must never leak into the phone count (ordering)
+    assert "<PHONE>" not in m["b"].text_redacted
+    assert m["b"].text_redacted == "no pii here"

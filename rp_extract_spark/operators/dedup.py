@@ -30,6 +30,11 @@ logger = logging.getLogger(__name__)
 # Mersenne prime field 2^61-1 for universal hashing
 _MERSENNE = (1 << 61) - 1
 
+# propagate_min_ids: below this edge count the pre-partitioned persisted
+# edge copies cost more (pinned partition width defeats AQE coalescing)
+# than the per-round shuffles they avoid
+_BIG_EDGE_THRESHOLD = 2_000_000
+
 
 def exact_dedup(df: DataFrame, cols: Sequence[str], id_col: str) -> DataFrame:
     """Keep one deterministic representative (min id) per duplicate
@@ -310,13 +315,18 @@ def propagate_min_ids(
     serial (driver-coordinated) part of the dedup pipeline, so at high
     parallelism its stage latency bounds scaling efficiency:
 
-    - the edge set is persisted TWICE, pre-partitioned by id and by
+    - the edge set is checkpointed once, and — when it is LARGE —
+      additionally persisted TWICE pre-partitioned by id and by
       bucket, so per-round joins/aggs on the edge side reuse the
       cached exchange with zero new shuffle (InMemoryRelation
       preserves outputPartitioning; localCheckpoint does NOT through
-      the Python API — verified via explain. The edges are
-      loop-constant, so caching them does not grow lineage; 2x edge
-      storage is the explicit trade for the per-round edge shuffles);
+      the Python API — verified via explain). 2x edge storage is the
+      explicit trade for the per-round edge shuffles. For SMALL edge
+      sets the pre-partitioned copies are skipped: their pinned
+      partition count defeats AQE's partition coalescing and every
+      tiny stage pays full-width task launch (measured 3x slower at
+      sf0.1), while AQE-coalesced re-shuffles of a small checkpoint
+      are nearly free;
     - labels are seeded with the one-hop bucket-min (round 0 needs no
       join against identity labels);
     - the convergence count is a scan of the already-checkpointed
@@ -330,10 +340,13 @@ def propagate_min_ids(
     cannot do. Stops early when a round changes no label; logs
     per-round change counts (the loop is data-dependent, so the action
     per round is inherent)."""
-    sel = edges.select(F.col(id_col).alias("__id"),
-                       F.col(bucket_col).alias("__bk"))
-    e_by_id = sel.repartition("__id").persist()
-    e_by_bk = e_by_id.repartition("__bk").persist()
+    e = edges.select(F.col(id_col).alias("__id"),
+                     F.col(bucket_col).alias("__bk")).localCheckpoint()
+    if e.count() >= _BIG_EDGE_THRESHOLD:
+        e_by_id = e.repartition("__id").persist()
+        e_by_bk = e_by_id.repartition("__bk").persist()
+    else:
+        e_by_id = e_by_bk = e
     # seed = one hop: min id per bucket, then min over an id's buckets
     # (every id is a member of its own buckets, so seed <= id)
     labels = (
@@ -387,8 +400,9 @@ def propagate_min_ids(
         )
     # labels is checkpointed (materialized, lineage-free), so the
     # cached edge copies can be released before returning
-    e_by_id.unpersist()
-    e_by_bk.unpersist()
+    if e_by_id is not e:
+        e_by_id.unpersist()
+        e_by_bk.unpersist()
     return labels.select(F.col("__id").alias(id_col), "rep_id")
 
 

@@ -68,6 +68,8 @@ RELATIONAL = [
     "chunk_documents",
     "cms_counts",
     "mix_corpus",
+    "repetition_stats",
+    "redact_pii",
 ]
 
 

@@ -70,6 +70,8 @@ RELATIONAL = [
     "mix_corpus",
     "repetition_stats",
     "redact_pii",
+    "unigram_lm",
+    "hash_embed",
 ]
 
 

@@ -300,3 +300,147 @@ def bm25_rank(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(top_k)
     )
+
+
+# --------------------------------------------------------------- LM / vectors
+
+def train_unigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 50_000,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Unigram language model over the corpus — the poor-man analog of
+    the CCNet-style LM quality filter. ONE corpus pass builds the
+    (token, count) table (the shuffle carries token partial counts,
+    never documents), the top ``vocab_size`` tokens are kept with a
+    deterministic (count desc, token asc) cutoff (TakeOrdered — no
+    full sort), and log-probs are smoothed add-``alpha``:
+
+        logp(tok in vocab) = ln(count / (T + alpha))
+        logp(OOV)          = ln(alpha / (T + alpha))   (row token='<oov>')
+
+    where T is the TOTAL corpus token count (including pruned tokens).
+    Returns (token, logp) with logp rounded to 6 (model rows are what
+    both sides of the oracle compare — round once, at the source)."""
+    toks = nonempty_tokens_col(F.col(text_col))
+    counts = (
+        df.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    tot = counts.agg(F.sum("__cnt").alias("__t"))
+    kept = counts.orderBy(F.col("__cnt").desc(), F.col("token").asc()).limit(
+        vocab_size
+    )
+    model = kept.crossJoin(F.broadcast(tot)).select(
+        "token",
+        F.round(F.log(F.col("__cnt") / (F.col("__t") + F.lit(alpha))), 6).alias(
+            "logp"
+        ),
+    )
+    oov = tot.select(
+        F.lit("<oov>").alias("token"),
+        F.round(F.log(F.lit(alpha) / (F.col("__t") + F.lit(alpha))), 6).alias(
+            "logp"
+        ),
+    )
+    return model.unionByName(oov)
+
+
+def score_unigram_lm(
+    df: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Mean token log-prob per document under a ``train_unigram_lm``
+    model (higher = more corpus-typical; the LM-filter quality signal).
+    Scale path: explode tokens, BROADCAST-join the vocab-sized model,
+    aggregate back per document — one shuffle keyed on the id, carrying
+    (id, logp) pairs only. Docs with no tokens score 0.0."""
+    oov_row = model.filter(F.col("token") == "<oov>").select("logp").first()
+    if oov_row is None:
+        raise ValueError("model has no <oov> row (not a train_unigram_lm output)")
+    toks = nonempty_tokens_col(F.col(text_col))
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("token"))
+    # sum the 6-dp-rounded logps as EXACT micro-integers: float summation
+    # is order-sensitive across partitions, so a plain avg can flip the
+    # 6th decimal between engines/runs; integer sums cannot
+    micro = F.round(
+        F.coalesce(F.col("logp"), F.lit(oov_row["logp"])) * 1e6
+    ).cast("long")
+    scored = (
+        exploded.join(F.broadcast(model.filter(F.col("token") != "<oov>")),
+                      "token", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(micro).alias("__sum_micro"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .select(
+            id_col,
+            F.round(F.col("__sum_micro") / (F.col("n_tokens") * 1e6), 6).alias(
+                "lm_score"
+            ),
+            "n_tokens",
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("lm_score", F.lit(0.0)).alias("lm_score"),
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+def hash_embed(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Feature-hashed document vectors (hashing trick): bucket every
+    token by its md5-prefix hash mod ``dim``, count per bucket, L2-
+    normalize. Bridges the text battery to the embedding stack
+    (similarity/ANN/dedup operators consume the output directly).
+
+    Scale path: explode tokens -> hash-aggregate (id, bucket) counts
+    (map-side combinable, the shuffle carries (id, bucket, count) —
+    never text) -> per-id map -> O(dim) vector assembly. md5 is
+    computed once per token, and the md5-prefix idiom is the one whose
+    DuckDB parity the sketch oracles already prove. (A shuffle-free
+    HOF-accumulate variant was 10x slower: it rebuilt a dim-wide array
+    per token.)"""
+    toks = nonempty_tokens_col(F.col(text_col))
+    hidx = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10)
+        .cast("long") % dim,
+    )
+    # explode_outer keeps empty docs as one null-bucket row, so they
+    # survive to the output as zero vectors without a re-join
+    ex = df.select(F.col(id_col), F.explode_outer(hidx).alias("__j"))
+    cnts = ex.groupBy(id_col, "__j").agg(F.count(F.lit(1)).alias("__c"))
+    vecs = cnts.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.when(F.col("__j").isNotNull(),
+                       F.struct(F.col("__j"), F.col("__c")))
+            )
+        ).alias("__m")
+    )
+    v = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.coalesce(
+            F.element_at(F.col("__m"), j.cast("long")), F.lit(0)
+        ).cast("double"),
+    )
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    emb = F.when(norm > 0, F.transform(v, lambda x: F.round(x / norm, 6))).otherwise(
+        F.transform(v, lambda x: F.lit(0.0))
+    )
+    return vecs.select(F.col(id_col), emb.alias("embedding"))

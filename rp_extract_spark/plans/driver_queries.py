@@ -2763,3 +2763,97 @@ FROM t4 ORDER BY doc_id
 
 QUERIES["redact_pii"] = q_redact_pii
 ORACLES["redact_pii"] = ORACLE_REDACT_PII
+
+
+# ------------------------------------------------ unigram LM / hashed vectors
+
+_LM_VOCAB = 20
+_LM_ALPHA = 0.5
+
+
+def q_unigram_lm(spark, sf):
+    """LM-filter quality signal: train the unigram model on the corpus
+    (one token-count pass, deterministic top-V cutoff, add-alpha
+    smoothing) and score every document by mean token log-prob. The
+    small vocab_size forces real OOV hits so the smoothing path is
+    exercised; the oracle retrains and rescores from scratch in SQL."""
+    from ..operators.text import score_unigram_lm, train_unigram_lm
+
+    d = _t(spark, sf, "documents")
+    model = train_unigram_lm(d, vocab_size=_LM_VOCAB, alpha=_LM_ALPHA)
+    return score_unigram_lm(d, model).orderBy("doc_id")
+
+
+ORACLE_UNIGRAM_LM = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(trim(text)),
+                                                 '\s+', ' ', 'g'), ' '),
+                     x -> x <> '') AS t
+  FROM documents),
+tk AS (SELECT doc_id, x AS token FROM toks, unnest(toks.t) AS u(x)),
+cnt AS (SELECT token, count(*) AS c FROM tk GROUP BY token),
+tot AS (SELECT sum(c)::DOUBLE AS T FROM cnt),
+kept AS (SELECT token, c FROM cnt ORDER BY c DESC, token ASC LIMIT {_LM_VOCAB}),
+model AS (SELECT token, round(ln(c / (T + {_LM_ALPHA})), 6) AS logp
+          FROM kept, tot),
+oov AS (SELECT round(ln({_LM_ALPHA} / (T + {_LM_ALPHA})), 6) AS logp FROM tot),
+sc AS (
+  -- exact micro-integer sum of the 6-dp logps: float avg is summation-
+  -- order-sensitive and can flip the 6th decimal between engines
+  SELECT tk.doc_id,
+         round(sum(CAST(round(coalesce(m.logp, (SELECT logp FROM oov))
+                              * 1000000.0) AS BIGINT))
+               / (count(*) * 1000000.0), 6) AS lm_score,
+         count(*) AS n_tokens
+  FROM tk LEFT JOIN model m USING (token)
+  GROUP BY tk.doc_id)
+SELECT d.doc_id,
+       coalesce(sc.lm_score, 0.0) AS lm_score,
+       CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens
+FROM documents d LEFT JOIN sc USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+QUERIES["unigram_lm"] = q_unigram_lm
+ORACLES["unigram_lm"] = ORACLE_UNIGRAM_LM
+
+_HE_DIM = 16
+
+
+def q_hash_embed(spark, sf):
+    """Feature-hashed doc vectors (hashing trick, md5-prefix buckets,
+    L2-normalized) — the text -> embedding bridge into the ANN stack.
+    The oracle rebuilds every vector element-by-element in SQL."""
+    from ..operators.text import hash_embed
+
+    d = _t(spark, sf, "documents")
+    return hash_embed(d, dim=_HE_DIM).orderBy("doc_id")
+
+
+ORACLE_HASH_EMBED = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(trim(text)),
+                                                 '\s+', ' ', 'g'), ' '),
+                     x -> x <> '') AS t
+  FROM documents),
+v AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, {_HE_DIM - 1}),
+            j -> len(list_filter(t,
+                   x -> CAST('0x' || substr(md5(x), 1, 8) AS BIGINT)
+                        % {_HE_DIM} = j))::DOUBLE) AS v
+  FROM toks),
+n AS (SELECT doc_id, v,
+             sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm
+      FROM v)
+SELECT doc_id,
+       CASE WHEN nrm > 0 THEN list_transform(v, x -> round(x / nrm, 6))
+            ELSE list_transform(v, x -> 0.0)
+       END AS embedding
+FROM n ORDER BY doc_id
+"""
+
+QUERIES["hash_embed"] = q_hash_embed
+ORACLES["hash_embed"] = ORACLE_HASH_EMBED

@@ -375,3 +375,44 @@ def test_redact_pii_kinds_and_order(spark):
     # URL digits must never leak into the phone count (ordering)
     assert "<PHONE>" not in m["b"].text_redacted
     assert m["b"].text_redacted == "no pii here"
+
+
+def test_unigram_lm_hand_computed(spark):
+    import math
+
+    from rp_extract_spark.operators.text import (
+        score_unigram_lm, train_unigram_lm)
+
+    df = spark.createDataFrame(
+        [("a", "the cat sat"), ("b", "the the dog"), ("c", ""), ("d", "zebra")],
+        ["doc_id", "text"])
+    m = train_unigram_lm(df, vocab_size=3, alpha=0.5)
+    rows = {r.token: r.logp for r in m.collect()}
+    # T=7: the:3 cat:1 dog:1 sat:1 zebra:1 -> top3 by (cnt desc, tok asc)
+    assert set(rows) == {"the", "cat", "dog", "<oov>"}
+    assert rows["the"] == pytest.approx(round(math.log(3 / 7.5), 6), abs=1e-9)
+    assert rows["<oov>"] == pytest.approx(round(math.log(0.5 / 7.5), 6), abs=1e-9)
+    s = {r.doc_id: (r.lm_score, r.n_tokens)
+         for r in score_unigram_lm(df, m).collect()}
+    exp_a = round(round(1e6 * rows["the"]) + round(1e6 * rows["cat"])
+                  + round(1e6 * rows["<oov>"]), 6) / (3 * 1e6)
+    assert s["a"][0] == pytest.approx(round(exp_a, 6), abs=1e-9)
+    assert s["c"] == (0.0, 0)
+    assert s["d"][1] == 1 and s["d"][0] == rows["<oov>"]
+
+
+def test_hash_embed_normalized_and_deterministic(spark):
+    from rp_extract_spark.operators.text import hash_embed
+
+    df = spark.createDataFrame(
+        [("a", "w1 w2 w3 w1"), ("b", ""), ("c", "w1 w2 w3 w1")],
+        ["doc_id", "text"])
+    e = {r.doc_id: r.embedding for r in hash_embed(df, dim=8).collect()}
+    assert e["a"] == e["c"]                       # content-deterministic
+    assert sum(x * x for x in e["a"]) == pytest.approx(1.0, abs=1e-4)
+    assert e["b"] == [0.0] * 8
+    # feeds the similarity stack directly
+    from rp_extract_spark.operators.similarity import topk_similar
+    emb = hash_embed(df.filter(F.col("doc_id") != "b"), dim=8)
+    top = topk_similar(emb, e["a"], vec_col="embedding", id_col="doc_id", k=1)
+    assert top.first().doc_id == "a"

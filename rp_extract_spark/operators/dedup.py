@@ -393,11 +393,12 @@ def propagate_min_ids(
         if changed == 0:
             break
     else:
-        logger.warning(
-            "propagate_min_ids: not converged after %d rounds (deep dup "
-            "chain); labels are a refinement of the true components",
-            max_iters,
-        )
+        if max_iters > 0:  # max_iters=0 is the documented one-hop mode
+            logger.warning(
+                "propagate_min_ids: not converged after %d rounds (deep dup "
+                "chain); labels are a refinement of the true components",
+                max_iters,
+            )
     # labels is checkpointed (materialized, lineage-free), so the
     # cached edge copies can be released before returning
     if e_by_id is not e:
@@ -458,9 +459,10 @@ def minhash_lsh_dedup(
     only pairs >= the threshold become edges (false-positive control;
     the unverified default is recall-biased and merges any bucket
     collision). ``max_bucket_size`` caps the all-pairs join per
-    (band, bucket); overflow members fall back to one star edge
-    against the bucket's min id (linear, keeps exact-duplicate
-    recall)."""
+    (band, bucket); overflow members fall back to star edges against
+    two in-cap anchors (linear; keeps exact-duplicate recall unless
+    the first ``max_bucket_size`` ids of a bucket are all
+    non-duplicate colliders)."""
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k, seed, mode)
     banded = banded_signatures(sigs, id_col, n_hashes, bands)
     if verify_jaccard is None:
@@ -475,22 +477,25 @@ def minhash_lsh_dedup(
     # duplicate group — precisely what dedup exists to find) must not
     # build an O(n^2) all-pairs join. All-pairs only among the first
     # ``max_bucket_size`` ids per (band, bucket); every OVERFLOW member
-    # gets one linear star edge to the bucket's min id instead, so true
-    # duplicates beyond the cap still verify and merge (1 pair each)
-    # while candidate count stays O(n * cap) per bucket.
+    # gets TWO linear star edges instead — to the bucket's min-id
+    # member (rank 1) and to the LAST in-cap member (rank = cap) — so
+    # true duplicates beyond the cap still verify and merge even when
+    # the bucket min is a lower-id NON-duplicate LSH collider (in a
+    # dup-dominated bucket the cap'th member is almost surely a group
+    # member). Candidate count stays O(n * cap) per bucket. Recall is
+    # heuristic, not guaranteed: a bucket whose first ``cap`` ids are
+    # ALL colliders can still strand overflow duplicates.
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("band", "bucket").orderBy(F.col(id_col))
     ranked = banded.withColumn("__rn", F.row_number().over(w))
     head = ranked.filter(F.col("__rn") <= max_bucket_size)
+    anchors = ranked.filter(
+        (F.col("__rn") == 1) | (F.col("__rn") == max_bucket_size)
+    ).select("band", "bucket", F.col(id_col).alias("id_b"))
     star = (
         ranked.filter(F.col("__rn") > max_bucket_size)
-        .join(
-            ranked.filter(F.col("__rn") == 1).select(
-                "band", "bucket", F.col(id_col).alias("id_b")
-            ),
-            ["band", "bucket"],
-        )
+        .join(anchors, ["band", "bucket"])
         .select(F.col(id_col).alias("id_a"), "id_b")
     )
     cand = (
@@ -774,19 +779,20 @@ def _embedding_dedup_from_ranked(ranked, b, id_col, threshold,
     right = capped.select(
         F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"), "__bucket"
     )
-    # overflow members: one linear star pair each vs the bucket's
-    # min-id member (rank 1) instead of all-pairs — true duplicates
-    # beyond the cap still verify and merge
+    # overflow members: linear star pairs vs TWO in-cap anchors (the
+    # bucket's min-id member and the last in-cap member) instead of
+    # all-pairs — true duplicates beyond the cap still verify and
+    # merge even when the bucket min is a lower-id non-duplicate
+    # collider (heuristic: fails only if all cap members are colliders)
+    anchors = ranked.filter(
+        (F.col("__rn") == 1) | (F.col("__rn") == max_bucket_size)
+    ).select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"),
+             "__bucket")
     star = (
         ranked.filter(F.col("__rn") > max_bucket_size)
         .select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"),
                 "__bucket")
-        .join(
-            ranked.filter(F.col("__rn") == 1).select(
-                F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"),
-                "__bucket"),
-            "__bucket",
-        )
+        .join(anchors, "__bucket")
     )
     pairs = (
         left.join(right, "__bucket")

@@ -134,7 +134,10 @@ def digit_ratio(text: Column) -> Column:
     return n_digit / F.greatest(F.length(text), F.lit(1))
 
 
-URL_PATTERN = r"https?://[^\s]+"
+# [^\s\x0b]: Java's \s includes \x0B but RE2's does not — excluding it
+# explicitly makes the negated class IDENTICAL in both engines (the
+# DuckDB oracles inline this same pattern string)
+URL_PATTERN = r"https?://[^\s\x0b]+"
 EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 
 
@@ -160,7 +163,14 @@ PII_PATTERNS: "list[tuple[str, str, str]]" = [
     ("url", URL_PATTERN, "<URL>"),
     ("email", EMAIL_PATTERN, "<EMAIL>"),
     ("ip", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
-    ("phone", r"\+?[0-9][0-9()\[\]. -]{6,14}[0-9]", "<PHONE>"),
+    # concrete phone shapes only (NNN-NNN-NNNN with optional country
+    # code / parens, or +international digit run) — a generic
+    # 8-16-char digit-run pattern also destroyed dates, timestamps
+    # and version strings in ordinary text
+    ("phone",
+     r"(\+?[0-9]{1,3}[ -]?)?\(?[0-9]{3}\)?[ -][0-9]{3}[ -][0-9]{4}"
+     r"|\+[0-9]{7,15}",
+     "<PHONE>"),
 ]
 
 
@@ -304,6 +314,12 @@ def bm25_rank(
 
 # --------------------------------------------------------------- LM / vectors
 
+# leading space: whitespace-split tokens can never contain a space, so
+# the sentinel row cannot collide with a real corpus token (a literal
+# '<oov>' in the text would otherwise produce two conflicting rows)
+OOV_TOKEN = " <oov>"
+
+
 def train_unigram_lm(
     df: DataFrame,
     text_col: str = "text",
@@ -318,7 +334,7 @@ def train_unigram_lm(
     full sort), and log-probs are smoothed add-``alpha``:
 
         logp(tok in vocab) = ln(count / (T + alpha))
-        logp(OOV)          = ln(alpha / (T + alpha))   (row token='<oov>')
+        logp(OOV)          = ln(alpha / (T + alpha))  (row token=OOV_TOKEN)
 
     where T is the TOTAL corpus token count (including pruned tokens).
     Returns (token, logp) with logp rounded to 6 (model rows are what
@@ -340,7 +356,7 @@ def train_unigram_lm(
         ),
     )
     oov = tot.select(
-        F.lit("<oov>").alias("token"),
+        F.lit(OOV_TOKEN).alias("token"),
         F.round(F.log(F.lit(alpha) / (F.col("__t") + F.lit(alpha))), 6).alias(
             "logp"
         ),
@@ -356,23 +372,32 @@ def score_unigram_lm(
 ) -> DataFrame:
     """Mean token log-prob per document under a ``train_unigram_lm``
     model (higher = more corpus-typical; the LM-filter quality signal).
-    Scale path: explode tokens, BROADCAST-join the vocab-sized model,
-    aggregate back per document — one shuffle keyed on the id, carrying
-    (id, logp) pairs only. Docs with no tokens score 0.0."""
-    oov_row = model.filter(F.col("token") == "<oov>").select("logp").first()
-    if oov_row is None:
-        raise ValueError("model has no <oov> row (not a train_unigram_lm output)")
+    Scale path: the model is COLLECTED once (vocab-sized, the kmeans
+    collect-K-rows pattern — collecting serves both the OOV scalar and
+    the broadcast, so the training pipeline runs exactly one corpus
+    pass instead of re-executing per consumer), then explode tokens,
+    broadcast-join, aggregate back per document — one shuffle keyed on
+    the id, carrying (id, logp) pairs only. Docs with no tokens score
+    0.0."""
+    rows = model.collect()
+    oov_vals = [r.logp for r in rows if r.token == OOV_TOKEN]
+    if not oov_vals:
+        raise ValueError("model has no OOV row (not a train_unigram_lm output)")
+    spark = df.sparkSession
+    vocab = spark.createDataFrame(
+        [(r.token, r.logp) for r in rows if r.token != OOV_TOKEN],
+        schema="token string, logp double",
+    )
     toks = nonempty_tokens_col(F.col(text_col))
     exploded = df.select(F.col(id_col), F.explode(toks).alias("token"))
     # sum the 6-dp-rounded logps as EXACT micro-integers: float summation
     # is order-sensitive across partitions, so a plain avg can flip the
     # 6th decimal between engines/runs; integer sums cannot
     micro = F.round(
-        F.coalesce(F.col("logp"), F.lit(oov_row["logp"])) * 1e6
+        F.coalesce(F.col("logp"), F.lit(oov_vals[0])) * 1e6
     ).cast("long")
     scored = (
-        exploded.join(F.broadcast(model.filter(F.col("token") != "<oov>")),
-                      "token", "left")
+        exploded.join(F.broadcast(vocab), "token", "left")
         .groupBy(id_col)
         .agg(
             F.sum(micro).alias("__sum_micro"),

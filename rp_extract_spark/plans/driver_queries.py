@@ -823,7 +823,7 @@ def q_pattern_stats(spark, sf):
 
 ORACLE_PATTERN_STATS = r"""
 SELECT doc_id,
-       CAST(length(regexp_extract_all(text, 'https?://[^\s]+')) AS INT) AS n_urls,
+       CAST(length(regexp_extract_all(text, 'https?://[^\s\x0b]+')) AS INT) AS n_urls,
        CAST(length(regexp_extract_all(text,
             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
        round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
@@ -2731,9 +2731,9 @@ WITH t0 AS (
            AS s
   FROM documents),
 t1 AS (SELECT doc_id,
-              CAST(len(regexp_extract_all(s, 'https?://[^\s]+')) AS INT)
+              CAST(len(regexp_extract_all(s, 'https?://[^\s\x0b]+')) AS INT)
                 AS n_url,
-              regexp_replace(s, 'https?://[^\s]+', '<URL>', 'g') AS s
+              regexp_replace(s, 'https?://[^\s\x0b]+', '<URL>', 'g') AS s
        FROM t0),
 t2 AS (SELECT doc_id, n_url,
               CAST(len(regexp_extract_all(s,
@@ -2753,8 +2753,10 @@ t3 AS (SELECT doc_id, n_url, n_email,
        FROM t2),
 t4 AS (SELECT doc_id, n_url, n_email, n_ip,
               CAST(len(regexp_extract_all(s,
-                '\+?[0-9][0-9()\[\]. -]{6,14}[0-9]')) AS INT) AS n_phone,
-              regexp_replace(s, '\+?[0-9][0-9()\[\]. -]{6,14}[0-9]',
+                '(\+?[0-9]{1,3}[ -]?)?\(?[0-9]{3}\)?[ -][0-9]{3}[ -][0-9]{4}|\+[0-9]{7,15}'))
+                AS INT) AS n_phone,
+              regexp_replace(s,
+                '(\+?[0-9]{1,3}[ -]?)?\(?[0-9]{3}\)?[ -][0-9]{3}[ -][0-9]{4}|\+[0-9]{7,15}',
                              '<PHONE>', 'g') AS s
        FROM t3)
 SELECT doc_id, n_url, n_email, n_ip, n_phone, s AS text_redacted

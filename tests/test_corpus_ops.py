@@ -381,7 +381,7 @@ def test_unigram_lm_hand_computed(spark):
     import math
 
     from rp_extract_spark.operators.text import (
-        score_unigram_lm, train_unigram_lm)
+        OOV_TOKEN, score_unigram_lm, train_unigram_lm)
 
     df = spark.createDataFrame(
         [("a", "the cat sat"), ("b", "the the dog"), ("c", ""), ("d", "zebra")],
@@ -389,16 +389,16 @@ def test_unigram_lm_hand_computed(spark):
     m = train_unigram_lm(df, vocab_size=3, alpha=0.5)
     rows = {r.token: r.logp for r in m.collect()}
     # T=7: the:3 cat:1 dog:1 sat:1 zebra:1 -> top3 by (cnt desc, tok asc)
-    assert set(rows) == {"the", "cat", "dog", "<oov>"}
+    assert set(rows) == {"the", "cat", "dog", OOV_TOKEN}
     assert rows["the"] == pytest.approx(round(math.log(3 / 7.5), 6), abs=1e-9)
-    assert rows["<oov>"] == pytest.approx(round(math.log(0.5 / 7.5), 6), abs=1e-9)
+    assert rows[OOV_TOKEN] == pytest.approx(round(math.log(0.5 / 7.5), 6), abs=1e-9)
     s = {r.doc_id: (r.lm_score, r.n_tokens)
          for r in score_unigram_lm(df, m).collect()}
     exp_a = round(round(1e6 * rows["the"]) + round(1e6 * rows["cat"])
-                  + round(1e6 * rows["<oov>"]), 6) / (3 * 1e6)
+                  + round(1e6 * rows[OOV_TOKEN]), 6) / (3 * 1e6)
     assert s["a"][0] == pytest.approx(round(exp_a, 6), abs=1e-9)
     assert s["c"] == (0.0, 0)
-    assert s["d"][1] == 1 and s["d"][0] == rows["<oov>"]
+    assert s["d"][1] == 1 and s["d"][0] == rows[OOV_TOKEN]
 
 
 def test_hash_embed_normalized_and_deterministic(spark):
@@ -416,3 +416,19 @@ def test_hash_embed_normalized_and_deterministic(spark):
     emb = hash_embed(df.filter(F.col("doc_id") != "b"), dim=8)
     top = topk_similar(emb, e["a"], vec_col="embedding", id_col="doc_id", k=1)
     assert top.first().doc_id == "a"
+
+
+def test_redact_pii_preserves_dates_and_versions(spark):
+    from rp_extract_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [("a", "released 2024-08-17 12:34 v1.2.3 build 123456789"),
+         ("b", "call (555) 010-1234 or +442071838750 today")],
+        ["doc_id", "text"])
+    m = {r.doc_id: r for r in redact_pii(df).collect()}
+    # dates, timestamps, versions and plain digit runs are NOT phones
+    # (4-component dotted quads DO redact as IPs - documented IP rule)
+    assert m["a"].text_redacted == df.collect()[0].text
+    assert m["a"].n_phone == 0
+    assert m["b"].n_phone == 2
+    assert m["b"].text_redacted == "call <PHONE> or <PHONE> today"

@@ -92,7 +92,10 @@ spark.stop()
 
 
 def main() -> None:
-    n_docs = int(os.environ.get("SCALING_DOCS", "60000"))
+    # default matches the official regime: below ~500k docs fixed stage
+    # latency dominates and the run would splice an invalid number over
+    # the recorded BASELINE section (see CLAUDE.md)
+    n_docs = int(os.environ.get("SCALING_DOCS", "1000000"))
     n_small = int(os.environ.get("SCALING_N", "2"))
     n_large = 4 * n_small
     reps = int(os.environ.get("SCALING_REPS", "2"))

@@ -72,6 +72,7 @@ RELATIONAL = [
     "redact_pii",
     "unigram_lm",
     "hash_embed",
+    "decontaminate_ngram",
 ]
 
 

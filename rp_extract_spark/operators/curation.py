@@ -113,6 +113,54 @@ def decontaminate(
     ).drop("__fp")
 
 
+def ngram_col(text, n: int):
+    """Word n-grams of the lowercased text as space-joined strings
+    (JVM sliding window; < n tokens -> empty array). Shared by
+    decontaminate_ngram and its oracle discipline."""
+    from .text import nonempty_tokens_col
+
+    toks = nonempty_tokens_col(text)
+    size = F.size(toks)
+    return F.when(
+        size >= n,
+        F.transform(
+            F.sequence(F.lit(0), size - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate_ngram(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+) -> DataFrame:
+    """N-gram-overlap benchmark decontamination (the GPT-3/PaLM-style
+    rule): drop every corpus document that shares ANY word ``n``-gram
+    with any benchmark document — catches paraphrased/embedded test
+    items that exact-fingerprint ``decontaminate`` misses.
+
+    Scale path: the benchmark's distinct n-grams are a small table
+    (benchmarks are tiny next to the corpus) and are BROADCAST twice:
+    a left-semi join marks contaminated ids (the shuffle carries only
+    ids), a left-anti join drops them. The corpus side streams through
+    explode without ever shuffling text."""
+    bgrams = (
+        benchmark.select(F.explode(ngram_col(F.col(text_col), n)).alias("__g"))
+        .distinct()
+    )
+    contaminated = (
+        corpus.select(F.col(id_col),
+                      F.explode(ngram_col(F.col(text_col), n)).alias("__g"))
+        .join(F.broadcast(bgrams), "__g", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return corpus.join(F.broadcast(contaminated), id_col, "left_anti")
+
+
 def sequences_table(
     df: DataFrame,
     text_col: str = "text",

@@ -2859,3 +2859,52 @@ FROM n ORDER BY doc_id
 
 QUERIES["hash_embed"] = q_hash_embed
 ORACLES["hash_embed"] = ORACLE_HASH_EMBED
+
+
+# --------------------------------------- n-gram decontamination
+
+_DC_N = 5  # short n for the tiny-vocab test corpus; default is 13
+
+
+def q_decontaminate_ngram(spark, sf):
+    """N-gram-overlap decontamination: every 50th doc plays the
+    benchmark set; corpus docs sharing any word 5-gram with it are
+    dropped. The oracle recomputes the gram tables and the anti-join
+    in SQL."""
+    from ..operators.curation import decontaminate_ngram
+
+    d = _t(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    corpus = d.filter(F.col("doc_id") % 50 != 0)
+    return (
+        decontaminate_ngram(corpus, bench, n=_DC_N)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DECONTAMINATE_NGRAM = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(trim(text)),
+                                                 '\s+', ' ', 'g'), ' '),
+                     x -> x <> '') AS t
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= {_DC_N}
+              THEN list_transform(generate_series(1, len(t) - {_DC_N} + 1),
+                     i -> array_to_string(t[i : i + {_DC_N} - 1], ' '))
+              ELSE [] END AS grams
+  FROM toks),
+bg AS (SELECT DISTINCT x AS gram FROM g, unnest(g.grams) AS u(x)
+       WHERE doc_id % 50 = 0),
+bad AS (SELECT DISTINCT g.doc_id FROM g, unnest(g.grams) AS u(x)
+        WHERE g.doc_id % 50 <> 0 AND x IN (SELECT gram FROM bg))
+SELECT doc_id FROM documents
+WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+ORDER BY doc_id
+"""
+
+QUERIES["decontaminate_ngram"] = q_decontaminate_ngram
+ORACLES["decontaminate_ngram"] = ORACLE_DECONTAMINATE_NGRAM

@@ -289,3 +289,22 @@ def test_mix_corpus_rate_capped_keeps_all(spark):
     df = spark.createDataFrame(rows, "doc_id string, source string, text string")
     out = mix_corpus(df, {"only": 1.0}, 10**6)  # budget >> tokens
     assert out.count() == 20  # rate capped at 1.0 -> keep everything
+
+
+def test_decontaminate_ngram_hand_computed(spark):
+    from rp_extract_spark.operators.curation import decontaminate_ngram
+
+    bench = spark.createDataFrame(
+        [("b1", "the quick brown fox jumps")], ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [("c1", "intro text the quick brown fox jumps outro"),  # embeds 5-gram
+         ("c2", "the quick brown wolf jumps high"),             # no shared 5-gram
+         ("c3", "short doc")],                                  # < n tokens
+        ["doc_id", "text"])
+    kept = sorted(r.doc_id for r in
+                  decontaminate_ngram(corpus, bench, n=5).collect())
+    assert kept == ["c2", "c3"], kept
+    # n larger than every doc: nothing contaminated
+    kept_all = sorted(r.doc_id for r in
+                      decontaminate_ngram(corpus, bench, n=50).collect())
+    assert kept_all == ["c1", "c2", "c3"]

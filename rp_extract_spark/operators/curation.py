@@ -12,7 +12,7 @@ merge).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -158,7 +158,12 @@ def decontaminate_ngram(
         .select(id_col)
         .distinct()
     )
-    return corpus.join(F.broadcast(contaminated), id_col, "left_anti")
+    # No broadcast hint here: `contaminated` is corpus-derived (one id
+    # per contaminated doc) and under heavy contamination could exceed
+    # the broadcast limit — let AQE pick broadcast vs shuffle from the
+    # measured size. The genuinely-small benchmark grams above ARE
+    # hinted; the ids join shuffles only ids, never text.
+    return corpus.join(contaminated, id_col, "left_anti")
 
 
 def sequences_table(
@@ -290,18 +295,33 @@ def apply_bpe(
     merges: DataFrame,
     text_col: str = "text",
     out_col: str = "bpe_tokens",
+    chained_max: int = 64,
 ) -> DataFrame:
-    """Tokenize the corpus with a learned merge list: per whitespace
-    token, split to characters and apply the merges in rank order
-    (each one literal replace on the symbol string — chained JVM
-    expressions, no Python in the data path). The merge list is a
-    model table (tiny), collected and inlined as literals. Adds
-    ``out_col`` (array<string>) and ``n_{out_col}``."""
+    """Tokenize the corpus with a learned merge list. Adds ``out_col``
+    (array<string>) and ``n_{out_col}``.
+
+    Two physical paths with identical semantics (property-tested equal):
+
+    - ``len(merges) <= chained_max``: per whitespace token, split to
+      characters and apply the merges in rank order, each one literal
+      JVM replace on the symbol string — no Python in the data path,
+      but plan depth grows linearly with the merge count (whole-stage
+      codegen / expression-tree limits bite around a few hundred).
+    - larger merge lists (a production 30k-merge vocabulary): one
+      Arrow-batched ``mapInPandas`` stage applying the same literal
+      replaces per UNIQUE word with a per-batch memo — constant plan
+      depth regardless of vocabulary size, merge list shipped once per
+      task via the closure. The Python tokenizer mirrors the JVM one
+      exactly (Java ``\\s`` class, trim of ASCII spaces only).
+
+    The merge list is a model table (tiny), collected and inlined."""
     from .text import nonempty_tokens_col
 
     ranked = [
         (m["lhs"], m["rhs"]) for m in merges.orderBy("rank").collect()
     ]
+    if len(ranked) > chained_max:
+        return _apply_bpe_arrow(df, ranked, text_col, out_col)
 
     def encode_token(t):
         sym = _wrap_chars(t)
@@ -323,6 +343,84 @@ def apply_bpe(
     return df.withColumn(out_col, out).withColumn(
         f"n_{out_col}", F.size(out)
     )
+
+
+def _apply_bpe_arrow(
+    df: DataFrame,
+    ranked: "list[tuple[str, str]]",
+    text_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Constant-plan-depth BPE encoder: the merge list travels in the
+    task closure; each Arrow batch encodes unique words once (corpus
+    word frequency follows Zipf — the memo hit rate is high)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    reps = [
+        (f"{_S}{lhs}{_S}  {_S}{rhs}{_S}", f"{_S}{lhs}{rhs}{_S}")
+        for lhs, rhs in ranked
+    ]
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField(out_col, ArrayType(StringType())),
+            StructField(f"n_{out_col}", IntegerType()),
+        ]
+    )
+
+    def run(batches):
+        import re
+
+        # Java \s is exactly [ \t\n\x0B\f\r]; Python \s is wider
+        # (\x1c-\x1f, unicode spaces) — spell out the Java class so the
+        # Arrow path tokenizes identically to the JVM chained path.
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        memo: dict = {}
+
+        def enc_word(w):
+            got = memo.get(w)
+            if got is None:
+                sym = "  ".join(_S + c + _S for c in w)
+                for pat, rep in reps:
+                    sym = sym.replace(pat, rep)
+                got = [p.replace(_S, "") for p in sym.split("  ")]
+                memo[w] = got
+            return got
+
+        def enc_text(t):
+            if t is None:
+                return None
+            # Spark trim() strips ASCII spaces only — not \t/\n
+            toks = ws.split(t.lower().strip(" "))
+            out = []
+            for w in toks:
+                s = w.replace(_S, "")
+                if s:
+                    out.extend(enc_word(s))
+            return out
+
+        for pdf in batches:
+            encoded = [enc_text(t) for t in pdf[text_col]]
+            pdf = pdf.copy()
+            pdf[out_col] = encoded
+            # size(NULL) is NULL in Spark 3+ — mirror it (object dtype
+            # keeps the Nones through the Arrow conversion)
+            import pandas as pd
+
+            pdf[f"n_{out_col}"] = pd.Series(
+                [None if e is None else len(e) for e in encoded],
+                index=pdf.index,
+                dtype="object",
+            )
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
 
 
 def hash_sample(

@@ -170,23 +170,26 @@ def kmeans_fit(
     deterministic hash-sample of rows, then iterate (assign via
     broadcast arg-min, recompute element-wise means). The model stays
     K rows; each iteration is one broadcast join + one explode/agg."""
-    from pyspark.sql.window import Window as W
-
     from .classify import predict_centroids, train_centroids
 
     v = F.col(vec_col).cast("array<double>")
-    # deterministic seeding: k rows with the smallest seeded hash
-    seeded = (
+    spark = df.sparkSession
+    # Deterministic seeding: the k rows with the smallest seeded hash,
+    # via orderBy+limit (TakeOrderedAndProject: each partition keeps its
+    # local top-k, the driver merges k*nPart candidate rows). NEVER a
+    # row_number() over an unpartitioned window — that sorts the whole
+    # corpus on one partition and is a job-killer at scale.
+    seed_rows = (
         df.select(F.col(id_col), v.alias("__v"))
         .withColumn("__h", F.xxhash64(F.col(id_col), F.lit(seed)))
-        .withColumn("__rn", F.row_number().over(W.orderBy("__h", id_col)))
-        .filter(F.col("__rn") <= k)
-        .select(
-            F.col("__rn").cast("string").alias("centroid_label"),
-            F.col("__v").alias("centroid"),
-        )
+        .orderBy("__h", id_col)
+        .limit(k)
+        .collect()
     )
-    spark = df.sparkSession
+    seeded = spark.createDataFrame(
+        [(str(i + 1), list(r["__v"])) for i, r in enumerate(seed_rows)],
+        schema="centroid_label string, centroid array<double>",
+    )
     pts = df.select(F.col(id_col), v.alias(vec_col)).persist()
     try:
         # materialize the K seed rows on the driver: each iteration's

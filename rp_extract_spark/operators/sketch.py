@@ -77,9 +77,13 @@ def cms_estimate(
             for j in range(depth)
         ])).alias("c"),
     ).select("key", "c.depth", "c.bucket")
+    # Broadcast hint goes on the BUILD side (the bounded depth×width
+    # sketch) — a hint on the preserved side of a LEFT join is silently
+    # ignored (Spark can't build a broadcast hash table from the stream
+    # side) and the planner would fall back to a shuffle join.
     return (
-        F.broadcast(probes)
-        .join(sketch, ["depth", "bucket"], "left")
+        probes
+        .join(F.broadcast(sketch), ["depth", "bucket"], "left")
         .groupBy("key")
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
     )

@@ -372,22 +372,19 @@ def score_unigram_lm(
 ) -> DataFrame:
     """Mean token log-prob per document under a ``train_unigram_lm``
     model (higher = more corpus-typical; the LM-filter quality signal).
-    Scale path: the model is COLLECTED once (vocab-sized, the kmeans
-    collect-K-rows pattern — collecting serves both the OOV scalar and
-    the broadcast, so the training pipeline runs exactly one corpus
-    pass instead of re-executing per consumer), then explode tokens,
-    broadcast-join, aggregate back per document — one shuffle keyed on
-    the id, carrying (id, logp) pairs only. Docs with no tokens score
-    0.0."""
-    rows = model.collect()
-    oov_vals = [r.logp for r in rows if r.token == OOV_TOKEN]
-    if not oov_vals:
+    Scale path: only the single OOV row comes to the driver (a 1-row
+    filtered lookup, never the vocab); the vocab itself is broadcast
+    as a DataFrame — no vocab-sized Python-object round-trip through
+    createDataFrame. Then explode tokens, broadcast-join, aggregate
+    back per document — one shuffle keyed on the id, carrying
+    (id, logp) pairs only. Docs with no tokens score 0.0. Scoring
+    evaluates the model lineage twice (OOV probe + broadcast build);
+    persist the model when scoring repeatedly."""
+    oov_row = model.filter(F.col("token") == OOV_TOKEN).select("logp").first()
+    if oov_row is None:
         raise ValueError("model has no OOV row (not a train_unigram_lm output)")
-    spark = df.sparkSession
-    vocab = spark.createDataFrame(
-        [(r.token, r.logp) for r in rows if r.token != OOV_TOKEN],
-        schema="token string, logp double",
-    )
+    oov_vals = [oov_row.logp]
+    vocab = model.filter(F.col("token") != OOV_TOKEN).select("token", "logp")
     toks = nonempty_tokens_col(F.col(text_col))
     exploded = df.select(F.col(id_col), F.explode(toks).alias("token"))
     # sum the 6-dp-rounded logps as EXACT micro-integers: float summation

@@ -308,3 +308,55 @@ def test_decontaminate_ngram_hand_computed(spark):
     kept_all = sorted(r.doc_id for r in
                       decontaminate_ngram(corpus, bench, n=50).collect())
     assert kept_all == ["c1", "c2", "c3"]
+
+
+def test_apply_bpe_arrow_matches_chained(spark):
+    """The Arrow (mapInPandas) path and the chained-JVM-replace path
+    are the same function — compare them on mixed whitespace,
+    sentinel-bearing tokens, empties, and a null text."""
+    from rp_extract_spark.operators.curation import apply_bpe, train_bpe
+
+    corpus = spark.createDataFrame(
+        [("low low lower newest newest newest widest at th ath",)],
+        "text string")
+    merges = train_bpe(corpus, n_merges=5, min_count=1)
+    probe = spark.createDataFrame(
+        [("d1", "newest low\t lower\nwidest"),
+         ("d2", "  ath  at\x1fth  "),
+         ("d3", "   "),
+         ("d4", "")],
+        "doc_id string, text string")
+    chained = apply_bpe(probe, merges).orderBy("doc_id").collect()
+    arrow = apply_bpe(probe, merges, chained_max=0).orderBy("doc_id").collect()
+    assert [(r.doc_id, r.bpe_tokens, r.n_bpe_tokens) for r in chained] == \
+           [(r.doc_id, r.bpe_tokens, r.n_bpe_tokens) for r in arrow]
+
+
+def test_apply_bpe_large_merge_list_bounded_plan(spark):
+    """A production-sized merge list (1,000 merges) must run with a
+    constant-depth plan (one MapInPandas stage), not 1,000 chained
+    replace expressions."""
+    import io
+    from contextlib import redirect_stdout
+
+    from rp_extract_spark.operators.curation import apply_bpe
+
+    real = [(0, "e", "s", "es", 9), (1, "es", "t", "est", 9),
+            (2, "l", "o", "lo", 7)]
+    filler = [(i + 3, f"q{i}", f"z{i}", f"q{i}z{i}", 1)
+              for i in range(997)]
+    merges = spark.createDataFrame(
+        real + filler,
+        "rank int, lhs string, rhs string, merged string, pair_count long")
+    probe = spark.createDataFrame(
+        [("newest low",), ("lowest es t",)], "text string")
+    out = apply_bpe(probe, merges)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "MapInPandas" in plan
+    assert len(plan) < 20_000  # 1,000 chained replaces would dwarf this
+    rows = {r.text: r.bpe_tokens for r in out.collect()}
+    assert rows["newest low"] == ["n", "e", "w", "est", "lo", "w"]
+    assert rows["lowest es t"] == ["lo", "w", "est", "es", "t"]

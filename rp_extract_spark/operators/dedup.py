@@ -77,6 +77,32 @@ def _hash_token_array(tokens: Sequence[str]) -> np.ndarray:
     return uh[codes]
 
 
+def _hash_token_array_md5(tokens: Sequence[str], seed: int) -> np.ndarray:
+    """md5-prefix token hash: first 8 bytes (big-endian) of
+    md5(f"{tok}#{seed}") — slower than blake2b but exactly
+    reproducible in SQL engines (DuckDB:
+    CAST('0x' || substr(md5(tok || '#seed'), 1, 16) AS UBIGINT)),
+    which makes the whole simhash signature independently
+    recomputable by the driver's oracle. Memoized via factorize like
+    ``_hash_token_array``."""
+    import hashlib
+
+    if len(tokens) == 0:
+        return np.empty(0, dtype=np.uint64)
+    codes, uniques = pd.factorize(
+        tokens if isinstance(tokens, np.ndarray) else np.asarray(tokens, dtype=object)
+    )
+    uh = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(f"{t}#{seed}".encode()).digest()[:8], "big")
+            for t in uniques
+        ),
+        dtype=np.uint64,
+        count=len(uniques),
+    )
+    return uh[codes]
+
+
 def _shingle_hashes(text: str, k: int, mode: str = "word") -> np.ndarray:
     """Hashes of k-shingles of the lowercased text.
 
@@ -536,12 +562,18 @@ def _mix64(h: np.ndarray) -> np.ndarray:
     return h
 
 
-def simhash64_batch(texts: Sequence[str], seed: int = 11) -> np.ndarray:
+def simhash64_batch(
+    texts: Sequence[str], seed: int = 11, token_hash: str = "blake2"
+) -> np.ndarray:
     """64-bit SimHash (Charikar) for a batch of texts, vectorized:
     hash every token of the batch once (memoized blake2b + seeded
     splitmix64 remix), unpack all bits with one broadcast, and reduce
     per-document sign sums with ``np.add.reduceat`` — no per-token
-    Python in the inner loop. Returns int64 (two's-complement view)."""
+    Python in the inner loop. Returns int64 (two's-complement view).
+
+    ``token_hash='md5'`` swaps the token hash for the md5-prefix
+    construction (``_hash_token_array_md5``) so the whole signature is
+    recomputable in DuckDB SQL — the driver's oracle path."""
     tok_lists = [(t or "").lower().split() for t in texts]
     counts = np.array([len(x) for x in tok_lists], dtype=np.int64)
     out = np.zeros(len(texts), dtype=np.int64)
@@ -549,8 +581,11 @@ def simhash64_batch(texts: Sequence[str], seed: int = 11) -> np.ndarray:
     if nz.size == 0:
         return out
     all_toks = [tok for i in nz for tok in tok_lists[i]]
-    h = _hash_token_array(all_toks)
-    h = _mix64(h ^ np.uint64(seed * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF))
+    if token_hash == "md5":
+        h = _hash_token_array_md5(all_toks, seed)
+    else:
+        h = _hash_token_array(all_toks)
+        h = _mix64(h ^ np.uint64(seed * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF))
     # bit i of h == unpackbits(little) index i on little-endian layout;
     # sum of signs = 2*popcount_per_bit - n_tokens (avoids the 64-wide
     # uint64 broadcast, ~10x cheaper). Processed in chunks along the
@@ -579,13 +614,17 @@ def simhash64_batch(texts: Sequence[str], seed: int = 11) -> np.ndarray:
     return out
 
 
-def simhash64(text: str, seed: int = 11) -> int:
+def simhash64(text: str, seed: int = 11, token_hash: str = "blake2") -> int:
     """Scalar convenience wrapper over ``simhash64_batch``."""
-    return int(simhash64_batch([text], seed)[0])
+    return int(simhash64_batch([text], seed, token_hash)[0])
 
 
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", seed: int = 11
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 11,
+    token_hash: str = "blake2",
 ) -> DataFrame:
     """(id, simhash) via one Arrow-batched vectorized pass."""
     schema = T.StructType(
@@ -596,7 +635,8 @@ def simhash_signatures(
         for b in batches:
             yield pd.DataFrame(
                 {id_col: b[id_col],
-                 "simhash": simhash64_batch(b[text_col].values, seed)}
+                 "simhash": simhash64_batch(b[text_col].values, seed,
+                                            token_hash)}
             )
 
     return _spread_cpu_stage(df.select(id_col, text_col)).mapInPandas(run, schema)
@@ -609,6 +649,7 @@ def simhash_dedup(
     seed: int = 11,
     max_hamming: int = 0,
     max_iters: int = 10,
+    token_hash: str = "blake2",
 ) -> DataFrame:
     """SimHash near-dup groups: (id, simhash, rep_id).
 
@@ -618,7 +659,7 @@ def simhash_dedup(
     at least one band, so candidates are band-bucket joins (never
     all-pairs), verified with ``bit_count(a ^ b) <= max_hamming`` and
     merged transitively via min-label propagation."""
-    hashed = simhash_signatures(df, text_col, id_col, seed)
+    hashed = simhash_signatures(df, text_col, id_col, seed, token_hash)
     if max_hamming == 0:
         reps = hashed.groupBy("simhash").agg(F.min(id_col).alias("rep_id"))
         return hashed.join(reps, "simhash").select(id_col, "simhash", "rep_id")

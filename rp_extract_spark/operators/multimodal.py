@@ -88,8 +88,9 @@ def decode_audio(data: bytes) -> tuple[int, np.ndarray]:
     """Audio decode dispatch (audiofile_read.py:354-400 analog):
     RIFF/WAVE payloads decode for REAL via the in-repo PCM codec
     (codecs/wav.py, normalized to (-1,1) like the reference's
-    normalize_wav). MPEG-1 Layer III streams go through the in-repo
-    pure-numpy decoder (codecs/mp3.py) — complete frame/side-info/
+    normalize_wav); FLAC streams via the in-repo lossless decoder
+    (codecs/flac.py, same normalize rule). MPEG-1 Layer III streams
+    go through the in-repo pure-numpy decoder (codecs/mp3.py) — complete frame/side-info/
     scalefactor/requantize/IMDCT/synthesis pipeline; streams selecting
     Huffman code tables outside the verified subset raise Mp3Error
     (the remaining Annex B.7 tables are published constants this
@@ -100,6 +101,11 @@ def decode_audio(data: bytes) -> tuple[int, np.ndarray]:
         from ..codecs.wav import decode_wav
 
         sr, _sw, samples = decode_wav(data, normalize=True)
+        return sr, np.asarray(samples, dtype=np.float64)
+    if data[:4] == b"fLaC":
+        from ..codecs.flac import decode_flac
+
+        sr, _sw, samples = decode_flac(data, normalize=True)
         return sr, np.asarray(samples, dtype=np.float64)
     if len(data) > 4 and (
         data[:3] == b"ID3"
@@ -309,4 +315,48 @@ def extract_features_audio(clips: DataFrame) -> DataFrame:
 
     return clips.select("clip_id", "bytes").mapInPandas(
         run, AUDIO_DESCRIPTOR_SCHEMA
+    )
+
+
+PIXEL_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("y", T.IntegerType(), False),
+        T.StructField("x", T.IntegerType(), False),
+        T.StructField("val", T.IntegerType(), False),
+    ]
+)
+
+
+def image_pixels(images: DataFrame) -> DataFrame:
+    """Relational pixel view: decode each image and emit one row per
+    pixel (image_id, y, x, val) — the bridge that lets a SQL engine
+    verify image transforms value-by-value. Scale note: this is a
+    deliberate 1→(h*w) row explosion; use on small/resized images (the
+    oracle path), never on a raw 100-TB corpus."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, ys, xs, vals = [], [], [], []
+            for iid, data, fmt in zip(
+                b["image_id"].values, b["bytes"].values, b["fmt"].values
+            ):
+                px = to_gray(decode_image(bytes(data), fmt)).astype(np.uint8)
+                h, w = px.shape
+                yy, xx = np.mgrid[0:h, 0:w]
+                ids.extend([iid] * (h * w))
+                ys.append(yy.ravel())
+                xs.append(xx.ravel())
+                vals.append(px.ravel())
+            yield pd.DataFrame(
+                {
+                    "image_id": ids,
+                    "y": np.concatenate(ys) if ys else np.array([], dtype=int),
+                    "x": np.concatenate(xs) if xs else np.array([], dtype=int),
+                    "val": np.concatenate(vals) if vals else np.array([], dtype=int),
+                }
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        run, PIXEL_SCHEMA
     )

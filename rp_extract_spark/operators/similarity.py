@@ -165,31 +165,40 @@ def kmeans_fit(
     k: int = 16,
     iters: int = 5,
     seed: int = 29,
+    init: DataFrame | None = None,
 ) -> DataFrame:
     """Lloyd's k-means in pure DataFrame ops: seed centroids from a
-    deterministic hash-sample of rows, then iterate (assign via
+    deterministic hash-sample of rows (or take ``init`` — a
+    (centroid_label, centroid) DataFrame — verbatim, e.g. table rows
+    for an SQL-reproducible quantizer), then iterate (assign via
     broadcast arg-min, recompute element-wise means). The model stays
     K rows; each iteration is one broadcast join + one explode/agg."""
     from .classify import predict_centroids, train_centroids
 
     v = F.col(vec_col).cast("array<double>")
     spark = df.sparkSession
-    # Deterministic seeding: the k rows with the smallest seeded hash,
-    # via orderBy+limit (TakeOrderedAndProject: each partition keeps its
-    # local top-k, the driver merges k*nPart candidate rows). NEVER a
-    # row_number() over an unpartitioned window — that sorts the whole
-    # corpus on one partition and is a job-killer at scale.
-    seed_rows = (
-        df.select(F.col(id_col), v.alias("__v"))
-        .withColumn("__h", F.xxhash64(F.col(id_col), F.lit(seed)))
-        .orderBy("__h", id_col)
-        .limit(k)
-        .collect()
-    )
-    seeded = spark.createDataFrame(
-        [(str(i + 1), list(r["__v"])) for i, r in enumerate(seed_rows)],
-        schema="centroid_label string, centroid array<double>",
-    )
+    if init is not None:
+        seeded = init.select(
+            F.col("centroid_label").cast("string").alias("centroid_label"),
+            F.col("centroid").cast("array<double>").alias("centroid"),
+        )
+    else:
+        # Deterministic seeding: the k rows with the smallest seeded
+        # hash, via orderBy+limit (TakeOrderedAndProject: each partition
+        # keeps its local top-k, the driver merges k*nPart candidates).
+        # NEVER a row_number() over an unpartitioned window — that sorts
+        # the whole corpus on one partition: a job-killer at scale.
+        seed_rows = (
+            df.select(F.col(id_col), v.alias("__v"))
+            .withColumn("__h", F.xxhash64(F.col(id_col), F.lit(seed)))
+            .orderBy("__h", id_col)
+            .limit(k)
+            .collect()
+        )
+        seeded = spark.createDataFrame(
+            [(str(i + 1), list(r["__v"])) for i, r in enumerate(seed_rows)],
+            schema="centroid_label string, centroid array<double>",
+        )
     pts = df.select(F.col(id_col), v.alias(vec_col)).persist()
     try:
         # materialize the K seed rows on the driver: each iteration's

@@ -1241,10 +1241,22 @@ def q_minhash_dedup(spark, sf):
 
 
 def q_simhash(spark, sf):
+    """SimHash near-dup groups, fully ORACLED: the md5-prefix token
+    hash (token_hash='md5') makes the 64-bit signature itself
+    recomputable in DuckDB ('0x' || md5-prefix → UBIGINT, per-bit sign
+    sums), so identical-signature groups (max_hamming=0) with min-id
+    representatives are one GROUP BY on both sides. Signatures compare
+    as fixed-width hex so two's-complement vs unsigned never matters.
+    The blake2b production hash path stays property-tested in pytest."""
     from ..operators.dedup import simhash_dedup
 
     d = _t(spark, sf, "documents")
-    return simhash_dedup(d).orderBy("doc_id")
+    out = simhash_dedup(d, token_hash="md5")
+    return out.select(
+        "doc_id",
+        F.lower(F.lpad(F.hex("simhash"), 16, "0")).alias("simhash_hex"),
+        "rep_id",
+    ).orderBy("doc_id")
 
 
 def q_centroid_classify(spark, sf):
@@ -1600,13 +1612,18 @@ def q_video_frames(spark, sf):
 
 
 def q_resize_images(spark, sf):
-    """Multimodal resize stage on synthesized images (rows-only)."""
-    from ..operators.multimodal import resize_images
-    from ..sources.images import images_df
+    """Multimodal resize stage, fully ORACLED: closed-form-pixel PNGs
+    (formula_images_df: pixel(y,x) = (i*31 + x*7 + y*13) % 256) →
+    decode → block resize to 8x8 → re-encode PNG → decode back to a
+    relational pixel view; DuckDB recomputes every resized pixel from
+    the formula. Verifies the PNG codec roundtrip AND the resize
+    sampling rule ((o*dim)//8 block anchor) value-by-value."""
+    from ..operators.multimodal import image_pixels, resize_images
+    from ..sources.images import formula_images_df
 
-    out = resize_images(images_df(spark, 64, seed=42), out_h=32, out_w=32)
-    return out.select("image_id", "w", "h", "fmt", F.length("bytes").alias("n_bytes"),
-                      "err").orderBy("image_id")
+    imgs = formula_images_df(spark, 12)
+    small = resize_images(imgs, out_h=8, out_w=8)
+    return image_pixels(small).orderBy("image_id", "y", "x")
 
 
 def q_lsh_topk(spark, sf):
@@ -1619,20 +1636,42 @@ def q_lsh_topk(spark, sf):
 
 
 def q_entity_features(spark, sf):
-    """Cross-segment aggregation (exact median/mean + temporal stats)
-    per entity on synthesized images (rows-only)."""
-    from ..operators.extract import aggregate_entity_features, extract_features
-    from ..sources.images import images_df
+    """Cross-segment aggregation operator (A4-A6: exact median, mean,
+    temporal 7-stat block via applyInPandas — aggregate_entity_features
+    verbatim), fully ORACLED by lifting it onto a SQL-expressible
+    surface: embedding vectors play the per-segment descriptors
+    (entity = label), and DuckDB independently recomputes the exact
+    median, mean, and all 7 temporal stats (population variance,
+    biased skew, Pearson kurtosis, NaN→0) for dimension 0. The
+    kernel-input path stays exercised by feature_extract/asof_features
+    and the parity suite (tests/test_kernel_parity.py)."""
+    from ..operators.extract import aggregate_entity_features
 
-    feats = extract_features(images_df(spark, 250, seed=42))
-    agg = aggregate_entity_features(feats)
+    e = _t(spark, sf, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    segs = e.select(
+        F.concat(F.lit("L"), F.col("label").cast("string")).alias("entity_id"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("vec_id")).alias("ts"),
+        F.col("vec_id").cast("string").alias("image_id"),
+        v.alias("rp"), v.alias("ssd"), v.alias("rh"), v.alias("rh2"),
+        v.alias("mvd"),
+        F.lit(None).cast("string").alias("caption"),
+        F.lit(None).cast("string").alias("err"),
+    )
+    agg = aggregate_entity_features(segs)
+    dim = 64  # embeddings dim at every SF
+    stats = ["mean", "var", "skew", "kurt", "med", "min", "max"]
+    tcols = [
+        F.round(F.element_at("tssd", s * dim + 1), 6).alias(f"t_{name}_0")
+        for s, name in enumerate(stats)
+    ]
     return agg.select(
         "entity_id",
         "n_segments",
         F.round(F.element_at("rp", 1), 6).alias("rp_med_0"),
         F.round(F.element_at("ssd", 1), 6).alias("ssd_mean_0"),
-        F.round(F.element_at("tssd", 1), 6).alias("tssd_0"),
-        F.round(F.element_at("trh", 1), 6).alias("trh_0"),
+        *tcols,
+        F.round(F.element_at("trh", dim + 1), 6).alias("trh_var_0"),
     ).orderBy("entity_id")
 
 
@@ -1765,20 +1804,75 @@ ORACLES["asof_merge"] = ORACLE_ASOF
 
 
 def q_ivf_topk(spark, sf):
-    """IVF approximate nearest neighbors: k-means coarse quantizer,
-    inverted lists materialized ONCE (build), probe-limited search
-    (rows-only; recall property pytest-verified)."""
+    """IVF ANN with a TRAINED coarse quantizer, fully ORACLED: k-means
+    seeded from fixed table rows (vec_id < 8, via kmeans_fit(init=...))
+    so the ENTIRE pipeline — 2 Lloyd iterations (nearest-centroid
+    assign → element-wise mean), inverted-list build, nprobe-limited
+    probe, exact in-list top-k — unrolls into DuckDB CTEs (the logreg
+    unrolled-training technique). The hash-seeded default kmeans path
+    stays covered by pytest; this verifies the training loop
+    numerically end to end."""
     from ..operators.similarity import ivf_build, ivf_probe, kmeans_fit
 
     e = _t(spark, sf, "embeddings")
-    cent = kmeans_fit(e, k=8, iters=3)
+    init = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("string").alias("centroid_label"),
+        F.col("embedding").cast("array<double>").alias("centroid"),
+    )
+    cent = kmeans_fit(e, k=8, iters=2, init=init)
     qv = [float(x) for x in e.filter(F.col("vec_id") == 7).first().embedding]
     lists = ivf_build(e, cent)  # write-once / probe-many shape
     out = ivf_probe(lists, cent, qv, k=10, nprobe=2)
-    return out.select("vec_id", F.round("score", 5).alias("cos_sim"))
+    return out.select(
+        "vec_id", F.round("score", 5).alias("cos_sim")
+    ).orderBy(F.col("cos_sim").desc(), "vec_id")
+
+
+def _ivf_topk_oracle_sql(iters: int = 2, nprobe: int = 2, k: int = 10) -> str:
+    """Unrolled Lloyd iterations + IVF probe, mirroring q_ivf_topk:
+    assignment tiebreak (distance ASC, label ASC) matches
+    predict_centroids; top-k membership by RAW cosine score with the
+    final order on the ROUNDED alias, the ORACLE_IVF_RECALL rule."""
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7)",
+        "c0 AS (SELECT CAST(vec_id AS VARCHAR) AS lab, v AS c FROM e WHERE vec_id < 8)",
+    ]
+    for it in range(1, iters + 1):
+        ctes.append(
+            f"""a{it} AS (
+  SELECT e.vec_id, e.v,
+         (SELECT lab FROM c{it - 1}
+          ORDER BY list_distance(c{it - 1}.c, e.v) ASC, lab ASC LIMIT 1) AS lab
+  FROM e)"""
+        )
+        ctes.append(
+            f"""c{it} AS (
+  SELECT lab, array_agg(m ORDER BY pos) AS c FROM (
+    SELECT lab, pos, avg(val) AS m FROM (
+      SELECT lab, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM a{it})
+    GROUP BY lab, pos)
+  GROUP BY lab)"""
+        )
+    final = f"""assign AS (
+  SELECT e.vec_id, e.v,
+         (SELECT lab FROM c{iters}
+          ORDER BY list_distance(c{iters}.c, e.v) ASC, lab ASC LIMIT 1) AS list_id
+  FROM e),
+probe AS (SELECT lab FROM c{iters}, q
+          ORDER BY list_distance(c, v) ASC, lab ASC LIMIT {nprobe})
+SELECT * FROM (
+  SELECT vec_id,
+         round(list_cosine_similarity(v, (SELECT v FROM q)), 5) AS cos_sim
+  FROM assign WHERE list_id IN (SELECT lab FROM probe)
+  ORDER BY list_cosine_similarity(v, (SELECT v FROM q)) DESC, vec_id ASC
+  LIMIT {k})
+ORDER BY cos_sim DESC, vec_id ASC"""
+    return "WITH " + ",\n".join(ctes) + ",\n" + final
 
 
 QUERIES["ivf_topk"] = q_ivf_topk
+ORACLES["ivf_topk"] = _ivf_topk_oracle_sql()
 
 
 # ------------------------------------------- round 3: ANN recall oracles
@@ -2908,3 +3002,168 @@ ORDER BY doc_id
 
 QUERIES["decontaminate_ngram"] = q_decontaminate_ngram
 ORACLES["decontaminate_ngram"] = ORACLE_DECONTAMINATE_NGRAM
+
+
+# ------------------------------------------- round 4: remaining oracles
+#
+# The last oracle-able rows-only queries flip to oracled (VERDICT r3
+# item 3): simhash signatures recompute in SQL via the md5-prefix token
+# hash; resized image pixels recompute from a closed-form pixel
+# formula; the entity aggregation (exact median / mean / 7-stat block)
+# recomputes over the embeddings surface; the trained-kmeans IVF
+# unrolls Lloyd iterations into CTEs (registered next to q_ivf_topk).
+
+
+def _simhash_oracle_sql(seed: int = 11) -> str:
+    """Per-bit sign sums of md5-prefix token hashes — the exact
+    simhash64_batch(token_hash='md5') construction. Bits extract via
+    division by power-of-two UBIGINT literals (DuckDB's shift operators
+    overflow on bit 63); the packed signature compares as fixed-width
+    lowercase hex."""
+    bits = "\n   + ".join(
+        f"(CASE WHEN SUM(CASE WHEN (h // CAST({1 << b} AS UBIGINT)) % 2 = 1"
+        f" THEN 1 ELSE -1 END) > 0 THEN CAST({1 << b} AS UBIGINT)"
+        f" ELSE CAST(0 AS UBIGINT) END)"
+        for b in range(64)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                             ' ')) AS tok
+  FROM documents),
+th AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(tok || '#{seed}'), 1, 16) AS UBIGINT) AS h
+  FROM toks WHERE tok <> ''),
+sig AS (
+  SELECT doc_id, ({bits}) AS s FROM th GROUP BY doc_id),
+sigs AS (
+  SELECT d.doc_id,
+         lpad(lower(hex(coalesce(sig.s, 0)))::VARCHAR, 16, '0') AS simhash_hex
+  FROM documents d LEFT JOIN sig USING (doc_id)),
+reps AS (SELECT simhash_hex, min(doc_id) AS rep_id FROM sigs GROUP BY simhash_hex)
+SELECT sigs.doc_id, sigs.simhash_hex, reps.rep_id
+FROM sigs JOIN reps USING (simhash_hex) ORDER BY sigs.doc_id
+"""
+
+
+ORACLES["simhash"] = _simhash_oracle_sql()
+
+
+ORACLE_RESIZE_IMAGES = """
+WITH ids AS (SELECT unnest(range(12)) AS i),
+dims AS (SELECT i,
+  CASE i % 4 WHEN 0 THEN 64 WHEN 1 THEN 96 WHEN 2 THEN 128 ELSE 256 END AS w,
+  CASE i % 3 WHEN 0 THEN 48 WHEN 1 THEN 64 ELSE 128 END AS h
+  FROM ids),
+grid AS (SELECT i, w, h, oy.g AS y, ox.g AS x
+  FROM dims,
+       (SELECT unnest(range(8)) AS g) oy,
+       (SELECT unnest(range(8)) AS g) ox)
+SELECT printf('img%08d', i) AS image_id,
+       CAST(y AS INT) AS y, CAST(x AS INT) AS x,
+       CAST((i * 31 + ((x * w) // 8) * 7 + ((y * h) // 8) * 13) % 256 AS INT)
+         AS val
+FROM grid ORDER BY image_id, y, x
+"""
+
+ORACLES["resize_images"] = ORACLE_RESIZE_IMAGES
+
+
+ORACLE_ENTITY_FEATURES = """
+WITH e AS (
+  SELECT 'L' || CAST(label AS VARCHAR) AS entity_id, vec_id,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings),
+n AS (SELECT entity_id, CAST(count(DISTINCT vec_id) AS INT) AS n_segments
+      FROM e GROUP BY entity_id),
+d0 AS (SELECT entity_id, val FROM e WHERE pos = 1),
+mu AS (SELECT entity_id, avg(val) AS m FROM d0 GROUP BY entity_id),
+mom AS (
+  SELECT d0.entity_id,
+         avg(val) AS mean0,
+         avg((val - m) * (val - m)) AS m2,
+         avg((val - m) * (val - m) * (val - m)) AS m3,
+         avg((val - m) * (val - m) * (val - m) * (val - m)) AS m4,
+         median(val) AS med0, min(val) AS mn0, max(val) AS mx0
+  FROM d0 JOIN mu USING (entity_id) GROUP BY d0.entity_id)
+SELECT n.entity_id, n.n_segments,
+       round(mom.med0, 6) AS rp_med_0,
+       round(mom.mean0, 6) AS ssd_mean_0,
+       round(mom.mean0, 6) AS t_mean_0,
+       round(mom.m2, 6) AS t_var_0,
+       round(CASE WHEN mom.m2 = 0 THEN 0
+                  ELSE mom.m3 / (mom.m2 * sqrt(mom.m2)) END, 6) AS t_skew_0,
+       round(CASE WHEN mom.m2 = 0 THEN 0
+                  ELSE mom.m4 / (mom.m2 * mom.m2) END, 6) AS t_kurt_0,
+       round(mom.med0, 6) AS t_med_0,
+       round(mom.mn0, 6) AS t_min_0,
+       round(mom.mx0, 6) AS t_max_0,
+       round(mom.m2, 6) AS trh_var_0
+FROM n JOIN mom USING (entity_id) ORDER BY entity_id
+"""
+
+ORACLES["entity_features"] = ORACLE_ENTITY_FEATURES
+
+
+def q_flac_decode(spark, sf):
+    """FLAC lossless path, fully ORACLED: each embedding vector is
+    quantized to 16-bit PCM (floor(x*30000 + 0.5)), FLAC-encoded on
+    executors (codecs/flac.py subset encoder: FIXED predictors + rice),
+    decoded back through the decode_audio dispatch inside
+    analyze_audio, and its RMS compared to DuckDB recomputing from the
+    same quantization — the lossless roundtrip makes the comparison
+    exact, verifying codec + Arrow plumbing end to end."""
+    import numpy as np
+    import pandas as pd
+
+    from ..codecs.flac import encode_flac
+    from ..operators.multimodal import analyze_audio
+
+    e = _t(spark, sf, "embeddings")
+
+    def gen(batches):
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "clip_id": b["vec_id"].astype(str),
+                    "bytes": [
+                        encode_flac(
+                            np.floor(
+                                np.asarray(v, dtype=np.float64) * 30000 + 0.5
+                            ).astype(np.int64),
+                            16000, bits=16, blocksize=256,
+                        )
+                        for v in b["embedding"].values
+                    ],
+                }
+            )
+
+    clips = e.select("vec_id", "embedding").mapInPandas(
+        gen, "clip_id string, bytes binary"
+    )
+    out = analyze_audio(clips)
+    return out.select(
+        F.col("clip_id").cast("bigint").alias("clip_id"),
+        "n_samples",
+        "samplerate",
+        F.round("rms", 5).alias("rms"),
+    ).orderBy("clip_id")
+
+
+ORACLE_FLAC_DECODE = """
+SELECT vec_id AS clip_id,
+       CAST(len(embedding) AS INT) AS n_samples,
+       CAST(16000 AS INT) AS samplerate,
+       round(sqrt(list_aggregate(
+         list_transform(embedding,
+           x -> (floor(CAST(x AS DOUBLE) * 30000 + 0.5) / 32768.0)
+                * (floor(CAST(x AS DOUBLE) * 30000 + 0.5) / 32768.0)),
+         'avg')), 5) AS rms
+FROM embeddings ORDER BY clip_id
+"""
+
+QUERIES["flac_decode"] = q_flac_decode
+ORACLES["flac_decode"] = ORACLE_FLAC_DECODE

@@ -246,3 +246,45 @@ def captions_df(spark: SparkSession, n_images: int, seed: int = 42,
 
     rng_df = spark.range(0, n_ent, numPartitions=min(max(n_ent // 32, 1), 32))
     return rng_df.mapInPandas(gen, CAPTION_SCHEMA)
+
+
+def formula_images_df(spark: SparkSession, n: int) -> DataFrame:
+    """Closed-form pixel images for SQL-oracled image queries: pixel
+    (y, x) of image ``i`` is ``(i*31 + x*7 + y*13) % 256`` — exactly
+    recomputable by any SQL engine with integer arithmetic, unlike the
+    rng-noise images of ``images_df``. Encoded as real PNGs so the
+    decode → transform → encode pipeline is exercised end to end;
+    dimensions follow the same ``_W_CYCLE``/``_H_CYCLE`` as the main
+    fixture. Distributed generation, same scale path as images_df."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for i in b["id"].values:
+                i = int(i)
+                w = _W_CYCLE[i % len(_W_CYCLE)]
+                h = _H_CYCLE[i % len(_H_CYCLE)]
+                yy, xx = np.mgrid[0:h, 0:w]
+                px = ((i * 31 + xx * 7 + yy * 13) % 256).astype(np.uint8)
+                rows.append(
+                    {
+                        "image_id": f"img{i:08d}",
+                        "bytes": encode_png(px),
+                        "w": w,
+                        "h": h,
+                        "fmt": "png",
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType(), False),
+            T.StructField("bytes", T.BinaryType(), False),
+            T.StructField("w", T.IntegerType(), False),
+            T.StructField("h", T.IntegerType(), False),
+            T.StructField("fmt", T.StringType(), False),
+        ]
+    )
+    rng_df = spark.range(0, n, numPartitions=min(max(n // 16, 1), 32))
+    return rng_df.mapInPandas(gen, schema)

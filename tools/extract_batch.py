@@ -60,11 +60,11 @@ def main(argv=None) -> dict:
         clips = (
             spark.read.format("binaryFile")
             .option("recursiveFileLookup", "true")
-            # decode_audio dispatches WAV natively and MP3 through the
-            # in-repo Layer III decoder (unsupported streams error-
-            # isolate per record, matching the reference's audiotypes
-            # scan: wav + mp3, rp_extract_batch.py:241-264)
-            .option("pathGlobFilter", "*.{wav,mp3}")
+            # decode_audio dispatches WAV and FLAC natively and MP3
+            # through the in-repo Layer III decoder (unsupported
+            # streams error-isolate per record, matching the
+            # reference's audiotypes scan, rp_extract_batch.py:241-264)
+            .option("pathGlobFilter", "*.{wav,mp3,flac}")
             .load(args.in_dir)
             .select(
                 F.regexp_replace(

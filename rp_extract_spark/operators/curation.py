@@ -78,10 +78,39 @@ def stratified_split(
     """Deterministic stratified train/val/test assignment: within each
     label, rank by id and cut at floor(n * cumulative_fraction) — every
     label contributes proportionally, the split is reproducible and
-    engine-independent (no RNG). One shuffle on the label."""
-    w = Window.partitionBy(label_col).orderBy(F.col(id_col).asc())
-    ranked = df.withColumn("__rn", F.row_number().over(w)).withColumn(
-        "__n", F.count(F.lit(1)).over(Window.partitionBy(label_col))
+    engine-independent (no RNG).
+
+    Scale path — two-level rank, the pack_sequences prefix-sum
+    technique: range-partition by (label, id) so ONE dominant label
+    spreads over many partitions (a plain window partitioned by label
+    would put 90% of a skewed corpus on one reducer), rank locally per
+    (label, partition) — fully parallel — then add broadcast exclusive
+    per-label partition base counts (labels × partitions rows)."""
+    spark = df.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    t = df.repartitionByRange(
+        n_parts, F.col(label_col), F.col(id_col)
+    ).withColumn("__pid", F.spark_partition_id())
+    wl = Window.partitionBy(label_col, "__pid").orderBy(F.col(id_col).asc())
+    counts = t.groupBy(label_col, "__pid").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    wp = (
+        Window.partitionBy(label_col)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )  # labels × partitions rows only — tiny
+    bases = counts.select(
+        label_col,
+        "__pid",
+        F.coalesce(F.sum("__c").over(wp), F.lit(0)).alias("__base"),
+    )
+    totals = counts.groupBy(label_col).agg(F.sum("__c").alias("__n"))
+    ranked = (
+        t.withColumn("__lrn", F.row_number().over(wl))
+        .join(F.broadcast(bases), [label_col, "__pid"])
+        .join(F.broadcast(totals), label_col)
+        .withColumn("__rn", F.col("__base") + F.col("__lrn"))
     )
     expr = None
     cum = 0.0
@@ -91,7 +120,9 @@ def stratified_split(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     split = (F.lit(fractions[-1][0]) if expr is None
              else expr.otherwise(fractions[-1][0]))
-    return ranked.withColumn("split", split).drop("__rn", "__n")
+    return ranked.withColumn("split", split).drop(
+        "__pid", "__lrn", "__base", "__rn", "__n"
+    )
 
 
 def decontaminate(

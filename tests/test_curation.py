@@ -360,3 +360,34 @@ def test_apply_bpe_large_merge_list_bounded_plan(spark):
     rows = {r.text: r.bpe_tokens for r in out.collect()}
     assert rows["newest low"] == ["n", "e", "w", "est", "lo", "w"]
     assert rows["lowest es t"] == ["lo", "w", "est", "es", "t"]
+
+
+def test_stratified_split_skewed_label_parallel_rank(spark):
+    """Two-level rank regression: a 90%-dominant label must still get
+    exact floor-cut proportions, and the plan must contain no window
+    partitioned by the bare label (the one-reducer shape)."""
+    import io
+    from contextlib import redirect_stdout
+
+    rows = [(i, "big" if i % 10 != 0 else "small") for i in range(2000)]
+    df = spark.createDataFrame(rows, "vec_id long, label string")
+    out = stratified_split(df, label_col="label", id_col="vec_id")
+    counts = {
+        (r.label, r.split): r.n
+        for r in out.groupBy("label", "split").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert counts[("big", "train")] == 1440   # floor(1800*0.8)
+    assert counts[("big", "val")] == 180
+    assert counts[("big", "test")] == 180
+    assert counts[("small", "train")] == 160  # floor(200*0.8)
+    # rank-by-id semantics: lowest ids of a label are train
+    first = out.filter((F.col("label") == "big") & (F.col("split") == "train"))
+    assert first.agg(F.max("vec_id")).first()[0] < 1700
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    # data-scale windows must be keyed by (label, partition id); only
+    # the labels-x-partitions base table may window on the bare label
+    assert "__pid" in plan

@@ -28,9 +28,17 @@ def _sq_dist(a: Column, b: Column) -> Column:
 
 
 def assign_folds(df: DataFrame, id_col: str, k: int = 5,
-                 out: str = "fold") -> DataFrame:
+                 out: str = "fold", fold_fn: str = "xxhash") -> DataFrame:
     """Deterministic k-fold assignment (CV support,
-    rp_classify.py:267-283): stable hash of the id."""
+    rp_classify.py:267-283): stable hash of the id. ``fold_fn='md5'``
+    swaps xxhash64 for an md5-prefix hash that any SQL engine can
+    recompute (the driver-oracle discipline: DuckDB has md5 but not
+    xxhash64); both are uniform and reproducible."""
+    if fold_fn == "md5":
+        h = F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        return df.withColumn(out, F.pmod(h, F.lit(k)))
     return df.withColumn(out, F.pmod(F.xxhash64(F.col(id_col)), F.lit(k)))
 
 
@@ -143,11 +151,12 @@ def cross_validate(
     label_col: str = "label",
     id_col: str = "vec_id",
     k: int = 5,
+    fold_fn: str = "xxhash",
 ) -> DataFrame:
     """k-fold CV accuracy of the nearest-centroid model
     (rp_classify.py cross_validate analog). Returns (fold, n, correct,
     accuracy)."""
-    folded = assign_folds(df, id_col, k).cache()
+    folded = assign_folds(df, id_col, k, fold_fn=fold_fn).cache()
     results = None
     for fold in range(k):
         train = folded.filter(F.col("fold") != fold)

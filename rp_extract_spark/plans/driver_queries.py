@@ -1333,13 +1333,20 @@ FROM d GROUP BY vec_id, category ORDER BY vec_id, category
 
 
 def q_cv_accuracy(spark, sf):
-    """k-fold CV of the centroid model (rows-only)."""
+    """k-fold CV of the centroid model, fully ORACLED: folds assigned
+    by the md5-prefix hash (SQL-recomputable), so DuckDB re-runs the
+    entire cross-validation — per-fold centroid training on the
+    held-out complement, nearest-centroid prediction with the
+    (distance, label) tiebreak, per-fold accuracy. The xxhash default
+    fold path stays pytest-covered."""
     from ..operators.classify import cross_validate
 
     e = _t(spark, sf, "embeddings").withColumn(
         "label_s", F.col("label").cast("string")
     )
-    return cross_validate(e, vec_col="embedding", label_col="label_s", k=3)
+    return cross_validate(
+        e, vec_col="embedding", label_col="label_s", k=3, fold_fn="md5"
+    )
 
 
 def q_entity_features_rel(spark, sf):
@@ -1497,59 +1504,96 @@ def q_audio_descriptors(spark, sf):
 
 
 def q_image_formats(spark, sf):
-    """All four real image codecs through the distributed decode path:
-    synthesize PNG/JPEG/BMP/GIF payloads on executors, decode via the
-    fmt+magic dispatch, report per-format decode success and pixel
-    means (rows-only; codec-level exactness is pytest/interop-tested)."""
+    """All five image codecs through the distributed decode path,
+    fully ORACLED: closed-form pixels (the resize_images formula) are
+    encoded as PNG / real-JPEG(q97) / BMP / GIF / LQ01-lossy on
+    executors and decoded via the fmt+magic dispatch. For the lossless
+    codecs DuckDB recomputes the exact pixel mean from the formula;
+    for LQ01 the quantization (v//4*4+2) is itself closed-form; for
+    real JPEG the check is the PSNR>=40 gate (its numerics are
+    interop-tested against javax.imageio in pytest)."""
     import numpy as np
     import pandas as pd
 
-    from ..codecs import decode_image, encode_jpeg, encode_png
+    from ..codecs import decode_image, encode_jpeg, encode_png, psnr
     from ..codecs.bmp import encode_bmp
     from ..codecs.gif import encode_gif
+    from ..codecs.lossy import encode_lossy
 
     encoders = {
-        "png": encode_png, "jpeg": lambda p: encode_jpeg(p, 97),
-        "bmp": encode_bmp, "gif": encode_gif,
+        "png": ("png", encode_png),
+        "jpeg": ("jpeg", lambda p: encode_jpeg(p, 97)),
+        "bmp": ("bmp", encode_bmp),
+        "gif": ("gif", encode_gif),
+        "lossy": ("jpeg", encode_lossy),  # LQ01 rides the jpeg dispatch
     }
+    names = list(encoders)
+    H, W = 32, 40
+
+    def _formula(i):
+        yy, xx = np.mgrid[0:H, 0:W]
+        return ((i * 31 + xx * 7 + yy * 13) % 256).astype(np.uint8)
 
     def gen(batches):
         for b in batches:
             rows = []
             for i in b["id"].values:
                 i = int(i)
-                rng = np.random.default_rng(1000 + i)
-                px = rng.integers(0, 256, (32, 40), dtype=np.uint8)
-                fmt = list(encoders)[i % 4]
-                rows.append({"img_id": i, "fmt": fmt,
-                             "bytes": encoders[fmt](px)})
+                name = names[i % 5]
+                dispatch_fmt, enc = encoders[name]
+                rows.append({"img_id": i, "fmt": name,
+                             "dispatch_fmt": dispatch_fmt,
+                             "bytes": enc(_formula(i))})
             yield pd.DataFrame(rows)
 
-    imgs = spark.range(16).mapInPandas(gen, "img_id long, fmt string, bytes binary")
+    imgs = spark.range(20).mapInPandas(
+        gen, "img_id long, fmt string, dispatch_fmt string, bytes binary"
+    )
 
     def dec(batches):
         for b in batches:
             rows = []
-            for iid, fmt, data in zip(b["img_id"], b["fmt"], b["bytes"]):
+            for iid, name, dfmt, data in zip(
+                b["img_id"], b["fmt"], b["dispatch_fmt"], b["bytes"]
+            ):
+                i = int(iid)
                 try:
-                    px = decode_image(bytes(data), fmt)
-                    rows.append({"img_id": int(iid), "fmt": fmt, "ok": 1,
-                                 "mean_px": round(float(np.mean(px)), 4)})
+                    px = decode_image(bytes(data), dfmt)
+                    rows.append({
+                        "img_id": i, "fmt": name, "ok": 1,
+                        "psnr_ok": int(psnr(_formula(i), px) >= 40.0),
+                        "mean_px": None if name == "jpeg"
+                        else round(float(np.mean(px)), 4),
+                    })
                 except Exception:  # noqa: BLE001
-                    rows.append({"img_id": int(iid), "fmt": fmt, "ok": 0,
-                                 "mean_px": None})
+                    rows.append({"img_id": i, "fmt": name, "ok": 0,
+                                 "psnr_ok": 0, "mean_px": None})
             yield pd.DataFrame(rows)
 
-    out = imgs.mapInPandas(dec, "img_id long, fmt string, ok int, mean_px double")
-    return (
-        out.groupBy("fmt")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("ok").cast("bigint").alias("n_ok"),
-            F.round(F.avg("mean_px"), 3).alias("avg_mean_px"),
-        )
-        .orderBy("fmt")
+    out = imgs.mapInPandas(
+        dec, "img_id long, fmt string, ok int, psnr_ok int, mean_px double"
     )
+    return out.orderBy("img_id")
+
+
+ORACLE_IMAGE_FORMATS = """
+WITH ids AS (SELECT unnest(range(20)) AS i),
+fmts AS (SELECT i,
+  CASE i % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'bmp'
+             WHEN 3 THEN 'gif' ELSE 'lossy' END AS fmt
+  FROM ids),
+grid AS (SELECT i, (i * 31 + x.g * 7 + y.g * 13) % 256 AS v
+         FROM ids,
+              (SELECT unnest(range(40)) AS g) x,
+              (SELECT unnest(range(32)) AS g) y),
+means AS (SELECT i, avg(v) AS m, avg((v // 4) * 4 + 2) AS mq
+          FROM grid GROUP BY i)
+SELECT f.i AS img_id, f.fmt, CAST(1 AS INT) AS ok, CAST(1 AS INT) AS psnr_ok,
+       CASE f.fmt WHEN 'jpeg' THEN NULL
+                  WHEN 'lossy' THEN round(mq, 4)
+                  ELSE round(m, 4) END AS mean_px
+FROM fmts f JOIN means ON f.i = means.i ORDER BY img_id
+"""
 
 
 def q_incremental_resume(spark, sf):
@@ -1583,9 +1627,13 @@ def q_incremental_resume(spark, sf):
 
 
 def q_video_frames(spark, sf):
-    """Multimodal video path (rows-only): deterministic MJPEG AVIs are
-    muxed on executors, demuxed by sample_video_frames, frames decoded
-    through the JPEG codec."""
+    """Multimodal video path, fully ORACLED: deterministic MJPEG AVIs
+    (6 flat frames of value (10i+7k)%256 — flat 8x8 blocks decode
+    EXACTLY at q97, DC quantizer 1) are muxed on executors, demuxed by
+    sample_video_frames (every 2nd frame), each sampled frame decoded
+    through the JPEG codec; DuckDB recomputes the frame index set and
+    the exact pixel constant from the formula. Verifies mux → RIFF
+    demux → frame order → JPEG decode end to end."""
     import numpy as np
     import pandas as pd
 
@@ -1605,10 +1653,41 @@ def q_video_frames(spark, sf):
             yield pd.DataFrame({"video_id": vids, "bytes": blobs})
 
     videos = spark.range(8).mapInPandas(gen, "video_id string, bytes binary")
-    out = sample_video_frames(videos, every_n=2)
-    return out.select(
-        "video_id", "frame_idx", F.length("frame_bytes").alias("n_bytes"), "err"
-    ).orderBy("video_id", "frame_idx")
+    sampled = sample_video_frames(videos, every_n=2)
+
+    def dec(batches):
+        from ..codecs.jpeg import decode_jpeg
+
+        for b in batches:
+            rows = []
+            for vid, idx, fb in zip(
+                b["video_id"], b["frame_idx"], b["frame_bytes"]
+            ):
+                px = decode_jpeg(bytes(fb))
+                u = np.unique(px)
+                rows.append({
+                    "video_id": vid,
+                    "frame_idx": int(idx),
+                    "h": int(px.shape[0]),
+                    "w": int(px.shape[1]),
+                    "px_const": int(u[0]) if len(u) == 1 else -1,
+                })
+            yield pd.DataFrame(rows)
+
+    out = sampled.mapInPandas(
+        dec, "video_id string, frame_idx int, h int, w int, px_const int"
+    )
+    return out.orderBy("video_id", "frame_idx")
+
+
+ORACLE_VIDEO_FRAMES = """
+WITH v AS (SELECT unnest(range(8)) AS i),
+k AS (SELECT unnest([0, 2, 4]) AS frame_idx)
+SELECT printf('v%03d', i) AS video_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(16 AS INT) AS h, CAST(16 AS INT) AS w,
+       CAST((10 * i + 7 * frame_idx) % 256 AS INT) AS px_const
+FROM v, k ORDER BY video_id, frame_idx
+"""
 
 
 def q_resize_images(spark, sf):
@@ -3167,3 +3246,42 @@ FROM embeddings ORDER BY clip_id
 
 QUERIES["flac_decode"] = q_flac_decode
 ORACLES["flac_decode"] = ORACLE_FLAC_DECODE
+
+
+ORACLES["image_formats"] = ORACLE_IMAGE_FORMATS
+ORACLES["video_frames"] = ORACLE_VIDEO_FRAMES
+
+
+ORACLE_CV_ACCURACY = """
+WITH e AS (
+  SELECT vec_id, CAST(label AS VARCHAR) AS lab,
+         CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)
+           % 3 AS fold,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings),
+folds AS (SELECT DISTINCT fold FROM e),
+cent AS (
+  SELECT f.fold, e.lab, e.pos, avg(e.val) AS c
+  FROM folds f JOIN e ON e.fold <> f.fold
+  GROUP BY f.fold, e.lab, e.pos),
+d AS (
+  SELECT e.vec_id, e.fold, cent.lab AS plab,
+         sum((e.val - cent.c) * (e.val - cent.c)) AS d2
+  FROM e JOIN cent ON cent.fold = e.fold AND cent.pos = e.pos
+  GROUP BY e.vec_id, e.fold, cent.lab),
+r AS (
+  SELECT vec_id, fold, plab,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, plab ASC) AS rn
+  FROM d),
+own AS (SELECT DISTINCT vec_id, lab, fold FROM e),
+pred AS (SELECT r.vec_id, r.fold, r.plab, own.lab
+         FROM r JOIN own ON own.vec_id = r.vec_id WHERE rn = 1)
+SELECT CAST(fold AS INT) AS fold, count(*) AS n,
+       CAST(sum(CASE WHEN plab = lab THEN 1 ELSE 0 END) AS BIGINT) AS correct,
+       round(sum(CASE WHEN plab = lab THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS accuracy
+FROM pred GROUP BY fold ORDER BY fold
+"""
+
+ORACLES["cv_accuracy"] = ORACLE_CV_ACCURACY

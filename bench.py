@@ -73,6 +73,11 @@ RELATIONAL = [
     "unigram_lm",
     "hash_embed",
     "decontaminate_ngram",
+    # round 4
+    "ivf_topk",
+    "flac_decode",
+    "cv_accuracy",
+    "paragraph_dedup",
 ]
 
 

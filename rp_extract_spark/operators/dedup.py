@@ -51,6 +51,57 @@ def exact_dedup(df: DataFrame, cols: Sequence[str], id_col: str) -> DataFrame:
     )
 
 
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup (the C4/RefinedWeb
+    curation rule): every repeated paragraph is removed from all but
+    its FIRST occurrence — ordered by (id, position) — and each
+    document is reassembled from its surviving paragraphs in original
+    order. A document that is an exact later duplicate loses every
+    paragraph (empty ``out_col``).
+
+    Scale path: paragraph TEXT never crosses an exchange. The digest
+    table (id, pos, md5) shuffles to pick per-digest winners
+    (min struct(id, pos)); winners reduce to per-doc kept-position
+    lists; ONE join back to the original one-row-per-doc table (on the
+    id) re-splits the text locally and selects kept positions with JVM
+    array ops. Adds ``out_col``, ``n_paras``, ``n_kept``."""
+    paras = F.split(F.col(text_col), _re_escape(sep))
+    hashed = df.select(
+        F.col(id_col), F.posexplode(paras).alias("pos", "__p")
+    ).select(id_col, "pos", F.md5("__p").alias("__d"))
+    winners = hashed.groupBy("__d").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p")))
+        .alias("w")
+    )
+    kept = (
+        winners.select(F.col("w.i").alias(id_col), F.col("w.p").alias("pos"))
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("__keep"))
+    )
+    joined = df.join(kept, id_col, "left")
+    keep = F.coalesce(F.col("__keep"), F.array().cast("array<int>"))
+    clean = F.concat_ws(sep, F.transform(keep, lambda p: F.get(paras, p)))
+    return (
+        joined.withColumn(out_col, clean)
+        .withColumn("n_paras", F.size(paras))
+        .withColumn("n_kept", F.size(keep))
+        .drop("__keep")
+    )
+
+
+def _re_escape(sep: str) -> str:
+    """Literal separator → the regex F.split expects."""
+    import re
+
+    return re.escape(sep)
+
+
 @lru_cache(maxsize=1 << 18)
 def _token_hash(tok: str) -> int:
     """Memoized 64-bit token hash (corpora have Zipfian vocab — the

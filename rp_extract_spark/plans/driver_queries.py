@@ -3285,3 +3285,68 @@ FROM pred GROUP BY fold ORDER BY fold
 """
 
 ORACLES["cv_accuracy"] = ORACLE_CV_ACCURACY
+
+
+def q_paragraph_dedup(spark, sf):
+    """Corpus-wide paragraph-level exact dedup (C4/RefinedWeb rule),
+    fully ORACLED. The fixture documents are single-line, so both
+    sides first synthesize paragraphs identically: 12-token chunks of
+    the shared tokenizer's output joined by '\\n'. dedup_paragraphs
+    then drops every repeated paragraph except its first (id, pos)
+    occurrence and reassembles documents; DuckDB recomputes the whole
+    thing with a window over the paragraph text."""
+    from ..operators.dedup import dedup_paragraphs
+    from ..operators.text import nonempty_tokens_col
+
+    d = _t(spark, sf, "documents")
+    toks = nonempty_tokens_col(F.col("text"))
+    nchunks = F.ceil(F.size(toks) / F.lit(12)).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(0), nchunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * 12 + 1, 12)),
+    )
+    docs = d.filter(F.size(toks) > 0).select(
+        "doc_id", F.concat_ws("\n", paras).alias("text")
+    )
+    out = dedup_paragraphs(docs, sep="\n")
+    return out.select(
+        "doc_id", "clean_text", "n_paras", "n_kept"
+    ).orderBy("doc_id")
+
+
+ORACLE_PARAGRAPH_DEDUP = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(trim(text)),
+                                                 '\s+', ' ', 'g'), ' '),
+                     x -> x <> '') AS t
+  FROM documents),
+chunked AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, CAST(ceil(len(t) / 12.0) AS INT)),
+           i -> array_to_string(t[(i - 1) * 12 + 1 : (i - 1) * 12 + 12], ' ')
+         ) AS chunks
+  FROM toks WHERE len(t) > 0),
+p AS (
+  SELECT doc_id, generate_subscripts(chunks, 1) - 1 AS pos,
+         unnest(chunks) AS para
+  FROM chunked),
+w AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+  FROM p),
+kept AS (
+  SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM w WHERE rn = 1 GROUP BY doc_id)
+SELECT c.doc_id,
+       coalesce(kept.clean_text, '') AS clean_text,
+       CAST(len(c.chunks) AS INT) AS n_paras,
+       CAST(coalesce(kept.n_kept, 0) AS INT) AS n_kept
+FROM chunked c LEFT JOIN kept ON kept.doc_id = c.doc_id
+ORDER BY c.doc_id
+"""
+
+QUERIES["paragraph_dedup"] = q_paragraph_dedup
+ORACLES["paragraph_dedup"] = ORACLE_PARAGRAPH_DEDUP

@@ -242,3 +242,58 @@ def test_minhash_verified_hot_bucket_star_edges(spark):
     m = {r.doc_id: r.rep_id for r in out.collect()}
     assert all(m[f"d{i:03d}"] == "d000" for i in range(40)), m
     assert m["zzz"] == "zzz"
+
+
+def test_dedup_paragraphs_first_occurrence_wins(spark):
+    """C4-style paragraph dedup: repeated paragraphs survive only at
+    their first (id, pos) occurrence; docs reassemble in order; an
+    exact later-duplicate doc empties out."""
+    from rp_extract_spark.operators.dedup import dedup_paragraphs
+
+    rows = [
+        (1, "alpha beta\n\nshared one\n\ngamma"),
+        (2, "shared one\n\ndelta\n\nshared two"),
+        (3, "shared two\n\nshared one"),
+        (4, "alpha beta\n\nshared one\n\ngamma"),  # exact dup of doc 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup_paragraphs(df).collect()}
+    assert out[1].clean_text == "alpha beta\n\nshared one\n\ngamma"
+    assert out[1].n_paras == 3 and out[1].n_kept == 3
+    assert out[2].clean_text == "delta\n\nshared two"  # 'shared one' seen in doc 1
+    assert out[2].n_kept == 2
+    assert out[3].clean_text == ""  # both paragraphs seen earlier
+    assert out[3].n_kept == 0 and out[3].n_paras == 2
+    assert out[4].clean_text == "" and out[4].n_kept == 0
+
+
+def test_dedup_paragraphs_intra_doc_repeat(spark):
+    """A paragraph repeated INSIDE one document keeps only its first
+    position (the boilerplate-removal behavior)."""
+    from rp_extract_spark.operators.dedup import dedup_paragraphs
+
+    df = spark.createDataFrame(
+        [(7, "x y\n\nmid\n\nx y")], "doc_id long, text string")
+    r = dedup_paragraphs(df).collect()[0]
+    assert r.clean_text == "x y\n\nmid"
+    assert r.n_paras == 3 and r.n_kept == 2
+
+
+def test_dedup_paragraphs_custom_separator_no_text_in_shuffle(spark):
+    """Single-newline separator variant + plan check: the winner
+    aggregation must shuffle digests, never paragraph text."""
+    import io
+    from contextlib import redirect_stdout
+
+    from rp_extract_spark.operators.dedup import dedup_paragraphs
+
+    df = spark.createDataFrame(
+        [(1, "a\nb"), (2, "b\nc")], "doc_id long, text string")
+    out = dedup_paragraphs(df, sep="\n")
+    got = {r.doc_id: r.clean_text for r in out.collect()}
+    assert got == {1: "a\nb", 2: "c"}
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "md5" in plan  # digest computed before the exchange

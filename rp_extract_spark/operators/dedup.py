@@ -102,6 +102,77 @@ def _re_escape(sep: str) -> str:
     return re.escape(sep)
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """MOSS-style winnowing fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): hash every word ``k``-gram, then keep the MINIMUM hash
+    of each sliding window of ``w`` consecutive gram hashes. Guarantee:
+    any shared run of at least ``w + k - 1`` tokens between two
+    documents yields at least one shared fingerprint — the classic
+    excerpt/quote detector that whole-document fingerprints and
+    bucketed near-dup methods miss.
+
+    Entirely JVM-side (md5-prefix gram hash → the driver-oracle
+    discipline; HOF sliding minima); returns distinct (id, fp) rows.
+    Documents with fewer than ``k`` tokens emit nothing; with fewer
+    than ``w`` grams the single minimum of all grams is kept."""
+    from .curation import ngram_col
+
+    grams = ngram_col(F.col(text_col), k)
+    h = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+    )
+    n = F.size(h)
+    mins = (
+        F.when(n >= w,
+               F.transform(F.sequence(F.lit(0), n - w),
+                           lambda i: F.array_min(F.slice(h, i + 1, w))))
+        .when(n > 0, F.array(F.array_min(h)))
+        .otherwise(F.array().cast("array<bigint>"))
+    )
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(mins)).alias("fp"))
+        .distinct()
+    )
+
+
+def winnow_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 100,
+) -> DataFrame:
+    """Excerpt-overlap candidate pairs via winnowing: documents sharing
+    at least ``min_shared`` fingerprints. Scale hygiene: fingerprints
+    appearing in more than ``max_df`` documents (boilerplate/stop
+    phrases — the skewed join keys) are dropped BEFORE the self-join,
+    the hot-bucket-cap discipline; the join then carries only
+    (fp, id) pairs with bounded per-key fan-out ≤ max_df²."""
+    fps = winnow_fingerprints(df, text_col, id_col, k, w)
+    rare = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__df")).filter(
+        F.col("__df") <= max_df
+    )
+    kept = fps.join(rare.select("fp"), "fp")
+    a = kept.select(F.col("fp"), F.col(id_col).alias("id_a"))
+    b = kept.select(F.col("fp"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") > F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 @lru_cache(maxsize=1 << 18)
 def _token_hash(tok: str) -> int:
     """Memoized 64-bit token hash (corpora have Zipfian vocab — the

@@ -3350,3 +3350,57 @@ ORDER BY c.doc_id
 
 QUERIES["paragraph_dedup"] = q_paragraph_dedup
 ORACLES["paragraph_dedup"] = ORACLE_PARAGRAPH_DEDUP
+
+
+def q_winnow_overlap(spark, sf):
+    """MOSS winnowing excerpt detection, fully ORACLED: md5-prefix
+    gram hashes + sliding-window minima are recomputed verbatim in
+    DuckDB; pairs sharing >= 2 rare fingerprints (document frequency
+    <= 100) match exactly."""
+    from ..operators.dedup import winnow_overlap
+
+    d = _t(spark, sf, "documents")
+    out = winnow_overlap(d, k=5, w=4, min_shared=2, max_df=100)
+    return out.orderBy("id_a", "id_b")
+
+
+ORACLE_WINNOW_OVERLAP = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(trim(text)),
+                                                 '\s+', ' ', 'g'), ' '),
+                     x -> x <> '') AS t
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 5
+              THEN list_transform(generate_series(1, len(t) - 4),
+                                  i -> array_to_string(t[i : i + 4], ' '))
+              ELSE [] END AS grams
+  FROM toks),
+h AS (
+  SELECT doc_id,
+         list_transform(grams,
+           s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS hs
+  FROM g),
+m AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= 4
+              THEN list_distinct(list_transform(
+                     generate_series(1, len(hs) - 3),
+                     i -> list_aggregate(hs[i : i + 3], 'min')))
+              WHEN len(hs) > 0 THEN [list_aggregate(hs, 'min')]
+              ELSE [] END AS fps
+  FROM h),
+fp AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM m),
+rare AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 100),
+kept AS (SELECT f.doc_id, f.fp FROM fp f JOIN rare USING (fp))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id > b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= 2
+ORDER BY id_a, id_b
+"""
+
+QUERIES["winnow_overlap"] = q_winnow_overlap
+ORACLES["winnow_overlap"] = ORACLE_WINNOW_OVERLAP

@@ -297,3 +297,61 @@ def test_dedup_paragraphs_custom_separator_no_text_in_shuffle(spark):
         out.explain("formatted")
     plan = buf.getvalue()
     assert "md5" in plan  # digest computed before the exchange
+
+
+def test_winnow_guarantee_shared_run(spark):
+    """Winnowing guarantee (SIGMOD'03): a shared token run of length
+    >= w + k - 1 (= 8 at k=5, w=4) yields at least one shared
+    fingerprint, and the overlap pair surfaces."""
+    from rp_extract_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_overlap,
+    )
+
+    shared = "one two three four five six seven eight"  # 8-token run
+    rows = [
+        (1, f"prefix a b {shared} suffix c d"),
+        (2, f"{shared} totally different tail words here"),
+        (3, "unrelated content with no overlap at all whatsoever today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {r.doc_id: set() for r in df.collect()}
+    for r in winnow_fingerprints(df, k=5, w=4).collect():
+        fps[r.doc_id].add(r.fp)
+    assert fps[1] & fps[2], "shared 8-token run must share a fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+    pairs = winnow_overlap(df, k=5, w=4, min_shared=1).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(2, 1)}
+
+
+def test_winnow_max_df_drops_boilerplate(spark):
+    """A fingerprint present in every document (boilerplate) must be
+    excluded by max_df, leaving no pairs."""
+    from rp_extract_spark.operators.dedup import winnow_overlap
+
+    boiler = "standard legal disclaimer text appears here always okay"
+    rows = [(i, f"{boiler} unique{i} word{i} tail{i} x{i} y{i}")
+            for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with_cap = winnow_overlap(df, k=5, w=4, min_shared=1, max_df=3).collect()
+    no_cap = winnow_overlap(df, k=5, w=4, min_shared=1, max_df=100).collect()
+    # without the cap the all-docs boilerplate fingerprint makes the
+    # full 6-choose-2 clique; the cap drops every fingerprint seen in
+    # >3 docs, collapsing the clique to the few boundary-window
+    # collisions (windows mixing shared + unique grams, df <= 3)
+    assert len(no_cap) == 15
+    assert len(with_cap) < len(no_cap)
+    hot_pairs = {(r.id_a, r.id_b) for r in no_cap}
+    assert {(r.id_a, r.id_b) for r in with_cap} < hot_pairs
+
+
+def test_winnow_short_documents(spark):
+    from rp_extract_spark.operators.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "too short"), (2, "exactly five tokens right here"),
+         (3, "six tokens is one gram more")],
+        "doc_id long, text string")
+    got = {r.doc_id for r in winnow_fingerprints(df, k=5, w=4).collect()}
+    assert 1 not in got      # < k tokens -> no grams -> nothing
+    assert 2 in got and 3 in got  # < w grams -> single min kept

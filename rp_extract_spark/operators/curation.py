@@ -454,6 +454,71 @@ def _apply_bpe_arrow(
     return df.mapInPandas(run, out_schema)
 
 
+def bpe_vocab(df: DataFrame, merges: DataFrame,
+              text_col: str = "text") -> DataFrame:
+    """Token-id vocabulary for a trained merge list, GPT-2-style id
+    assignment: the corpus' base characters sorted ascending take ids
+    0..C-1, then each merged symbol takes C + rank. Model-table sized
+    (alphabet + merges); the base-character scan is one distinct over
+    exploded characters, collected driver-side like every K-row model."""
+    from .text import nonempty_tokens_col
+
+    chars = (
+        df.select(F.explode(nonempty_tokens_col(F.col(text_col))).alias("w"))
+        .select(F.explode(F.split(F.translate("w", _S, ""), "")).alias("sym"))
+        .filter(F.col("sym") != "")
+        .distinct()
+    )
+    base_syms = sorted(r.sym for r in chars.collect())
+    spark = df.sparkSession
+    base = spark.createDataFrame(
+        [(s, i) for i, s in enumerate(base_syms)], "token string, token_id int"
+    )
+    merged = merges.orderBy("rank").select(
+        F.col("merged").alias("token"),
+        (F.col("rank") + F.lit(len(base_syms))).cast("int").alias("token_id"),
+    )
+    return base.unionByName(merged)
+
+
+def apply_bpe_ids(
+    df: DataFrame,
+    merges: DataFrame,
+    vocab: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "token_ids",
+) -> DataFrame:
+    """Tokenize to integer ids — what a training pipeline actually
+    feeds the model: ``apply_bpe`` then a broadcast vocab join,
+    reassembled per document in token order. Unknown symbols (a vocab
+    from a different corpus) map to -1 rather than dropping silently.
+    Adds ``out_col`` (array<int>) and ``n_{out_col}``."""
+    if vocab is None:
+        vocab = bpe_vocab(df, merges, text_col)
+    enc = apply_bpe(df, merges, text_col)
+    ex = enc.select(
+        F.col(id_col), F.posexplode("bpe_tokens").alias("pos", "token")
+    )
+    ids = (
+        ex.join(F.broadcast(vocab), "token", "left")
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token_id"))),
+                lambda s: F.coalesce(s["token_id"], F.lit(-1)),
+            ).alias(out_col)
+        )
+    )
+    keep = F.coalesce(F.col(out_col), F.array().cast("array<int>"))
+    return (
+        enc.drop("bpe_tokens", "n_bpe_tokens")
+        .join(ids, id_col, "left")
+        .withColumn(out_col, keep)
+        .withColumn(f"n_{out_col}", F.size(out_col))
+    )
+
+
 def hash_sample(
     df: DataFrame,
     rate: float,

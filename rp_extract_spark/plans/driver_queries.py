@@ -3404,3 +3404,82 @@ ORDER BY id_a, id_b
 
 QUERIES["winnow_overlap"] = q_winnow_overlap
 ORACLES["winnow_overlap"] = ORACLE_WINNOW_OVERLAP
+
+
+def q_bpe_ids(spark, sf):
+    """Token-ID encoding end to end, fully ORACLED at per-token-row
+    granularity: train 3 merges, build the GPT-2-style vocabulary
+    (sorted base chars then merges), encode every document, emit one
+    row per (doc, global token position, id). The oracle reuses the
+    unrolled BPE training CTEs, re-derives the vocabulary in SQL, and
+    reconstructs global token positions with a per-doc running offset
+    over word symbol counts — order errors, vocab errors, and merge
+    errors all surface as row mismatches."""
+    from ..operators.curation import apply_bpe_ids, train_bpe
+
+    d = _t(spark, sf, "documents")
+    merges = train_bpe(d, n_merges=3, min_count=1)
+    out = apply_bpe_ids(d, merges)
+    return (
+        out.select("doc_id", F.posexplode("token_ids").alias("pos", "token_id"))
+        .select(
+            "doc_id", (F.col("pos") + 1).cast("int").alias("tpos"), "token_id"
+        )
+        .orderBy("doc_id", "tpos")
+    )
+
+
+def _bpe_ids_oracle_sql(n_merges=3) -> str:
+    train = _bpe_encode_oracle_sql(n_merges).split("\nSELECT d0.doc_id")[0]
+    merged_union = "\nUNION ALL\n".join(
+        f"SELECT replace(replace((SELECT pair FROM m{i}), chr(31), ''),"
+        f" '  ', '') AS token,"
+        f" (SELECT count(*) FROM chars) + {i} AS token_id"
+        for i in range(n_merges)
+    )
+    return train + rf""",
+dtoks AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(trim(text)),
+                                                 '\s+', ' ', 'g'), ' '),
+                     x -> x <> '') AS t
+  FROM documents),
+dwords AS (
+  SELECT doc_id, generate_subscripts(t, 1) AS wpos,
+         replace(unnest(t), chr(31), '') AS w
+  FROM dtoks),
+wsyms AS (
+  SELECT d.doc_id, d.wpos,
+         list_transform(string_split(s.sym, '  '),
+                        x -> replace(x, chr(31), '')) AS syms
+  FROM (SELECT * FROM dwords WHERE w <> '') d
+  JOIN s{n_merges} s ON d.w = s.w),
+offs AS (
+  SELECT doc_id, wpos, syms,
+         coalesce(SUM(len(syms)) OVER (
+           PARTITION BY doc_id ORDER BY wpos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
+  FROM wsyms),
+toks AS (
+  SELECT doc_id, base + generate_subscripts(syms, 1) AS tpos,
+         unnest(syms) AS token
+  FROM offs),
+chars AS (
+  SELECT sym, row_number() OVER (ORDER BY sym) - 1 AS token_id
+  FROM (SELECT DISTINCT unnest(string_split(w, '')) AS sym
+        FROM dwords WHERE w <> '')
+  WHERE sym <> ''),
+vocab AS (
+  SELECT token, CAST(token_id AS INT) AS token_id FROM (
+    SELECT sym AS token, token_id FROM chars
+    UNION ALL
+    {merged_union}))
+SELECT t.doc_id, CAST(t.tpos AS INT) AS tpos,
+       CAST(coalesce(v.token_id, -1) AS INT) AS token_id
+FROM toks t LEFT JOIN vocab v ON v.token = t.token
+ORDER BY t.doc_id, t.tpos
+"""
+
+
+QUERIES["bpe_ids"] = q_bpe_ids
+ORACLES["bpe_ids"] = _bpe_ids_oracle_sql()

@@ -391,3 +391,34 @@ def test_stratified_split_skewed_label_parallel_rank(spark):
     # data-scale windows must be keyed by (label, partition id); only
     # the labels-x-partitions base table may window on the bare label
     assert "__pid" in plan
+
+
+def test_bpe_vocab_and_ids(spark):
+    """GPT-2-style id assignment: sorted base chars 0..C-1, merges at
+    C+rank; encoding maps tokens to those ids in document order and
+    reconstruction through the vocab inverts exactly."""
+    from rp_extract_spark.operators.curation import (
+        apply_bpe_ids,
+        bpe_vocab,
+        train_bpe,
+    )
+
+    corpus = spark.createDataFrame(
+        [("low low low newest newest widest",)], "text string")
+    merges = train_bpe(corpus, n_merges=2, min_count=1)
+    vocab = bpe_vocab(corpus, merges)
+    v = {r.token: r.token_id for r in vocab.collect()}
+    chars = sorted({c for c in "lownewstid"})
+    assert [v[c] for c in chars] == list(range(len(chars)))
+    ranked = [m.merged for m in merges.orderBy("rank").collect()]
+    assert [v[m] for m in ranked] == [len(chars), len(chars) + 1]
+    probe = spark.createDataFrame(
+        [(1, "newest low"), (2, "  "), (3, "zzz")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in apply_bpe_ids(probe, merges, vocab).collect()}
+    inv = {i: t for t, i in v.items()}
+    # doc 1 decodes back to its text through the vocab
+    assert "".join(inv[i] for i in out[1].token_ids) == "newestlow"
+    assert out[1].n_token_ids == len(out[1].token_ids)
+    assert out[2].token_ids == [] and out[2].n_token_ids == 0
+    assert out[3].token_ids == [-1, -1, -1]  # OOV chars -> -1, not dropped

@@ -174,9 +174,11 @@ def cross_validate(
             )
         )
         results = scored if results is None else results.unionByName(scored)
-    return results.withColumn(
-        "accuracy", F.round(F.col("correct") / F.col("n"), 6)
-    ).orderBy("fold")
+    return (
+        results.filter(F.col("n") > 0)  # an empty fold has no accuracy row
+        .withColumn("accuracy", F.round(F.col("correct") / F.col("n"), 6))
+        .orderBy("fold")
+    )
 
 
 def train_multilabel_centroids(

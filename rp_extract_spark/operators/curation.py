@@ -41,7 +41,10 @@ def pack_sequences(
     t = df.select(
         F.col(id_col), token_count(F.col(text_col)).alias("n_tokens")
     ).repartitionByRange(n_parts, F.col(id_col))
-    t = t.withColumn("__pid", F.spark_partition_id())
+    # persist: __pid feeds both the cumsum window and the per-partition
+    # base-offset agg; the cache pins one partition placement for both
+    # consumers under every exchange-reuse config (2 narrow columns)
+    t = t.withColumn("__pid", F.spark_partition_id()).persist()
     # per-partition running total (parallel: window is partitioned).
     # ROWS frame, not the default RANGE: duplicate ids must not share a
     # peer-inclusive total (it would overlap their token spans).
@@ -88,9 +91,13 @@ def stratified_split(
     per-label partition base counts (labels × partitions rows)."""
     spark = df.sparkSession
     n_parts = spark.sparkContext.defaultParallelism
+    # persist: the partition-id column feeds TWO consumers (the rank
+    # window and the base-count agg); correctness requires both to see
+    # the SAME partition placement, which exchange reuse usually
+    # guarantees but a cache guarantees under every config
     t = df.repartitionByRange(
         n_parts, F.col(label_col), F.col(id_col)
-    ).withColumn("__pid", F.spark_partition_id())
+    ).withColumn("__pid", F.spark_partition_id()).persist()
     wl = Window.partitionBy(label_col, "__pid").orderBy(F.col(id_col).asc())
     counts = t.groupBy(label_col, "__pid").agg(
         F.count(F.lit(1)).alias("__c")
@@ -412,6 +419,10 @@ def _apply_bpe_arrow(
         # (\x1c-\x1f, unicode spaces) — spell out the Java class so the
         # Arrow path tokenizes identically to the JVM chained path.
         ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        # per-task word memo, capped: Zipf makes the hit rate high, but
+        # a huge unique-word tail (URLs, ids) must not grow it without
+        # bound for the task's lifetime
+        _MEMO_CAP = 1 << 20
         memo: dict = {}
 
         def enc_word(w):
@@ -421,6 +432,8 @@ def _apply_bpe_arrow(
                 for pat, rep in reps:
                     sym = sym.replace(pat, rep)
                 got = [p.replace(_S, "") for p in sym.split("  ")]
+                if len(memo) >= _MEMO_CAP:
+                    memo.clear()
                 memo[w] = got
             return got
 
@@ -478,7 +491,15 @@ def bpe_vocab(df: DataFrame, merges: DataFrame,
         F.col("merged").alias("token"),
         (F.col("rank") + F.lit(len(base_syms))).cast("int").alias("token_id"),
     )
-    return base.unionByName(merged)
+    # two merges can share a surface form (e.g. ('ab','cd') and
+    # ('abc','d') both yield 'abcd'); the vocab must be one id per
+    # surface form or the encode join duplicates occurrences — keep
+    # the lowest id (first assignment), the GPT-2 dedup rule
+    return (
+        base.unionByName(merged)
+        .groupBy("token")
+        .agg(F.min("token_id").alias("token_id"))
+    )
 
 
 def apply_bpe_ids(

@@ -157,7 +157,11 @@ def winnow_overlap(
     phrases — the skewed join keys) are dropped BEFORE the self-join,
     the hot-bucket-cap discipline; the join then carries only
     (fp, id) pairs with bounded per-key fan-out ≤ max_df²."""
-    fps = winnow_fingerprints(df, text_col, id_col, k, w)
+    # persist: the fingerprint stage (per-gram md5 HOFs over every
+    # document) is the dominant cost and feeds two consumers (the
+    # document-frequency agg and the join back) — without the cache it
+    # can execute twice when exchange reuse doesn't cover both
+    fps = winnow_fingerprints(df, text_col, id_col, k, w).persist()
     rare = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__df")).filter(
         F.col("__df") <= max_df
     )
@@ -695,8 +699,20 @@ def simhash64_batch(
 
     ``token_hash='md5'`` swaps the token hash for the md5-prefix
     construction (``_hash_token_array_md5``) so the whole signature is
-    recomputable in DuckDB SQL — the driver's oracle path."""
-    tok_lists = [(t or "").lower().split() for t in texts]
+    recomputable in DuckDB SQL — the driver's oracle path. In that
+    mode tokenization uses the RE2 ``\\s`` class ([ \\t\\n\\f\\r] —
+    no \\x0b, no Unicode spaces) so Python and the SQL engine split
+    identically; the default mode keeps Python's wider str.split()
+    (signatures never leave the engine there)."""
+    if token_hash == "md5":
+        import re
+
+        ws = re.compile(r"[ \t\n\f\r]+")
+        tok_lists = [
+            [w for w in ws.split((t or "").lower()) if w] for t in texts
+        ]
+    else:
+        tok_lists = [(t or "").lower().split() for t in texts]
     counts = np.array([len(x) for x in tok_lists], dtype=np.int64)
     out = np.zeros(len(texts), dtype=np.int64)
     nz = np.flatnonzero(counts)

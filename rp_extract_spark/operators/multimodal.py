@@ -341,6 +341,10 @@ def image_pixels(images: DataFrame) -> DataFrame:
             for iid, data, fmt in zip(
                 b["image_id"].values, b["bytes"].values, b["fmt"].values
             ):
+                if data is None:
+                    # error-isolated upstream row (e.g. resize_images
+                    # quarantine output): skip, never abort the stage
+                    continue
                 px = to_gray(decode_image(bytes(data), fmt)).astype(np.uint8)
                 h, w = px.shape
                 yy, xx = np.mgrid[0:h, 0:w]

@@ -377,13 +377,15 @@ def score_unigram_lm(
     as a DataFrame — no vocab-sized Python-object round-trip through
     createDataFrame. Then explode tokens, broadcast-join, aggregate
     back per document — one shuffle keyed on the id, carrying
-    (id, logp) pairs only. Docs with no tokens score 0.0. Scoring
-    evaluates the model lineage twice (OOV probe + broadcast build);
-    persist the model when scoring repeatedly."""
+    (id, logp) pairs only. Docs with no tokens score 0.0. The model is
+    persisted here so its (corpus-pass) lineage evaluates once across
+    the OOV probe, the broadcast build, and any re-scoring — Spark
+    LRU-evicts it like every K-row model table."""
+    model = model.persist()
     oov_row = model.filter(F.col("token") == OOV_TOKEN).select("logp").first()
     if oov_row is None:
         raise ValueError("model has no OOV row (not a train_unigram_lm output)")
-    oov_vals = [oov_row.logp]
+    oov_logp = oov_row.logp
     vocab = model.filter(F.col("token") != OOV_TOKEN).select("token", "logp")
     toks = nonempty_tokens_col(F.col(text_col))
     exploded = df.select(F.col(id_col), F.explode(toks).alias("token"))
@@ -391,7 +393,7 @@ def score_unigram_lm(
     # is order-sensitive across partitions, so a plain avg can flip the
     # 6th decimal between engines/runs; integer sums cannot
     micro = F.round(
-        F.coalesce(F.col("logp"), F.lit(oov_vals[0])) * 1e6
+        F.coalesce(F.col("logp"), F.lit(oov_logp)) * 1e6
     ).cast("long")
     scored = (
         exploded.join(F.broadcast(vocab), "token", "left")

@@ -1559,11 +1559,16 @@ def q_image_formats(spark, sf):
                 i = int(iid)
                 try:
                     px = decode_image(bytes(data), dfmt)
+                    # floor(x*1e4+0.5)/1e4, NOT round(): Python rounds
+                    # half-even while DuckDB rounds half-away; pixel
+                    # means (sum/1280) can land exactly on 4th-decimal
+                    # ties. Values are non-negative so floor+0.5 is
+                    # half-away on both sides.
+                    m4 = float(np.floor(np.mean(px) * 1e4 + 0.5) / 1e4)
                     rows.append({
                         "img_id": i, "fmt": name, "ok": 1,
                         "psnr_ok": int(psnr(_formula(i), px) >= 40.0),
-                        "mean_px": None if name == "jpeg"
-                        else round(float(np.mean(px)), 4),
+                        "mean_px": None if name == "jpeg" else m4,
                     })
                 except Exception:  # noqa: BLE001
                     rows.append({"img_id": i, "fmt": name, "ok": 0,
@@ -1590,8 +1595,8 @@ means AS (SELECT i, avg(v) AS m, avg((v // 4) * 4 + 2) AS mq
           FROM grid GROUP BY i)
 SELECT f.i AS img_id, f.fmt, CAST(1 AS INT) AS ok, CAST(1 AS INT) AS psnr_ok,
        CASE f.fmt WHEN 'jpeg' THEN NULL
-                  WHEN 'lossy' THEN round(mq, 4)
-                  ELSE round(m, 4) END AS mean_px
+                  WHEN 'lossy' THEN floor(mq * 1e4 + 0.5) / 1e4
+                  ELSE floor(m * 1e4 + 0.5) / 1e4 END AS mean_px
 FROM fmts f JOIN means ON f.i = means.i ORDER BY img_id
 """
 
@@ -3470,10 +3475,13 @@ chars AS (
         FROM dwords WHERE w <> '')
   WHERE sym <> ''),
 vocab AS (
-  SELECT token, CAST(token_id AS INT) AS token_id FROM (
+  -- one id per surface form, lowest wins (bpe_vocab's dedup rule for
+  -- merges sharing a concatenation)
+  SELECT token, CAST(min(token_id) AS INT) AS token_id FROM (
     SELECT sym AS token, token_id FROM chars
     UNION ALL
-    {merged_union}))
+    {merged_union})
+  GROUP BY token)
 SELECT t.doc_id, CAST(t.tpos AS INT) AS tpos,
        CAST(coalesce(v.token_id, -1) AS INT) AS token_id
 FROM toks t LEFT JOIN vocab v ON v.token = t.token

@@ -204,6 +204,58 @@ def decontaminate_ngram(
     return corpus.join(contaminated, id_col, "left_anti")
 
 
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "doc_id",
+    n: int = 13,
+) -> DataFrame:
+    """Audit view of n-gram decontamination (the report a release
+    review actually reads): per benchmark document, how many corpus
+    documents share at least one word ``n``-gram with it
+    (``n_contaminated_docs``) and how many distinct (corpus doc,
+    shared gram) hits occurred (``n_hits``); benchmark items with no
+    contamination report zeros. Same scale shape as
+    ``decontaminate_ngram``: the benchmark's (id, gram) table is
+    small and broadcast; the corpus streams through explode and the
+    shuffle carries only id pairs."""
+    bgrams = (
+        benchmark.select(
+            F.col(bench_id_col).alias("bench_id"),
+            F.explode(ngram_col(F.col(text_col), n)).alias("__g"),
+        )
+        .distinct()
+    )
+    cgrams = (
+        corpus.select(
+            F.col(id_col), F.explode(ngram_col(F.col(text_col), n)).alias("__g")
+        )
+        .distinct()
+    )
+    hits = (
+        cgrams.join(F.broadcast(bgrams), "__g")
+        .groupBy("bench_id")
+        .agg(
+            F.countDistinct(id_col).alias("n_contaminated_docs"),
+            F.count(F.lit(1)).alias("n_hits"),
+        )
+    )
+    return (
+        benchmark.select(F.col(bench_id_col).alias("bench_id"))
+        .distinct()
+        .join(hits, "bench_id", "left")
+        .select(
+            "bench_id",
+            F.coalesce("n_contaminated_docs", F.lit(0)).alias(
+                "n_contaminated_docs"
+            ),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        )
+    )
+
+
 def sequences_table(
     df: DataFrame,
     text_col: str = "text",

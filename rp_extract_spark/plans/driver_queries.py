@@ -3491,3 +3491,53 @@ ORDER BY t.doc_id, t.tpos
 
 QUERIES["bpe_ids"] = q_bpe_ids
 ORACLES["bpe_ids"] = _bpe_ids_oracle_sql()
+
+
+def q_contamination_report(spark, sf):
+    """Per-benchmark-item contamination audit, fully ORACLED: every
+    50th doc plays the benchmark (the decontaminate_ngram fixture);
+    for each, the count of corpus docs sharing any word 5-gram and the
+    distinct (doc, shared-gram) hit count, zeros included."""
+    from ..operators.curation import contamination_report
+
+    d = _t(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    corpus = d.filter(F.col("doc_id") % 50 != 0)
+    return contamination_report(corpus, bench, n=_DC_N).orderBy("bench_id")
+
+
+ORACLE_CONTAMINATION_REPORT = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(trim(text)),
+                                                 '\s+', ' ', 'g'), ' '),
+                     x -> x <> '') AS t
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= {_DC_N}
+              THEN list_transform(generate_series(1, len(t) - {_DC_N} + 1),
+                     i -> array_to_string(t[i : i + {_DC_N} - 1], ' '))
+              ELSE [] END AS grams
+  FROM toks),
+bg AS (SELECT DISTINCT doc_id AS bench_id, x AS gram
+       FROM g, unnest(g.grams) AS u(x) WHERE doc_id % 50 = 0),
+cg AS (SELECT DISTINCT doc_id, x AS gram
+       FROM g, unnest(g.grams) AS u(x) WHERE doc_id % 50 <> 0),
+hits AS (
+  SELECT bg.bench_id,
+         count(DISTINCT cg.doc_id) AS n_contaminated_docs,
+         count(*) AS n_hits
+  FROM cg JOIN bg ON cg.gram = bg.gram
+  GROUP BY bg.bench_id)
+SELECT b.bench_id,
+       coalesce(h.n_contaminated_docs, 0) AS n_contaminated_docs,
+       coalesce(h.n_hits, 0) AS n_hits
+FROM (SELECT DISTINCT doc_id AS bench_id FROM documents
+      WHERE doc_id % 50 = 0) b
+LEFT JOIN hits h ON h.bench_id = b.bench_id
+ORDER BY b.bench_id
+"""
+
+QUERIES["contamination_report"] = q_contamination_report
+ORACLES["contamination_report"] = ORACLE_CONTAMINATION_REPORT

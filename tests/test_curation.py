@@ -422,3 +422,21 @@ def test_bpe_vocab_and_ids(spark):
     assert out[1].n_token_ids == len(out[1].token_ids)
     assert out[2].token_ids == [] and out[2].n_token_ids == 0
     assert out[3].token_ids == [-1, -1, -1]  # OOV chars -> -1, not dropped
+
+
+def test_contamination_report_counts(spark):
+    from rp_extract_spark.operators.curation import contamination_report
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta"), (200, "never seen words here")],
+        "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "x alpha beta gamma y"),        # shares 'alpha beta gamma'
+         (2, "alpha beta gamma delta tail"), # shares 2 grams with 100
+         (3, "nothing in common at all")],
+        "doc_id long, text string")
+    out = {r.bench_id: r for r in
+           contamination_report(corpus, bench, n=3).collect()}
+    assert out[100].n_contaminated_docs == 2
+    assert out[100].n_hits == 3   # doc1x1 gram + doc2x2 grams
+    assert out[200].n_contaminated_docs == 0 and out[200].n_hits == 0

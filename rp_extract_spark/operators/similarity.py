@@ -280,3 +280,126 @@ def ivf_topk(
     re-assigns the corpus each call."""
     lists = ivf_build(corpus, centroids, vec_col, id_col)
     return ivf_probe(lists, centroids, query_vec, vec_col, id_col, k, nprobe)
+
+
+def covariance_matrix(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """One-pass distributed covariance of a vector column — the scale
+    shape for PCA over 10^12 embeddings: each Arrow batch computes a
+    LOCAL Gramian + sum + count with numpy (dim x dim floats, batch
+    size independent), the driver adds the P partial matrices and
+    finishes cov = E[xxᵀ] - μμᵀ (population, ddof=0). NEVER the
+    posexplode-pairs form: exploding dim² rows per vector is a x4096
+    blowup at dim 64. Returns (mu, cov, n) as numpy arrays."""
+    import numpy as np
+    import pandas as pd
+
+    def partials(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            x = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in b[vec_col].values]
+            )
+            yield pd.DataFrame(
+                {
+                    "n": [x.shape[0]],
+                    "s": [x.sum(axis=0).tolist()],
+                    "g": [(x.T @ x).ravel().tolist()],
+                }
+            )
+
+    rows = (
+        df.select(vec_col)
+        .mapInPandas(partials, "n long, s array<double>, g array<double>")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("covariance of an empty DataFrame")
+    import numpy as np
+
+    n = sum(r.n for r in rows)
+    dim = len(rows[0].s)
+    s = np.zeros(dim)
+    g = np.zeros((dim, dim))
+    for r in rows:
+        s += np.asarray(r.s)
+        g += np.asarray(r.g).reshape(dim, dim)
+    mu = s / n
+    cov = g / n - np.outer(mu, mu)
+    return mu, cov, n
+
+
+def pca_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+) -> DataFrame:
+    """PCA via the one-pass covariance + a driver-side eigensolve on
+    the dim x dim matrix (dim is small; the DATA is what's big). Sign
+    convention: each component's largest-|loading| entry is positive,
+    so the model is deterministic across runs/BLAS builds. Returns the
+    K-row model (component, eigenvalue, explained_var_ratio, loadings)
+    — broadcastable, like every model table here."""
+    import numpy as np
+
+    mu, cov, _n = covariance_matrix(df, vec_col, id_col)
+    vals, vecs = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(vals)[::-1][:k]
+    total = float(vals.sum())
+    rows = []
+    for rank, j in enumerate(order):
+        v = vecs[:, j]
+        pivot = int(np.argmax(np.abs(v)))
+        if v[pivot] < 0:
+            v = -v
+        rows.append(
+            (
+                rank,
+                float(vals[j]),
+                float(vals[j] / total) if total else 0.0,
+                mu.tolist(),
+                v.tolist(),
+            )
+        )
+    return df.sparkSession.createDataFrame(
+        rows,
+        "component int, eigenvalue double, explained_var_ratio double, "
+        "mu array<double>, loadings array<double>",
+    )
+
+
+def pca_transform(
+    df: DataFrame,
+    model: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project vectors onto the fitted components: broadcast the K-row
+    model, one JVM dot product per component — (v - mu) · loadings.
+    Adds ``out_col`` (array<double>, component order)."""
+    centered = F.zip_with(
+        F.col(vec_col).cast("array<double>"), F.col("mu"), lambda x, m: x - m
+    )
+    proj = F.aggregate(
+        F.zip_with(centered, F.col("loadings"), lambda x, w: x * w),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        df.crossJoin(F.broadcast(model))
+        .withColumn("__p", proj)
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("component", "__p"))),
+                lambda s: s["__p"],
+            ).alias(out_col)
+        )
+    )
+    return df.join(scored, id_col)

@@ -3541,3 +3541,68 @@ ORDER BY b.bench_id
 
 QUERIES["contamination_report"] = q_contamination_report
 ORACLES["contamination_report"] = ORACLE_CONTAMINATION_REPORT
+
+
+def q_embedding_covariance(spark, sf):
+    """One-pass distributed covariance (the PCA input), fully ORACLED
+    cell-by-cell: partial Gramians per Arrow batch, driver combine,
+    population covariance; DuckDB recomputes E[xy] - mu_x*mu_y from a
+    self-join on the unnested table. Both sides round to 8 dp (values
+    are irrational averages — exact decimal ties cannot occur, so
+    round-half mode differences are moot here, unlike pixel sums)."""
+    from ..operators.similarity import covariance_matrix
+
+    e = _t(spark, sf, "embeddings")
+    _mu, cov, _n = covariance_matrix(e)
+    dim = cov.shape[0]
+    rows = [
+        (i, j, round(float(cov[i, j]), 8))
+        for i in range(dim)
+        for j in range(dim)
+    ]
+    return spark.createDataFrame(rows, "i int, j int, cov_v double").orderBy(
+        "i", "j"
+    )
+
+
+ORACLE_EMBEDDING_COVARIANCE = """
+WITH e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings),
+m AS (SELECT i, avg(v) AS mu FROM e GROUP BY i),
+x AS (
+  SELECT a.i AS i, b.i AS j, avg(a.v * b.v) AS exy
+  FROM e a JOIN e b ON a.vec_id = b.vec_id
+  GROUP BY a.i, b.i)
+SELECT CAST(x.i AS INT) AS i, CAST(x.j AS INT) AS j,
+       round(x.exy - mi.mu * mj.mu, 8) AS cov_v
+FROM x JOIN m mi ON mi.i = x.i JOIN m mj ON mj.i = x.j
+ORDER BY i, j
+"""
+
+QUERIES["embedding_covariance"] = q_embedding_covariance
+ORACLES["embedding_covariance"] = ORACLE_EMBEDDING_COVARIANCE
+
+
+def q_pca_project(spark, sf):
+    """PCA end to end (rows-only: the eigensolve is iterative and not
+    SQL-expressible; covariance — the distributed part — is fully
+    oracled by embedding_covariance, and the projection/orthonormality
+    invariants are pytest-verified against numpy): fit 4 components on
+    the embeddings, project every vector, return rounded scores."""
+    from ..operators.similarity import pca_fit, pca_transform
+
+    e = _t(spark, sf, "embeddings")
+    model = pca_fit(e, k=4)
+    out = pca_transform(e, model)
+    return out.select(
+        "vec_id",
+        *[
+            F.round(F.element_at("pca", c + 1), 6).alias(f"pc{c}")
+            for c in range(4)
+        ],
+    ).orderBy("vec_id")
+
+
+QUERIES["pca_project"] = q_pca_project

@@ -432,3 +432,44 @@ def test_redact_pii_preserves_dates_and_versions(spark):
     assert m["a"].n_phone == 0
     assert m["b"].n_phone == 2
     assert m["b"].text_redacted == "call <PHONE> or <PHONE> today"
+
+
+def test_covariance_matches_numpy(spark, emb):
+    import numpy as np
+
+    from rp_extract_spark.operators.similarity import covariance_matrix
+
+    mu, cov, n = covariance_matrix(emb)
+    X = np.stack([np.asarray(r.embedding, float) for r in emb.collect()])
+    assert n == len(X)
+    assert np.allclose(mu, X.mean(axis=0))
+    assert np.allclose(cov, np.cov(X.T, ddof=0), atol=1e-10)
+
+
+def test_pca_fit_transform_invariants(spark, emb):
+    import numpy as np
+
+    from rp_extract_spark.operators.similarity import pca_fit, pca_transform
+
+    model = pca_fit(emb, k=4)
+    rows = model.orderBy("component").collect()
+    L = np.stack([np.asarray(r.loadings) for r in rows])
+    # orthonormal components, descending eigenvalues, sane ratios
+    assert np.allclose(L @ L.T, np.eye(4), atol=1e-8)
+    evs = [r.eigenvalue for r in rows]
+    assert evs == sorted(evs, reverse=True) and evs[-1] > 0
+    assert all(0 <= r.explained_var_ratio <= 1 for r in rows)
+    # deterministic sign: pivot loading positive
+    for r in rows:
+        v = np.asarray(r.loadings)
+        assert v[int(np.argmax(np.abs(v)))] > 0
+    # projection equals independent numpy PCA for a sample row
+    out = {r.vec_id: r.pca for r in pca_transform(emb, model).collect()}
+    X = np.stack([np.asarray(r.embedding, float) for r in emb.collect()])
+    ids = [r.vec_id for r in emb.select("vec_id").collect()]
+    x0 = X[ids.index(3)]
+    exp = [(x0 - X.mean(0)) @ np.asarray(r.loadings) for r in rows]
+    assert np.allclose(out[3], exp, atol=1e-8)
+    # variance of projected scores equals the eigenvalue (population)
+    P = np.stack([out[i] for i in ids])
+    assert np.allclose(P.var(axis=0, ddof=0), evs, rtol=1e-6)

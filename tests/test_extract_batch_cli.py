@@ -75,3 +75,24 @@ def test_batch_cli_h5_sidecar(spark, tmp_path):
     assert rows[0].vec_type == "SSD"
     rp = read_h5_features(spark, f"{out}/features.rp.h5").first()
     assert len(rp.vec) == 1440
+
+
+def test_batch_cli_audio_flac(spark, tmp_path):
+    """The --audio scan picks up *.flac and decodes it through the
+    native FLAC codec to the same descriptor surface as WAV."""
+    from rp_extract_spark.codecs.flac import encode_flac
+    from tools.extract_batch import main
+
+    rng = np.random.default_rng(3)
+    src = tmp_path / "flacs"
+    src.mkdir()
+    t = np.arange(int(13.0 * 11025)) / 11025
+    x = 0.5 * np.sin(2 * np.pi * 220 * t) + rng.normal(0, 0.01, t.size)
+    (src / "clip.flac").write_bytes(encode_flac(x, 11025, bits=16))
+    out = str(tmp_path / "fout")
+    m = main([str(src), out, "--audio", "--cores", "4"])
+    assert m["total_rows"] == 1 and m["total_errors"] == 0
+    r = spark.read.parquet(out + "/data").first()
+    assert r.err is None and len(r.rp) == 1440
+    # 11025 is a reference-supported rate: auto_resample leaves it
+    assert r.samplerate == 11025

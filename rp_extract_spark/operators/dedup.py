@@ -120,14 +120,24 @@ def winnow_fingerprints(
     Entirely JVM-side (md5-prefix gram hash → the driver-oracle
     discipline; HOF sliding minima); returns distinct (id, fp) rows.
     Documents with fewer than ``k`` tokens emit nothing; with fewer
-    than ``w`` grams the single minimum of all grams is kept."""
+    than ``w`` grams the single minimum of all grams is kept.
+
+    The per-gram md5 stage is CPU-bound — spread across cores first
+    (one small parquet file = one split = one task otherwise; the
+    _spread_cpu_stage lesson), and the gram-hash array is materialized
+    in its own projection so the window-minima expressions reference
+    it instead of re-deriving the md5 array per use."""
     from .curation import ngram_col
 
     grams = ngram_col(F.col(text_col), k)
-    h = F.transform(
+    h_expr = F.transform(
         grams,
         lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
     )
+    hashed = _spread_cpu_stage(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), h_expr.alias("__h")
+    )
+    h = F.col("__h")
     n = F.size(h)
     mins = (
         F.when(n >= w,
@@ -137,7 +147,9 @@ def winnow_fingerprints(
         .otherwise(F.array().cast("array<bigint>"))
     )
     return (
-        df.select(F.col(id_col), F.explode(F.array_distinct(mins)).alias("fp"))
+        hashed.select(
+            F.col(id_col), F.explode(F.array_distinct(mins)).alias("fp")
+        )
         .distinct()
     )
 
@@ -157,15 +169,21 @@ def winnow_overlap(
     phrases — the skewed join keys) are dropped BEFORE the self-join,
     the hot-bucket-cap discipline; the join then carries only
     (fp, id) pairs with bounded per-key fan-out ≤ max_df²."""
-    # persist: the fingerprint stage (per-gram md5 HOFs over every
-    # document) is the dominant cost and feeds two consumers (the
-    # document-frequency agg and the join back) — without the cache it
-    # can execute twice when exchange reuse doesn't cover both
-    fps = winnow_fingerprints(df, text_col, id_col, k, w).persist()
-    rare = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__df")).filter(
-        F.col("__df") <= max_df
+    # The fingerprint stage (per-gram md5 HOFs over every document) is
+    # the dominant cost — it must run exactly once. A count window over
+    # fp applies the df cap with a SINGLE consumer of the fingerprints
+    # (an agg+join-back would be two, racing the cache); the capped
+    # table then persists because the self-join reads it twice.
+    from pyspark.sql.window import Window
+
+    wfp = Window.partitionBy("fp")
+    kept = (
+        winnow_fingerprints(df, text_col, id_col, k, w)
+        .withColumn("__df", F.count(F.lit(1)).over(wfp))
+        .filter(F.col("__df") <= max_df)
+        .drop("__df")
+        .persist()
     )
-    kept = fps.join(rare.select("fp"), "fp")
     a = kept.select(F.col("fp"), F.col(id_col).alias("id_a"))
     b = kept.select(F.col("fp"), F.col(id_col).alias("id_b"))
     return (

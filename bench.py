@@ -78,6 +78,11 @@ RELATIONAL = [
     "flac_decode",
     "cv_accuracy",
     "paragraph_dedup",
+    "winnow_overlap",
+    "contamination_report",
+    "bpe_ids",
+    "embedding_covariance",
+    "pca_project",
 ]
 
 

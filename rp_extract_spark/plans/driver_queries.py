@@ -3606,3 +3606,88 @@ def q_pca_project(spark, sf):
 
 
 QUERIES["pca_project"] = q_pca_project
+
+
+# ---------------------------------------------------------------------------
+# Registry ordering.
+#
+# The driver's correctness gate windows the FIRST 50 registered queries
+# (CORRECTNESS_r04 covered only the 50 oldest entries, so none of the
+# round-3/4 operators ever reached the hard signal).  Reorder the registry
+# so the window covers the newest / highest-risk operators plus a
+# representative core (asof / windows / aggs / kernel); the long-stable
+# remainder keeps its relative order after the priority block.  Every name
+# in _PRIORITY must exist — tests assert both directions.
+# ---------------------------------------------------------------------------
+
+_PRIORITY: list[str] = [
+    # round-4 additions + highest-risk round-3 operators
+    "paragraph_dedup",
+    "winnow_overlap",
+    "bpe_ids",
+    "embedding_covariance",
+    "flac_decode",
+    "contamination_report",
+    "ivf_topk",
+    "cv_accuracy",
+    "logreg_classify",
+    "minhash_dedup_verified",
+    "pca_project",
+    "minhash_dedup",
+    "minhash_recall",
+    "ivf_recall",
+    "simhash",
+    "embedding_dedup",
+    "bpe_merges",
+    "bpe_encode",
+    "repetition_stats",
+    "redact_pii",
+    "unigram_lm",
+    "hash_embed",
+    "decontaminate_ngram",
+    "decontaminate",
+    "bm25_rank",
+    "pack_sequences",
+    "sequences_table",
+    "stratified_split",
+    "chunk_documents",
+    "cms_counts",
+    "mix_corpus",
+    "corpus_sample",
+    "hdf5_roundtrip",
+    "mp3_decode",
+    "resize_images",
+    "image_formats",
+    "video_frames",
+    "entity_features",
+    "entity_features_rel",
+    # representative core
+    "asof",
+    "asof_merge",
+    "asof_forward",
+    "asof_tolerance",
+    "sessionize",
+    "lag_lead",
+    "ffill",
+    "pricing_summary",
+    "stats7",
+    "band_agg",
+    "dedup_exact",
+]
+
+
+def _reorder_registry() -> None:
+    missing = [n for n in _PRIORITY if n not in QUERIES]
+    if missing:  # pragma: no cover - guarded by tests
+        raise KeyError(f"_PRIORITY names not registered: {missing}")
+    ordered = {n: QUERIES[n] for n in _PRIORITY}
+    ordered.update({n: f for n, f in QUERIES.items() if n not in ordered})
+    QUERIES.clear()
+    QUERIES.update(ordered)
+    ordered_sql = {n: ORACLES[n] for n in _PRIORITY if n in ORACLES}
+    ordered_sql.update({n: s for n, s in ORACLES.items() if n not in ordered_sql})
+    ORACLES.clear()
+    ORACLES.update(ordered_sql)
+
+
+_reorder_registry()

@@ -1,0 +1,41 @@
+"""Registry-ordering contract: the driver's correctness gate windows the
+first 50 registered queries, so the highest-risk (newest) operators must
+sit inside that window, every priority name must resolve, and every
+oracled name must also be a registered query."""
+
+from rp_extract_spark.plans.driver_queries import ORACLES, QUERIES, _PRIORITY
+
+HIGH_RISK = [
+    "ivf_topk",
+    "cv_accuracy",
+    "winnow_overlap",
+    "paragraph_dedup",
+    "bpe_ids",
+    "embedding_covariance",
+    "flac_decode",
+    "logreg_classify",
+    "minhash_dedup_verified",
+    "contamination_report",
+    "pca_project",
+]
+
+CORE = ["asof", "sessionize", "lag_lead", "pricing_summary", "stats7", "band_agg"]
+
+
+def test_priority_names_resolve():
+    assert all(n in QUERIES for n in _PRIORITY)
+    assert len(_PRIORITY) == len(set(_PRIORITY))
+
+
+def test_priority_block_leads_registry():
+    assert list(QUERIES)[: len(_PRIORITY)] == _PRIORITY
+
+
+def test_high_risk_inside_50_window():
+    first50 = list(QUERIES)[:50]
+    for name in HIGH_RISK + CORE:
+        assert name in first50, f"{name} outside the driver's 50-query window"
+
+
+def test_oracles_subset_of_queries():
+    assert set(ORACLES) <= set(QUERIES)

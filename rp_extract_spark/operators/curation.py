@@ -323,25 +323,233 @@ def _wrap_chars(word: Column) -> Column:
     )
 
 
+def _simulate_merge_batch(
+    window: list[tuple[str, int]],
+    triples: dict[tuple[str, str, str], int],
+    floor: int,
+    min_count: int,
+    limit: int,
+    prior_merged: frozenset[str] = frozenset(),
+) -> list[tuple[str, int]]:
+    """Driver-side EXACT simulation of the classical one-at-a-time BPE
+    cascade over windowed statistics: the top-K pair counts plus every
+    triple (3-gram) count whose two component pairs both sit in the
+    window.  Merging (x, y) -> s changes pair counts in exactly three
+    localised ways, all computable from those triples:
+
+    - pair (w, x) loses T(w, x, y) occurrences,
+    - pair (y, z) loses T(x, y, z) occurrences,
+    - pairs (w, s) / (s, z) are created with those same triple counts.
+
+    The simulation keeps merging the provably-true maximum (count desc,
+    pair asc — the classical tiebreak) and stops the moment exactness
+    can no longer be certified, via conservative bookkeeping:
+
+    - ``floor`` bounds every pair outside the window (K+1-th count),
+      and creations routed through out-of-window sources stay <= floor
+      because an old-symbol pair can never be boosted.
+    - a triple becomes STALE once a previous merge may have rewritten
+      its sites (triples ending in x or starting with y) — stale
+      creations/decrements turn their target pairs into bound-only
+      entries instead of exact counts.
+    - chain-ambiguous updates ("x y x y": the creation target depends
+      on quad context) are routed into a global mystery bound, and the
+      reversed pair (y, x) — whose adjacent triples overlap — is
+      dirtied outright.
+
+    Every merge the simulation emits therefore carries the same
+    (pair, count) the sequential trainer would have collected, in the
+    same order — property-tested against ``batch_top_k=1``."""
+    C: dict[tuple[str, str], int] = {}
+    for pair, c in window:
+        lhs_w, rhs_w = pair.split("  ")
+        C[(lhs_w, rhs_w)] = c
+    exact = set(C)
+    bounds: dict[tuple[str, str], int] = {}
+    mystery = 0
+    right_index: dict[tuple[str, str], list] = {}
+    left_index: dict[tuple[str, str], list] = {}
+    start_index: dict[str, list] = {}
+    end_index: dict[str, list] = {}
+    sym_index: dict[str, list] = {}
+    stale: set[tuple[str, str, str]] = set()
+    consumed: set[tuple[str, str, str]] = set()
+    for t in triples:
+        w, x, y = t
+        right_index.setdefault((x, y), []).append(t)
+        left_index.setdefault((w, x), []).append(t)
+        start_index.setdefault(w, []).append(t)
+        end_index.setdefault(y, []).append(t)
+        for sym in t:
+            sym_index.setdefault(sym, []).append(t)
+
+    def created(target: tuple[str, str], n: int, s_new: bool) -> None:
+        nonlocal mystery
+        if n <= 0:
+            return
+        if target in bounds:
+            bounds[target] += n
+        elif target in C and target in exact:
+            C[target] += n
+        elif target in C:  # tracked but already dirty via C? (defensive)
+            bounds[target] = C.pop(target) + n
+            exact.discard(target)
+        elif s_new or floor == 0:
+            # the created string never existed before this pass (the
+            # trainer knows every symbol ever merged), so the target
+            # pair provably had count 0 — creation is EXACT
+            C[target] = n
+            exact.add(target)
+        else:  # string collision: unknown old count <= floor
+            bounds[target] = n + floor
+
+    def dirty(target: tuple[str, str], extra: int = 0) -> None:
+        if target in C:
+            bounds[target] = max(bounds.get(target, 0), C.pop(target) + extra)
+            exact.discard(target)
+        elif extra > 0:
+            bounds[target] = bounds.get(target, 0) + extra
+
+    created_syms: set[str] = set()
+    out: list[tuple[str, int]] = []
+    while len(out) < limit:
+        best = None
+        for p in exact:
+            c = C[p]
+            if best is None or (-c, p) < (-best[1], best[0]):
+                best = (p, c)
+        if best is None:
+            break
+        (x, y), c_star = best
+        threshold = max(floor + mystery, max(bounds.values(), default=0))
+        # the first pick of a pass is always the true global max: the
+        # window sort (count desc, pair asc) already resolved any tie
+        # with uncollected pairs at the floor in its favour
+        if c_star < min_count or (out and c_star <= threshold):
+            break
+        out.append((f"{x}  {y}", c_star))
+        s = _S + x.strip(_S) + y.strip(_S) + _S
+        del C[(x, y)]
+        exact.discard((x, y))
+        if x == y:  # self-pair: overlap arithmetic needs quad context
+            break
+        s_new = s not in prior_merged and s not in created_syms
+        if s in sym_index and s not in created_syms:
+            # the created string collides with a symbol the collected
+            # triples reference: new occurrences make those triple
+            # counts undercount from now on — stale them all
+            for t in sym_index[s]:
+                stale.add(t)
+        # "x y x y" chains make the reversed pair's decrement ambiguous
+        # (its adjacent triples overlap merge sites both ways); the
+        # chain triples prove whether any such site exists — absent
+        # chain triples with (y,x) untracked-or-covered means plain
+        # exact decrements apply
+        rev_ambiguous = (x, y, x) in triples or (y, x, y) in triples
+        if rev_ambiguous:
+            dirty((y, x))
+        if x in created_syms or y in created_syms or not s_new:
+            # a symbol created THIS pass has no pre-pass triple stats
+            # (and a collision with a pre-existing symbol string taints
+            # the bookkeeping the same way): neighbour updates are not
+            # computable — dirty every tracked adjacent pair and bound
+            # the creations by the smaller of source and merge count.
+            # Untracked neighbours are covered by floor/mystery, except
+            # on a collision where old-count and creation can stack.
+            created_syms.add(s)
+            for key in list(C.keys()) + list(bounds.keys()):
+                if key == (x, y):
+                    continue
+                a, b = key
+                if b == x:  # predecessor pair (w, x) -> creates (w, s)
+                    val = C[key] if key in C else bounds[key]
+                    dirty(key)
+                    dirty((a, s), min(val, c_star))
+                elif a == y:  # successor pair (y, z) -> creates (s, z)
+                    val = C[key] if key in C else bounds[key]
+                    dirty(key)
+                    dirty((s, b), min(val, c_star))
+            if not s_new and floor > 0:
+                mystery += floor
+            for t in end_index.get(x, ()):
+                stale.add(t)
+            for t in start_index.get(y, ()):
+                stale.add(t)
+            continue
+        created_syms.add(s)
+        for t in right_index.get((x, y), ()):  # t = (w, x, y)
+            if t in consumed:
+                continue
+            consumed.add(t)
+            w = t[0]
+            n = triples[t]
+            skip = rev_ambiguous and (w, x) == (y, x)
+            if t in stale:
+                if not skip:
+                    dirty((w, x))
+                mystery += n  # creation target aliasable -> global bound
+                continue
+            if not skip and (w, x) in C and (w, x) in exact:
+                C[(w, x)] -= n
+            elif not skip:
+                dirty((w, x))
+            if w == y:  # chain "x y x y": target (w,s) vs (s,s) ambiguous
+                mystery += n
+            else:
+                created((w, s), n, s_new)
+        for t in left_index.get((x, y), ()):  # t = (x, y, z)
+            if t in consumed:
+                continue
+            consumed.add(t)
+            z = t[2]
+            n = triples[t]
+            skip = rev_ambiguous and (y, z) == (y, x)
+            if t in stale:
+                if not skip:
+                    dirty((y, z))
+                mystery += n
+                continue
+            if not skip and (y, z) in C and (y, z) in exact:
+                C[(y, z)] -= n
+            elif not skip:
+                dirty((y, z))
+            if z == x:
+                mystery += n
+            else:
+                created((s, z), n, s_new)
+        for t in end_index.get(x, ()):  # (.,.,x): may precede a merge site
+            stale.add(t)
+        for t in start_index.get(y, ()):  # (y,.,.): may follow a merge site
+            stale.add(t)
+    return out
+
+
 def train_bpe(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 10,
     min_count: int = 2,
-    checkpoint_every: int = 8,
+    checkpoint_every: int = 64,
+    batch_top_k: int = 1024,
+    _stats: dict | None = None,
 ) -> DataFrame:
     """Learn a byte-pair-encoding merge list from the corpus (the real
     trainer behind the BPE-ish token counter in operators/text.py).
 
     Scale path — the standard word-frequency reduction: ONE
     corpus-scale pass builds the (word, count) table (vocabulary-sized,
-    bounded, orders of magnitude smaller than the corpus); every merge
-    iteration then runs on that table only — adjacent-pair counts
-    weighted by word count (one small shuffle), argmax with a
-    deterministic (count desc, pair asc) tiebreak (a 1-row collect,
-    like kmeans_fit collecting K centroids), and a stateless literal
-    replace. Lineage is truncated by localCheckpoint every
-    ``checkpoint_every`` merges, the propagate_min_ids recipe.
+    bounded, orders of magnitude smaller than the corpus); every
+    training PASS then runs on that table only — adjacent-pair counts
+    weighted by word count (one small shuffle), a ``batch_top_k+1``-row
+    collect (like kmeans_fit collecting K centroids), and batched
+    literal replaces.  Per pass, the longest provably-order-safe prefix
+    of the sorted pair window is applied together
+    (``_simulate_merge_batch`` — the batched-BPE trick, exactness proof
+    in its docstring), so a production 30k-merge vocabulary costs
+    ~30k/K driver round-trips instead of 30k.  ``batch_top_k=1``
+    recovers the classical one-merge-per-job loop.  Lineage is
+    truncated by localCheckpoint every ``checkpoint_every`` merges, the
+    propagate_min_ids recipe.
 
     Words are represented as double-space-joined SENTINEL-WRAPPED
     symbol strings ('\\x1fa\\x1f  \\x1fb\\x1f'), so applying a merge is
@@ -353,7 +561,8 @@ def train_bpe(
 
     Returns (rank, lhs, rhs, merged, pair_count), ranks in merge
     order. Stops early when the best pair count falls below
-    ``min_count``."""
+    ``min_count``.  ``_stats`` (optional dict) is filled with
+    ``{"passes": ..., "merges": ...}`` for job-count assertions."""
     from .text import nonempty_tokens_col
 
     spark = df.sparkSession
@@ -364,26 +573,77 @@ def train_bpe(
         .select(_wrap_chars(F.col("w")).alias("sym"), "cnt")
     )
     merges: list = []
-    for rank in range(n_merges):
-        best = (
-            words.select(F.explode(_bpe_pairs()).alias("pair"), "cnt")
-            .groupBy("pair")
-            .agg(F.sum("cnt").alias("c"))
-            .orderBy(F.col("c").desc(), F.col("pair").asc())
-            .limit(1)
-            .collect()
+    passes = 0
+    since_ckpt = 0
+    k = max(1, int(batch_top_k))
+    while len(merges) < n_merges:
+        window = [
+            (r["pair"], int(r["c"]))
+            for r in (
+                words.select(F.explode(_bpe_pairs()).alias("pair"), "cnt")
+                .groupBy("pair")
+                .agg(F.sum("cnt").alias("c"))
+                .orderBy(F.col("c").desc(), F.col("pair").asc())
+                .limit(k + 1)
+                .collect()
+            )
+        ]
+        passes += 1
+        floor = window[k][1] if len(window) > k else 0
+        triples: dict[tuple[str, str, str], int] = {}
+        if k > 1 and len(window) > 1:
+            # all 3-gram counts whose two component pairs both sit in
+            # the window — exactly the statistics the cascade
+            # simulation needs (anything else is bounded by `floor`)
+            wpairs = [p for p, _ in window]
+            syms = F.split("sym", "  ")
+            tri = (
+                words.select(
+                    F.explode(
+                        F.when(
+                            F.size(syms) >= 3,
+                            F.arrays_zip(
+                                F.slice(syms, 1, F.size(syms) - 2).alias("a"),
+                                F.slice(syms, 2, F.size(syms) - 2).alias("b"),
+                                F.expr(
+                                    "slice(split(sym,'  '), 3,"
+                                    " size(split(sym,'  ')) - 2)"
+                                ).alias("c"),
+                            ),
+                        ).otherwise(F.array())
+                    ).alias("t"),
+                    "cnt",
+                )
+                .select("t.a", "t.b", "t.c", "cnt")
+                .filter(
+                    F.concat_ws("  ", "a", "b").isin(wpairs)
+                    & F.concat_ws("  ", "b", "c").isin(wpairs)
+                )
+                .groupBy("a", "b", "c")
+                .agg(F.sum("cnt").alias("n"))
+                .collect()
+            )
+            triples = {(r["a"], r["b"], r["c"]): int(r["n"]) for r in tri}
+        batch = _simulate_merge_batch(
+            window[:k], triples, floor, min_count, n_merges - len(merges),
+            prior_merged=frozenset(_S + m[3] + _S for m in merges),
         )
-        if not best or best[0]["c"] < min_count:
+        if not batch:
             break
-        pair, c = best[0]["pair"], int(best[0]["c"])
-        lhs_w, rhs_w = pair.split("  ")
-        lhs, rhs = lhs_w.strip(_S), rhs_w.strip(_S)
-        merges.append((rank, lhs, rhs, lhs + rhs, c))
-        words = words.withColumn(
-            "sym", F.replace("sym", F.lit(pair), F.lit(_S + lhs + rhs + _S))
-        )
-        if (rank + 1) % checkpoint_every == 0:
+        for pair, c in batch:
+            lhs_w, rhs_w = pair.split("  ")
+            lhs, rhs = lhs_w.strip(_S), rhs_w.strip(_S)
+            merges.append((len(merges), lhs, rhs, lhs + rhs, c))
+            words = words.withColumn(
+                "sym", F.replace("sym", F.lit(pair), F.lit(_S + lhs + rhs + _S))
+            )
+        since_ckpt += len(batch)
+        if since_ckpt >= checkpoint_every and len(merges) < n_merges:
             words = words.localCheckpoint(eager=True)
+            since_ckpt = 0
+    if _stats is not None:
+        _stats["passes"] = passes
+        _stats["merges"] = len(merges)
     return spark.createDataFrame(
         merges,
         "rank int, lhs string, rhs string, merged string, pair_count long",

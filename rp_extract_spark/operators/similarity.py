@@ -285,7 +285,6 @@ def ivf_topk(
 def covariance_matrix(
     df: DataFrame,
     vec_col: str = "embedding",
-    id_col: str = "vec_id",
 ):
     """One-pass distributed covariance of a vector column — the scale
     shape for PCA over 10^12 embeddings: each Arrow batch computes a
@@ -336,7 +335,6 @@ def covariance_matrix(
 def pca_fit(
     df: DataFrame,
     vec_col: str = "embedding",
-    id_col: str = "vec_id",
     k: int = 8,
 ) -> DataFrame:
     """PCA via the one-pass covariance + a driver-side eigensolve on
@@ -347,7 +345,7 @@ def pca_fit(
     — broadcastable, like every model table here."""
     import numpy as np
 
-    mu, cov, _n = covariance_matrix(df, vec_col, id_col)
+    mu, cov, _n = covariance_matrix(df, vec_col)
     vals, vecs = np.linalg.eigh(cov)          # ascending
     order = np.argsort(vals)[::-1][:k]
     total = float(vals.sum())
@@ -365,6 +363,53 @@ def pca_fit(
                 mu.tolist(),
                 v.tolist(),
             )
+        )
+    return df.sparkSession.createDataFrame(
+        rows,
+        "component int, eigenvalue double, explained_var_ratio double, "
+        "mu array<double>, loadings array<double>",
+    )
+
+
+def pca_fit_power(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 4,
+    n_iters: int = 24,
+) -> DataFrame:
+    """PCA fit by FIXED-BUDGET deflated power iteration — same model
+    schema as ``pca_fit`` but every arithmetic step is deterministic
+    and SQL-recomputable, which makes the full fit+project pipeline
+    exactly oracle-able (the unrolled-iteration technique proven on
+    ivf_topk/logreg): seed v0 = ones/sqrt(dim), ``n_iters`` rounds of
+    v <- Cv / ||Cv||, eigenvalue lambda = v·(Cv) on the final vector,
+    deflation C <- C - lambda vv^T, sign pivot = largest-|loading|
+    entry positive. The distributed work (one-pass covariance,
+    projection) is identical to ``pca_fit``; only the dim x dim
+    driver-side eigensolve is replaced. With a flat spectrum the fixed
+    budget is a deterministic feature map rather than the converged
+    eigenbasis — use ``pca_fit`` (eigh) when convergence matters and
+    this when cross-engine exactness does."""
+    import numpy as np
+
+    mu, cov, _n = covariance_matrix(df, vec_col)
+    C = cov.copy()
+    d = C.shape[0]
+    total = float(np.trace(cov))
+    rows = []
+    for c in range(k):
+        v = np.ones(d) / np.sqrt(float(d))
+        for _ in range(n_iters):
+            w = C @ v
+            v = w / np.linalg.norm(w)
+        w2 = C @ v
+        lam = float(v @ w2)
+        C = C - lam * np.outer(v, v)
+        pivot = int(np.argmax(np.abs(v)))
+        if v[pivot] < 0:
+            v = -v
+        rows.append(
+            (c, lam, lam / total if total else 0.0, mu.tolist(), v.tolist())
         )
     return df.sparkSession.createDataFrame(
         rows,

@@ -3585,27 +3585,112 @@ QUERIES["embedding_covariance"] = q_embedding_covariance
 ORACLES["embedding_covariance"] = ORACLE_EMBEDDING_COVARIANCE
 
 
+_PCA_K = 4
+_PCA_ITERS = 24
+
+
 def q_pca_project(spark, sf):
-    """PCA end to end (rows-only: the eigensolve is iterative and not
-    SQL-expressible; covariance — the distributed part — is fully
-    oracled by embedding_covariance, and the projection/orthonormality
-    invariants are pytest-verified against numpy): fit 4 components on
-    the embeddings, project every vector, return rounded scores."""
-    from ..operators.similarity import pca_fit, pca_transform
+    """PCA end to end, fully ORACLED via the unrolled-iteration
+    technique (the ivf_topk/logreg recipe): the fit is a FIXED-BUDGET
+    deflated power iteration (seed ones/sqrt(dim), 24 rounds per
+    component, deterministic sign pivot) whose every step DuckDB
+    replays as CTEs over the covariance it already recomputes for
+    embedding_covariance.  Cross-engine float drift through 24
+    normalised matvecs stays ~1e-13 — far under the 1e-6 floor-round
+    (floor(x*1e6+0.5), half-away on both engines).  The eigh-based
+    ``pca_fit`` stays the production fit; its invariants are
+    pytest-verified against numpy."""
+    from ..operators.similarity import pca_fit_power, pca_transform
 
     e = _t(spark, sf, "embeddings")
-    model = pca_fit(e, k=4)
+    model = pca_fit_power(e, k=_PCA_K, n_iters=_PCA_ITERS)
     out = pca_transform(e, model)
     return out.select(
         "vec_id",
         *[
-            F.round(F.element_at("pca", c + 1), 6).alias(f"pc{c}")
-            for c in range(4)
+            (F.floor(F.element_at("pca", c + 1) * 1e6 + F.lit(0.5)) / 1e6)
+            .alias(f"pc{c}")
+            for c in range(_PCA_K)
         ],
     ).orderBy("vec_id")
 
 
+def _pca_project_oracle_sql(k: int = _PCA_K, n_iters: int = _PCA_ITERS) -> str:
+    """Unroll the fixed-budget deflated power iteration as DuckDB CTEs:
+    cov0 = population covariance (as in embedding_covariance), then per
+    component c: n_iters x (matvec w = C v, normalise v = w/||w||),
+    eigenvalue lambda = v·(Cv), deflation cov{c+1} = cov{c} - lambda
+    vv^T, sign fix at the largest-|loading| index, and the per-vector
+    projection (x - mu)·v.  MATERIALIZED pins each CTE to one
+    evaluation — cov{c} is referenced n_iters+2 times and would
+    otherwise re-expand exponentially through the deflation chain."""
+    parts = [
+        """
+e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings),
+m AS MATERIALIZED (SELECT i, avg(v) AS mu FROM e GROUP BY i),
+cov0 AS MATERIALIZED (
+  SELECT x.i AS i, x.j AS j, x.exy - mi.mu * mj.mu AS v
+  FROM (SELECT a.i AS i, b.i AS j, avg(a.v * b.v) AS exy
+        FROM e a JOIN e b ON a.vec_id = b.vec_id GROUP BY 1, 2) x
+  JOIN m mi ON mi.i = x.i JOIN m mj ON mj.i = x.j),
+seed AS MATERIALIZED (
+  SELECT i, 1.0 / sqrt(CAST((SELECT count(*) FROM m) AS DOUBLE)) AS val
+  FROM m)"""
+    ]
+    for c in range(k):
+        prev = "seed"
+        for t in range(1, n_iters + 1):
+            parts.append(
+                f"""
+w{c}_{t} AS (SELECT cv.i AS i, sum(cv.v * p.val) AS w
+             FROM cov{c} cv JOIN {prev} p ON p.i = cv.j GROUP BY cv.i),
+v{c}_{t} AS MATERIALIZED (
+  SELECT i, w / sqrt((SELECT sum(w * w) FROM w{c}_{t})) AS val
+  FROM w{c}_{t})"""
+            )
+            prev = f"v{c}_{t}"
+        parts.append(
+            f"""
+wf{c} AS MATERIALIZED (
+  SELECT cv.i AS i, sum(cv.v * p.val) AS w
+  FROM cov{c} cv JOIN {prev} p ON p.i = cv.j GROUP BY cv.i),
+lam{c} AS MATERIALIZED (
+  SELECT sum(v.val * w.w) AS l FROM {prev} v JOIN wf{c} w ON w.i = v.i),
+cov{c + 1} AS MATERIALIZED (
+  SELECT cv.i AS i, cv.j AS j,
+         cv.v - (SELECT l FROM lam{c}) * a.val * b.val AS v
+  FROM cov{c} cv JOIN {prev} a ON a.i = cv.i JOIN {prev} b ON b.i = cv.j),
+sgn{c} AS (SELECT CASE WHEN val < 0 THEN -1.0 ELSE 1.0 END AS s
+           FROM {prev} ORDER BY abs(val) DESC, i ASC LIMIT 1),
+comp{c} AS MATERIALIZED (
+  SELECT i, val * (SELECT s FROM sgn{c}) AS val FROM {prev}),
+s{c} AS MATERIALIZED (
+  SELECT e.vec_id, sum((e.v - m.mu) * cp.val) AS p
+  FROM e JOIN m ON m.i = e.i JOIN comp{c} cp ON cp.i = e.i
+  GROUP BY e.vec_id)"""
+        )
+    pcs = ",\n       ".join(
+        f"floor(s{c}.p * 1e6 + 0.5) / 1e6 AS pc{c}" for c in range(k)
+    )
+    joins = "\n".join(
+        f"JOIN s{c} ON s{c}.vec_id = s0.vec_id" for c in range(1, k)
+    )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+SELECT s0.vec_id,
+       {pcs}
+FROM s0
+{joins}
+ORDER BY s0.vec_id"""
+    )
+
+
 QUERIES["pca_project"] = q_pca_project
+ORACLES["pca_project"] = _pca_project_oracle_sql()
 
 
 # ---------------------------------------------------------------------------

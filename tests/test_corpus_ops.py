@@ -473,3 +473,36 @@ def test_pca_fit_transform_invariants(spark, emb):
     # variance of projected scores equals the eigenvalue (population)
     P = np.stack([out[i] for i in ids])
     assert np.allclose(P.var(axis=0, ddof=0), evs, rtol=1e-6)
+
+
+def test_pca_fit_power_matches_driver_side_numpy(spark, emb):
+    import numpy as np
+
+    from rp_extract_spark.operators.similarity import pca_fit_power
+
+    K, T = 3, 24
+    rows = pca_fit_power(emb, k=K, n_iters=T).orderBy("component").collect()
+    X = np.stack([np.asarray(r.embedding, float) for r in emb.collect()])
+    n, d = X.shape
+    mu = X.sum(axis=0) / n
+    C = (X.T @ X) / n - np.outer(mu, mu)
+    total = float(np.trace(C))
+    for c in range(K):
+        v = np.ones(d) / np.sqrt(float(d))
+        for _ in range(T):
+            w = C @ v
+            v = w / np.linalg.norm(w)
+        lam = float(v @ (C @ v))
+        C = C - lam * np.outer(v, v)
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        r = rows[c]
+        assert r.component == c
+        assert abs(r.eigenvalue - lam) < 1e-10
+        assert abs(r.explained_var_ratio - lam / total) < 1e-10
+        assert np.allclose(r.loadings, v, atol=1e-10)
+        assert np.allclose(r.mu, mu, atol=1e-10)
+        # unit norm + deterministic sign pivot
+        lv = np.asarray(r.loadings)
+        assert abs(np.linalg.norm(lv) - 1.0) < 1e-10
+        assert lv[int(np.argmax(np.abs(lv)))] > 0

@@ -283,7 +283,8 @@ def _rolling_from_token_hashes(h: np.ndarray, k: int) -> np.ndarray:
 
 
 def _shingle_hashes_flat(
-    texts: Sequence[str], k: int, mode: str = "word"
+    texts: Sequence[str], k: int, mode: str = "word",
+    token_hash: str = "blake2b", seed: int = 0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Batch shingle hashing with NO per-document numpy calls:
     (flat shingle-hash array, shingles-per-document counts).
@@ -294,8 +295,16 @@ def _shingle_hashes_flat(
     stream), then compute every document's k-gram rolling hashes in one
     global windowed pass (documents shorter than k are zero-padded to
     k, exactly like the scalar path; windows never cross document
-    boundaries). Identical values to ``_shingle_hashes``."""
+    boundaries). Identical values to ``_shingle_hashes``.
+
+    ``token_hash='md5'`` (word mode only): SQL-recomputable md5-prefix
+    token hash (``_hash_token_array_md5`` with ``seed``), the simhash
+    oracle-mode convention — lets an external engine rebuild the full
+    minhash signature (rolling hash and universal-hash family are both
+    closed-form)."""
     if mode != "word":
+        if token_hash != "blake2b":
+            raise ValueError("token_hash='md5' supports word mode only")
         per_doc = [_shingle_hashes(t or "", k, mode) for t in texts]
         counts = np.fromiter((s.size for s in per_doc), dtype=np.int64,
                              count=len(per_doc))
@@ -306,7 +315,10 @@ def _shingle_hashes_flat(
         (len(x) for x in tok_lists), dtype=np.int64, count=len(tok_lists)
     )
     all_toks = [tok for toks in tok_lists for tok in toks]
-    h = _hash_token_array(all_toks)
+    if token_hash == "md5":
+        h = _hash_token_array_md5(all_toks, seed)
+    else:
+        h = _hash_token_array(all_toks)
     # scatter token hashes into zero-padded per-doc segments (>= k each)
     pad_counts = np.maximum(counts, k)
     pb = np.concatenate(([0], np.cumsum(pad_counts)))
@@ -394,7 +406,8 @@ def minhash_signature(text: str, n_hashes: int, k: int, seed: int,
 
 
 def minhash_signatures_batch(
-    texts: Sequence[str], n_hashes: int, k: int, seed: int, mode: str = "word"
+    texts: Sequence[str], n_hashes: int, k: int, seed: int,
+    mode: str = "word", token_hash: str = "blake2b",
 ) -> np.ndarray:
     """(n_docs, n_hashes) MinHash signatures with no per-document
     Python or numpy dispatch: one flat shingle pass, one universal-hash
@@ -404,7 +417,7 @@ def minhash_signatures_batch(
     per-doc ``np.unique`` is unnecessary here). Chunked along the
     document axis so the (n_hashes, n_shingles) uint64 grid stays
     cache-resident regardless of Arrow batch size."""
-    sh, nwin = _shingle_hashes_flat(texts, k, mode)
+    sh, nwin = _shingle_hashes_flat(texts, k, mode, token_hash, seed)
     sh = sh % _MERSENNE
     a, b = _hash_family(n_hashes, seed)
     bounds = np.concatenate(([0], np.cumsum(nwin)))
@@ -439,6 +452,7 @@ def minhash_signatures(
     shingle_k: int = 3,
     seed: int = 7,
     mode: str = "word",
+    token_hash: str = "blake2b",
 ) -> DataFrame:
     """Arrow-batched signature computation: (id, signature array)."""
     schema = T.StructType(
@@ -451,7 +465,7 @@ def minhash_signatures(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             sigs = minhash_signatures_batch(
-                b[text_col].values, n_hashes, shingle_k, seed, mode
+                b[text_col].values, n_hashes, shingle_k, seed, mode, token_hash
             ).astype(np.int64)
             yield pd.DataFrame({id_col: b[id_col], "signature": list(sigs)})
 
@@ -615,6 +629,7 @@ def minhash_lsh_dedup(
     verify_jaccard: float | None = None,
     jaccard_n: int = 3,
     max_bucket_size: int = 512,
+    token_hash: str = "blake2b",
 ) -> DataFrame:
     """Near-duplicate detection: returns (id, rep_id) where rep_id is
     the smallest id in the document's *transitive* duplicate component
@@ -632,8 +647,16 @@ def minhash_lsh_dedup(
     (band, bucket); overflow members fall back to star edges against
     two in-cap anchors (linear; keeps exact-duplicate recall unless
     the first ``max_bucket_size`` ids of a bucket are all
-    non-duplicate colliders)."""
-    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k, seed, mode)
+    non-duplicate colliders).
+
+    ``token_hash='md5'`` switches the word-token hash to the
+    SQL-recomputable md5-prefix form (the simhash oracle-mode
+    convention) so an external engine can rebuild the signatures and
+    the component labels exactly; 'blake2b' (default) is the faster
+    production hash."""
+    sigs = minhash_signatures(
+        df, text_col, id_col, n_hashes, shingle_k, seed, mode, token_hash
+    )
     banded = banded_signatures(sigs, id_col, n_hashes, bands)
     if verify_jaccard is None:
         # unverified: every shared band bucket is an edge (recall-biased)

@@ -1232,12 +1232,96 @@ def q_asof_features(spark, sf):
 
 
 def q_minhash_dedup(spark, sf):
-    """MinHash+LSH near-dup groups on documents (rows-only: hash family
-    is engine-specific; validated by property tests)."""
+    """MinHash+LSH near-dup component labels, fully ORACLED since
+    round 5: token_hash='md5' makes every stage of the signature
+    closed-form for DuckDB — md5-prefix token hashes, the k=3 rolling
+    polynomial mod 2^64 (emulated wrap via HUGEINT split-multiply),
+    the seeded Mersenne universal-hash family inlined as literals,
+    4-row band slices grouped by VALUE (equivalent to the xxhash64
+    bucket modulo a 2^-64 collision the gate would catch), star edges
+    to each bucket min, recursive-CTE min-label components. The
+    blake2b production hash path stays property-tested in pytest."""
     from ..operators.dedup import minhash_lsh_dedup
 
     d = _t(spark, sf, "documents")
-    return minhash_lsh_dedup(d, n_hashes=128, bands=32).orderBy("doc_id")
+    return minhash_lsh_dedup(
+        d, n_hashes=128, bands=32, token_hash="md5"
+    ).orderBy("doc_id")
+
+
+def _minhash_dedup_oracle_sql(n_hashes: int = 128, bands: int = 32,
+                              seed: int = 7) -> str:
+    """Rebuild the full minhash pipeline in DuckDB (see q_minhash_dedup).
+    The universal-hash (a_i, b_i) family comes from the same seeded
+    generator the operator uses (the seeded-constant inlining pattern
+    of the embedding_dedup planes)."""
+    from ..operators.dedup import _hash_family
+
+    B = 1099511628211          # token-rolling-hash base (FNV prime)
+    B2 = (B * B) % (1 << 64)
+    P61 = (1 << 61) - 1
+    M64 = 1 << 64
+    rpb = n_hashes // bands
+    a, b = _hash_family(n_hashes, seed)
+    hf_vals = ",".join(
+        f"({i},{int(a[i])},{int(b[i])})" for i in range(n_hashes)
+    )
+
+    def mm(x: str, c: int) -> str:
+        # (x * c) mod 2^64 without overflowing HUGEINT: split x at 2^32
+        return (
+            f"(((CAST({x} AS HUGEINT) // 4294967296) * {c} % {M64})"
+            f" * 4294967296"
+            f" + (CAST({x} AS HUGEINT) % 4294967296) * {c}) % {M64}"
+        )
+
+    return rf"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(trim(text)),
+                                                 '\s+', ' ', 'g'), ' '),
+                     x -> x <> '') AS t
+  FROM documents),
+th AS (
+  SELECT doc_id,
+         list_transform(CASE WHEN len(t) = 0 THEN ['_'] ELSE t END,
+           x -> CAST('0x' || substr(md5(x || '#{seed}'), 1, 16)
+                AS UBIGINT)) AS h
+  FROM toks),
+gz AS (
+  SELECT doc_id,
+         CASE WHEN len(h) >= 3 THEN h
+              ELSE h || list_transform(generate_series(1, 3 - len(h)),
+                                       x -> CAST(0 AS UBIGINT)) END AS g
+  FROM th),
+sh AS (
+  SELECT doc_id,
+         CAST(({mm('g[w]', B2)} + {mm('g[w+1]', B)}
+               + CAST(g[w+2] AS HUGEINT)) % {M64} AS UBIGINT)
+           % {P61} AS sm
+  FROM gz, unnest(generate_series(1, len(g) - 2)) AS u(w)),
+hf(i, a, b) AS (VALUES {hf_vals}),
+sig AS (
+  SELECT doc_id, hf.i,
+         min((hf.a * CAST(sm AS HUGEINT) + hf.b) % {P61}) AS v
+  FROM sh CROSS JOIN hf GROUP BY doc_id, hf.i),
+bk AS (
+  SELECT doc_id, CAST(i // {rpb} AS INT) AS band,
+         string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS key
+  FROM sig GROUP BY doc_id, i // {rpb}),
+bmin AS (SELECT band, key, min(doc_id) AS m FROM bk GROUP BY band, key),
+edges AS (
+  SELECT DISTINCT k.doc_id AS id_a, b.m AS id_b
+  FROM bk k JOIN bmin b ON b.band = k.band AND b.key = k.key
+  WHERE k.doc_id <> b.m),
+sym AS (SELECT id_a AS s, id_b AS d FROM edges
+        UNION SELECT id_b, id_a FROM edges),
+reach(a, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT sym.s, reach.r FROM sym JOIN reach ON reach.a = sym.d)
+SELECT a AS doc_id, min(r) AS rep_id FROM reach GROUP BY a ORDER BY doc_id
+"""
 
 
 def q_simhash(spark, sf):
@@ -3133,6 +3217,7 @@ FROM sigs JOIN reps USING (simhash_hex) ORDER BY sigs.doc_id
 
 
 ORACLES["simhash"] = _simhash_oracle_sql()
+ORACLES["minhash_dedup"] = _minhash_dedup_oracle_sql()
 
 
 ORACLE_RESIZE_IMAGES = """

@@ -385,3 +385,32 @@ def test_winnow_short_documents(spark):
     got = {r.doc_id for r in winnow_fingerprints(df, k=5, w=4).collect()}
     assert 1 not in got      # < k tokens -> no grams -> nothing
     assert 2 in got and 3 in got  # < w grams -> single min kept
+
+
+def test_minhash_md5_token_hash_mode():
+    """token_hash='md5' (the oracle mode of minhash_lsh_dedup) must use
+    the SQL-recomputable md5-prefix token hash end-to-end: rebuild one
+    signature by hand (md5 token hashes -> k=3 rolling poly mod 2^64 ->
+    mod Mersenne -> seeded universal-hash mins) and compare."""
+    import hashlib
+
+    import numpy as np
+
+    from rp_extract_spark.operators.dedup import (
+        _MERSENNE, _hash_family, minhash_signatures_batch)
+
+    text, seed, k, n_hashes = "the quick brown fox jumps over the dog", 7, 3, 16
+    got = minhash_signatures_batch([text], n_hashes, k, seed,
+                                   token_hash="md5")[0]
+    toks = text.lower().split()
+    h = [int.from_bytes(hashlib.md5(f"{t}#{seed}".encode()).digest()[:8],
+                        "big") for t in toks]
+    base = 1099511628211
+    sh = [(h[i] * base * base + h[i + 1] * base + h[i + 2]) % (1 << 64)
+          for i in range(len(h) - k + 1)]
+    a, b = _hash_family(n_hashes, seed)
+    exp = [min((int(a[i]) * (s % _MERSENNE) + int(b[i])) % _MERSENNE
+               for s in sh) for i in range(n_hashes)]
+    assert list(got) == exp
+    # and the default stays blake2b (different hash, different values)
+    assert list(minhash_signatures_batch([text], n_hashes, k, seed)[0]) != exp

@@ -363,6 +363,13 @@ def decode_flac(data: bytes, normalize: bool = False):
     if ch_si == 1:
         out = out[:, 0]
     if normalize:
+        # left-align odd bit depths (12/20-bit) to the container byte
+        # width first — the reference's flac-d-to-WAV chain writes
+        # left-aligned samples, so dividing the raw values by the
+        # byte-width scale would normalize to a fraction of full scale
+        shift = 8 * samplewidth - bps_si
+        if shift:
+            out = out << shift
         out = out / float(2 ** (8 * samplewidth) / 2)
     return sr_si, samplewidth, out
 
@@ -452,6 +459,10 @@ def encode_flac(samples: np.ndarray, samplerate: int, bits: int = 16,
     if arr.ndim == 1:
         arr = arr[:, None]
     n, ch = arr.shape
+    if not 16 <= blocksize <= 65536:
+        # > 65536 would silently truncate through the 16-bit
+        # blocksize-1 header field; < 16 violates the FLAC minimum
+        raise FlacError("blocksize must be in [16, 65536]")
     if not 1 <= ch <= 8:
         raise FlacError("1-8 channels supported")
     if bits not in (8, 16):

@@ -836,7 +836,9 @@ def apply_bpe_ids(
     feeds the model: ``apply_bpe`` then a broadcast vocab join,
     reassembled per document in token order. Unknown symbols (a vocab
     from a different corpus) map to -1 rather than dropping silently.
-    Adds ``out_col`` (array<int>) and ``n_{out_col}``."""
+    Adds ``out_col`` (array<int>) and ``n_{out_col}``. NULL text
+    propagates as NULL ids/count (matching ``apply_bpe``'s NULL
+    ``bpe_tokens``); an EMPTY-but-present document gets ``[]``/0."""
     if vocab is None:
         vocab = bpe_vocab(df, merges, text_col)
     enc = apply_bpe(df, merges, text_col)
@@ -853,7 +855,9 @@ def apply_bpe_ids(
             ).alias(out_col)
         )
     )
-    keep = F.coalesce(F.col(out_col), F.array().cast("array<int>"))
+    keep = F.when(
+        F.col(text_col).isNull(), F.lit(None).cast("array<int>")
+    ).otherwise(F.coalesce(F.col(out_col), F.array().cast("array<int>")))
     return (
         enc.drop("bpe_tokens", "n_bpe_tokens")
         .join(ids, id_col, "left")

@@ -182,6 +182,10 @@ def winnow_overlap(
         .withColumn("__df", F.count(F.lit(1)).over(wfp))
         .filter(F.col("__df") <= max_df)
         .drop("__df")
+        # deliberate leak-until-evict: the cache feeds BOTH sides of
+        # the returned lazy self-join, so it cannot be unpersisted
+        # here; blocks age out under executor LRU pressure (the same
+        # policy as the persist sites in curation/text/similarity)
         .persist()
     )
     a = kept.select(F.col("fp"), F.col(id_col).alias("id_a"))

@@ -422,6 +422,11 @@ def test_bpe_vocab_and_ids(spark):
     assert out[1].n_token_ids == len(out[1].token_ids)
     assert out[2].token_ids == [] and out[2].n_token_ids == 0
     assert out[3].token_ids == [-1, -1, -1]  # OOV chars -> -1, not dropped
+    # NULL text propagates as NULL ids/count, matching apply_bpe's
+    # NULL bpe_tokens (empty-but-present stays []/0 above)
+    nul = spark.createDataFrame([(9, None)], "doc_id long, text string")
+    r9 = apply_bpe_ids(nul, merges, vocab).collect()[0]
+    assert r9.token_ids is None and r9.n_token_ids is None
 
 
 def test_contamination_report_counts(spark):

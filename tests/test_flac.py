@@ -67,6 +67,13 @@ def test_encoder_rejects_out_of_contract():
         encode_flac(np.zeros(10), 8000, bits=24)
     with pytest.raises(FlacError):
         encode_flac(np.zeros(10), 100_000)
+    # blocksize outside [16, 65536]: > 2^16 would silently truncate
+    # through the 16-bit blocksize-1 header field, < 16 is sub-spec
+    with pytest.raises(FlacError):
+        encode_flac(np.zeros(10), 8000, blocksize=8)
+    with pytest.raises(FlacError):
+        encode_flac(np.zeros(10), 8000, blocksize=65537)
+    assert decode_flac(encode_flac(np.zeros(10), 8000, blocksize=16))
 
 
 # ------------------------------------- hand-crafted decoder streams

@@ -254,3 +254,46 @@ def test_covariance_no_pair_explosion(spark):
             lambda it: it, emb.select("embedding").schema
         ).explain("formatted")
     assert "PosExplode" not in buf.getvalue()
+
+
+def test_salted_asof_splits_hot_entity(spark):
+    """The salt path must actually split a hot entity across salt
+    buckets: the exchange partitions by (entity, __salt) — one reducer
+    no longer owns the hot key — and the deterministic bucket formula
+    spreads the hot entity's rows near-uniformly. Equivalence with the
+    unsalted plan is covered by test_salted_asof_equivalence; this
+    guards the PLAN shape and the spread."""
+    from rp_extract_spark.operators.asof import asof_join
+
+    n, salt = 4000, 8
+    left = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit("hot"))
+        .otherwise(F.concat(F.lit("e"), F.col("id") % 500)).alias("entity_id"),
+        (F.col("id") * 7 % 100_000).alias("ts"),
+    )
+    right = spark.range(500).select(
+        F.concat(F.lit("e"), F.col("id") % 500).alias("entity_id"),
+        (F.col("id") * 13 % 100_000).alias("caption_ts"),
+        F.col("id").alias("v"),
+    )
+    plan_salted = _plan(asof_join(left, right, salt=salt))
+    plan_plain = _plan(asof_join(left, right))
+    assert "__salt" in plan_salted and "hashpartitioning" in plan_salted
+    assert "__salt" not in plan_plain
+    # the window exchange keys on (entity_id, __salt), not entity alone
+    import re
+    part = re.search(r"hashpartitioning\(entity_id[^)]*\)", plan_salted)
+    assert part and "__salt" in part.group(0), part
+    # bucket spread of the hot entity under the production formula
+    spread = (
+        left.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt)),
+        )
+        .filter(F.col("entity_id") == "hot")
+        .groupBy("__salt").count().collect()
+    )
+    hot_total = sum(r["count"] for r in spread)
+    assert hot_total == n // 2
+    assert len(spread) == salt                       # every bucket used
+    assert max(r["count"] for r in spread) <= 2 * hot_total // salt

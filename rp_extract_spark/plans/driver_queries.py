@@ -2342,6 +2342,85 @@ QUERIES["logreg_classify"] = q_logreg_classify
 ORACLES["logreg_classify"] = _logreg_oracle_sql(iters=8, lr=2.0)
 
 
+_GTZAN_BASENAME = "/root/reference/models/GTZAN"
+
+
+def _svm_oracle_sql() -> str:
+    """Re-score the reference's pickled GTZAN OvR-linear-SVC in pure
+    SQL: the folded (scaler @ SVM) weights are exact float64 literals,
+    the synthetic 228-dim features are closed-form in doc_id, and the
+    argmax replicates sklearn's later-estimator-wins tie rule via
+    ``ORDER BY s DESC, c DESC``. Cross-engine score drift through the
+    228-term dot products measured 2e-12 on decision values O(1e3)
+    with top-2 margins >= 0.49 — rounded floor(x*1e4+0.5) parity."""
+    from ..sources.sklearn_models import load_reference_model
+
+    m = load_reference_model(_GTZAN_BASENAME)
+    w, b = m.folded_weights()
+    wt_rows = ",".join(f"({c},{j},{w[c, j]!r})"
+                       for c in range(w.shape[0]) for j in range(w.shape[1]))
+    b_rows = ",".join(f"({c},{b[c]!r})" for c in range(len(b)))
+    lbl_rows = ",".join(f"({c},'{g}')" for c, g in enumerate(m.labels))
+    return f"""
+WITH d AS (SELECT doc_id FROM documents),
+feat AS (SELECT doc_id, j,
+                CAST((doc_id*31 + j*17 + (doc_id%11)*j) % 997 AS DOUBLE)
+                  / 99.7 - 5.0 AS x
+         FROM d, range(0,228) t(j)),
+w(c, j, wt) AS (VALUES {wt_rows}),
+b(c, icpt) AS (VALUES {b_rows}),
+lbl(c, genre) AS (VALUES {lbl_rows}),
+dec AS (SELECT doc_id, c, sum(x*wt) AS s
+        FROM feat JOIN w USING (j) GROUP BY doc_id, c),
+full_dec AS (SELECT doc_id, dec.c AS c, s + icpt AS s
+             FROM dec JOIN b ON dec.c = b.c),
+r AS (SELECT doc_id, c, s,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY s DESC, c DESC) AS rn
+      FROM full_dec)
+SELECT r.doc_id, lbl.genre,
+       floor(r.s * 10000 + 0.5) / 10000 AS score
+FROM r JOIN lbl ON r.c = lbl.c
+WHERE r.rn = 1 ORDER BY r.doc_id
+"""
+
+
+def q_svm_classify(spark, sf):
+    """Pre-trained sklearn model interop (UD3 / reference entry point
+    3, rp_classify.py:110-158 + :66-71): the reference's shipped GTZAN
+    ``OneVsRestClassifier(SVC(kernel='linear'))`` + StandardScaler +
+    LabelEncoder pickles are loaded WITHOUT sklearn (restricted
+    unpickler, sources/sklearn_models.py) and re-executed as one
+    Arrow-batched scoring scan. Features are deterministic closed-form
+    228-dim vectors per doc_id so DuckDB recomputes the entire chain —
+    folded weights, decisions, argmax tie rule and genre labels."""
+    from ..sources.sklearn_models import classify_vectors, load_reference_model
+
+    model = load_reference_model(_GTZAN_BASENAME)
+    docs = _t(spark, sf, "documents").select("doc_id")
+    j = F.sequence(F.lit(0), F.lit(227))
+    feat = docs.withColumn(
+        "features",
+        F.transform(
+            j,
+            lambda jj: (
+                (F.col("doc_id") * 31 + jj * 17
+                 + (F.col("doc_id") % 11) * jj) % 997
+            ).cast("double") / F.lit(99.7) - F.lit(5.0),
+        ),
+    )
+    out = classify_vectors(feat, model, "features", "genre",
+                           score_col="__raw")
+    return out.select(
+        "doc_id", "genre",
+        (F.floor(F.col("__raw") * 10000 + F.lit(0.5)) / 10000).alias("score"),
+    ).orderBy("doc_id")
+
+
+QUERIES["svm_classify"] = q_svm_classify
+ORACLES["svm_classify"] = _svm_oracle_sql()
+
+
 def q_mp3_decode(spark, sf):
     """S4 (compressed-audio decode): self-generated MPEG-1 Layer III
     streams (codecs/mp3.encode_mp3_subset, verified-table subset)
@@ -3803,6 +3882,7 @@ _PRIORITY: list[str] = [
     "logreg_classify",
     "minhash_dedup_verified",
     "pca_project",
+    "svm_classify",
     "minhash_dedup",
     "minhash_recall",
     "ivf_recall",
@@ -3842,7 +3922,6 @@ _PRIORITY: list[str] = [
     "pricing_summary",
     "stats7",
     "band_agg",
-    "dedup_exact",
 ]
 
 

@@ -17,6 +17,7 @@ HIGH_RISK = [
     "minhash_dedup_verified",
     "contamination_report",
     "pca_project",
+    "svm_classify",
 ]
 
 CORE = ["asof", "sessionize", "lag_lead", "pricing_summary", "stats7", "band_agg"]

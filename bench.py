@@ -83,6 +83,8 @@ RELATIONAL = [
     "bpe_ids",
     "embedding_covariance",
     "pca_project",
+    # round 5
+    "svm_classify",
 ]
 
 

@@ -53,6 +53,11 @@ def pack_sequences(
     t = t.withColumn("__local_end", F.sum("n_tokens").over(w))
     # base offset per partition: exclusive prefix sum over P rows
     parts = t.groupBy("__pid").agg(F.max("__local_end").alias("__psum"))
+    # Spark logs "No Partition Defined for Window" for wp below — that
+    # warning is EXPECTED and benign: the unpartitioned window runs over
+    # the P-row bases table (one row per data partition, P ~ cluster
+    # cores), never over the data. This is the broadcast-prefix-sum
+    # design; do not "fix" it by partitioning the window.
     wp = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     bases = parts.select(
         "__pid", F.coalesce(F.sum("__psum").over(wp), F.lit(0)).alias("__base")

@@ -297,3 +297,28 @@ def test_salted_asof_splits_hot_entity(spark):
     assert hot_total == n // 2
     assert len(spread) == salt                       # every bucket used
     assert max(r["count"] for r in spread) <= 2 * hot_total // salt
+
+
+def test_svm_scoring_is_shuffle_free_scan(spark):
+    """classify_vectors is one Arrow stage over the input — the folded
+    weight matrix rides the task closure, so scoring 10^12 feature rows
+    is an embarrassingly parallel scan: no Exchange, no Join, no
+    per-row Python UDF in the plan."""
+    from rp_extract_spark.sources.sklearn_models import (
+        classify_vectors,
+        load_reference_model,
+    )
+
+    m = load_reference_model("/root/reference/models/GTZAN")
+    df = spark.range(64).select(
+        F.col("id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(227)),
+            lambda j: (F.col("id") * 31 + j).cast("double") / 99.7,
+        ).alias("features"),
+    )
+    plan = _plan(classify_vectors(df, m, "features", "genre"))
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python

@@ -205,3 +205,44 @@ def test_classify_batch_cli(spark, tmp_path, capsys):
     assert lines == [f"{cid}\t{g}" for cid, g in rows]
     # same clips, same predictions (deterministic chain)
     assert main([str(src), GTZAN, str(out), "--cores", "4"]) == rows
+
+
+def test_classify_from_feature_stores(spark, tmp_path):
+    """load_or_analyze_features dispatch (rp_feature_io.py:695-745):
+    predictions from pre-extracted h5 AND csv feature stores must match
+    the direct audio-analysis path on the same clips."""
+    from rp_extract_spark.codecs.wav import encode_wav
+    from tools.classify_batch import main as classify
+    from tools.extract_batch import main as extract
+
+    src = tmp_path / "wavs"
+    src.mkdir()
+    for i in range(2):
+        sr = 11025
+        t = np.arange(int(13.0 * sr)) / sr
+        x = (0.4 * np.sin(2 * np.pi * (160 + 120 * i) * t)).astype(np.float32)
+        (src / f"clip{i}.wav").write_bytes(encode_wav(x, sr, samplewidth=4))
+    direct = classify([str(src), GTZAN, "--cores", "4"])
+    store = str(tmp_path / "store")
+    extract([str(src), store, "--audio", "--h5", "--csv", "--cores", "4"])
+    for kind in ("h5", "csv"):
+        rows = classify([store, GTZAN, "--cores", "4",
+                         "--from-features", kind])
+        # extract strips the extension from clip ids; compare by stem
+        assert [(c.replace(".wav", ""), g) for c, g in direct] == rows, kind
+
+
+def test_classify_dim_mismatch_is_loud(spark, tmp_path):
+    """Wrong feature set must fail with the reference's dimension
+    assertion (rp_classify.py:313-317), not a worker-side shape error."""
+    from rp_extract_spark.sources.files import write_csv_features
+    from tools.classify_batch import main as classify
+
+    df = spark.createDataFrame(
+        [("a", [1.0] * 10), ("b", [2.0] * 10)], "id string, v array<double>")
+    store = tmp_path / "store"
+    for t in ("ssd", "rh"):
+        write_csv_features(df, str(store / f"csv_{t}"), feature="v",
+                           id_col="id")
+    with pytest.raises(ValueError, match="dimension mismatch.*expects 228"):
+        classify([str(store), GTZAN, "--cores", "4", "--from-features", "csv"])

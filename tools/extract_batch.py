@@ -101,11 +101,16 @@ def main(argv=None) -> dict:
         feats = spark.read.parquet(os.path.join(args.out_dir, "data"))
         ok = feats.filter(F.col("err").isNull()) if "err" in feats.columns else feats
     if args.csv:
+        # one CSV store per feature type, like the reference's
+        # <filename>.<type>.csv outputs (rp_feature_io.py:320-336)
         from rp_extract_spark.sources.files import write_csv_features
 
-        write_csv_features(
-            ok, os.path.join(args.out_dir, "csv_rp"), feature="rp", id_col=key
-        )
+        for ftype in ("rp", "ssd", "rh"):
+            if ftype in ok.columns:
+                write_csv_features(
+                    ok, os.path.join(args.out_dir, f"csv_{ftype}"),
+                    feature=ftype, id_col=key,
+                )
     if args.h5:
         from rp_extract_spark.sources.hdf5 import write_h5_features
 

@@ -85,6 +85,11 @@ RELATIONAL = [
     "pca_project",
     # round 5
     "svm_classify",
+    "image_hashes",
+    "image_dedup",
+    "image_stats",
+    "image_augment",
+    "image_tiles",
 ]
 
 

@@ -843,31 +843,49 @@ def simhash_dedup(
     all-pairs), verified with ``bit_count(a ^ b) <= max_hamming`` and
     merged transitively via min-label propagation."""
     hashed = simhash_signatures(df, text_col, id_col, seed, token_hash)
+    return hamming64_dedup(hashed, "simhash", id_col, max_hamming, max_iters)
+
+
+def hamming64_dedup(
+    hashed: DataFrame,
+    hash_col: str,
+    id_col: str,
+    max_hamming: int = 0,
+    max_iters: int = 10,
+) -> DataFrame:
+    """Group rows whose 64-bit ``hash_col`` values are within Hamming
+    distance ``max_hamming``: returns (id, hash, rep_id). The shared
+    tail of simhash_dedup and the image perceptual-hash dedup
+    (operators/images.phash_dedup): ``max_hamming=0`` is one groupBy;
+    1-3 uses the 4x16-bit band pigeonhole (any pair within distance 3
+    shares a band) — candidates are band-bucket equi-joins, never
+    all-pairs — verified with ``bit_count(a ^ b)`` and merged
+    transitively via min-label propagation."""
     if max_hamming == 0:
-        reps = hashed.groupBy("simhash").agg(F.min(id_col).alias("rep_id"))
-        return hashed.join(reps, "simhash").select(id_col, "simhash", "rep_id")
+        reps = hashed.groupBy(hash_col).agg(F.min(id_col).alias("rep_id"))
+        return hashed.join(reps, hash_col).select(id_col, hash_col, "rep_id")
     if max_hamming > 3:
         raise ValueError("4 bands guarantee recall only up to max_hamming=3")
     bands = hashed.select(
         id_col,
-        "simhash",
+        hash_col,
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(i).alias("band"),
-                    F.shiftrightunsigned("simhash", 16 * i)
+                    F.shiftrightunsigned(hash_col, 16 * i)
                     .bitwiseAND(F.lit(0xFFFF))
                     .alias("val"),
                 )
                 for i in range(4)
             ])
         ).alias("b"),
-    ).select(id_col, "simhash", F.col("b.band").alias("band"),
+    ).select(id_col, hash_col, F.col("b.band").alias("band"),
              F.col("b.val").alias("val"))
     left = bands.select(F.col(id_col).alias("id_a"),
-                        F.col("simhash").alias("__ha"), "band", "val")
+                        F.col(hash_col).alias("__ha"), "band", "val")
     right = bands.select(F.col(id_col).alias("id_b"),
-                         F.col("simhash").alias("__hb"), "band", "val")
+                         F.col(hash_col).alias("__hb"), "band", "val")
     pairs = (
         left.join(right, ["band", "val"])
         .filter(F.col("id_b") < F.col("id_a"))
@@ -888,7 +906,7 @@ def simhash_dedup(
         )  # singletons keep themselves
     )
     labels = propagate_min_ids(edges, id_col, "__bk", max_iters=max_iters)
-    return hashed.join(labels, id_col).select(id_col, "simhash", "rep_id")
+    return hashed.join(labels, id_col).select(id_col, hash_col, "rep_id")
 
 
 def ngram_jaccard(

@@ -1,0 +1,387 @@
+"""Image-analysis operators: perceptual hashing, per-image quality
+stats, geometric transforms (augmentation), and ViT-style patch
+tiling — the image-corpus curation layer a multimodal training
+pipeline needs on top of the decode path (SURVEY §1.1; the reference's
+image graft decodes to the banded sonogram, these operators cover the
+corpus-side curation the reference leaves to its caller).
+
+Design rules shared by every operator here:
+- one Arrow-batched ``mapInPandas`` decode stage, no shuffle — each
+  operator is a stateless scan; grouping (dedup) happens AFTER the
+  hash scan on 8-byte values, so image bytes never cross an exchange;
+- per-record error isolation (err column) — one corrupt blob never
+  kills a 100-TB scan;
+- deterministic, integer-first math so every transform is exactly
+  recomputable by a SQL engine over the relational pixel view
+  (operators/multimodal.image_pixels) — the oracle contract.
+
+Perceptual hash conventions (bit j = y*8+x row-major, MSB-first,
+packed into a signed int64 two's-complement — ``F.bin`` prints the
+same 64 bits both for Spark and for the closed-form SQL replay):
+- aHash: anchor-resize to 8x8, bit = 64*pixel > sum(pixels) — the
+  mean threshold kept in exact integer arithmetic;
+- dHash: anchor-resize to 8x9, bit = row[x] < row[x+1] (horizontal
+  gradient sign);
+- pHash: anchor-resize to 32x32, 2-D DCT-II (plain, unnormalized),
+  top-left 8x8 coefficient block, bit = coef > median(block). The
+  64-value median (mean of the two middle order statistics) follows
+  the classic ImageHash convention.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..codecs import decode_image, encode_png, to_gray
+from .multimodal import block_mean_resize
+
+# 32-point DCT-II basis: M[u, y] = cos(pi * (2y+1) * u / 64). Plain
+# (unnormalized) form — the threshold is a median so scale cancels.
+_DCT32 = np.cos(
+    np.pi * (2 * np.arange(32)[None, :] + 1) * np.arange(32)[:, None] / 64.0
+)
+
+
+def _pack_bits64(bits: np.ndarray) -> int:
+    """64 bits (MSB first) -> signed int64 (two's complement)."""
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val
+
+
+def ahash64(gray: np.ndarray) -> int:
+    """Average hash: 8x8 anchor resize, exact-integer mean threshold
+    (bit = 64*px > sum, avoiding any float division)."""
+    r = block_mean_resize(gray, 8, 8).astype(np.int64)
+    s = int(r.sum())
+    return _pack_bits64((r.ravel() * 64 > s).astype(np.uint8))
+
+
+def dhash64(gray: np.ndarray) -> int:
+    """Difference hash: 8x9 anchor resize, bit = row[x] < row[x+1]."""
+    r = block_mean_resize(gray, 8, 9).astype(np.int64)
+    return _pack_bits64((r[:, :-1] < r[:, 1:]).ravel().astype(np.uint8))
+
+
+def phash64(gray: np.ndarray) -> int:
+    """DCT perceptual hash: 32x32 anchor resize, 2-D DCT-II, top-left
+    8x8 block, bit = coef > median(block)."""
+    r = block_mean_resize(gray, 32, 32).astype(np.float64)
+    c = _DCT32 @ r @ _DCT32.T
+    low = c[:8, :8].ravel()
+    med = float(np.median(low))
+    return _pack_bits64((low > med).astype(np.uint8))
+
+
+HASH_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("ahash", T.LongType(), True),
+        T.StructField("dhash", T.LongType(), True),
+        T.StructField("phash", T.LongType(), True),
+        T.StructField("err", T.StringType(), True),
+    ]
+)
+
+
+def image_hashes(images: DataFrame) -> DataFrame:
+    """(image_id, ahash, dhash, phash, err) — one shuffle-free Arrow
+    scan; 3 perceptual hashes per decode (the decode dominates, so
+    computing all three costs ~the same as one)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for iid, data, fmt in zip(
+                b["image_id"].values, b["bytes"].values, b["fmt"].values
+            ):
+                try:
+                    px = to_gray(decode_image(bytes(data), fmt)).astype(np.uint8)
+                    rows.append(
+                        {
+                            "image_id": iid,
+                            "ahash": ahash64(px),
+                            "dhash": dhash64(px),
+                            "phash": phash64(px),
+                            "err": None,
+                        }
+                    )
+                except Exception as e:  # noqa: BLE001
+                    rows.append(
+                        {
+                            "image_id": iid, "ahash": None, "dhash": None,
+                            "phash": None, "err": f"{type(e).__name__}: {e}",
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in HASH_SCHEMA.fields])
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(run, HASH_SCHEMA)
+
+
+def phash_dedup(
+    images: DataFrame,
+    hash_type: str = "dhash",
+    max_hamming: int = 2,
+    max_iters: int = 10,
+) -> DataFrame:
+    """Near-duplicate image groups: (image_id, <hash>, rep_id).
+
+    Perceptual-hash scan (shuffle-free, bytes never leave the decode
+    stage) then the shared 64-bit Hamming machinery
+    (dedup.hamming64_dedup): exact-hash groupBy at ``max_hamming=0``,
+    else the 4x16-bit band pigeonhole — candidate pairs are band
+    equi-joins on 8-byte values, verified with bit_count, merged
+    transitively. The image analog of simhash_dedup; at 100 TB the
+    only data crossing exchanges is (id, int64)."""
+    if hash_type not in ("ahash", "dhash", "phash"):
+        raise ValueError(f"unknown hash_type {hash_type!r}")
+    from .dedup import hamming64_dedup
+
+    hashed = image_hashes(images).filter(F.col("err").isNull()).select(
+        "image_id", hash_type
+    )
+    return hamming64_dedup(hashed, hash_type, "image_id", max_hamming, max_iters)
+
+
+STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("w", T.IntegerType(), True),
+        T.StructField("h", T.IntegerType(), True),
+        T.StructField("n_px", T.LongType(), True),
+        T.StructField("px_sum", T.LongType(), True),
+        T.StructField("px_sq_sum", T.LongType(), True),
+        T.StructField("px_min", T.IntegerType(), True),
+        T.StructField("px_max", T.IntegerType(), True),
+        T.StructField("mean", T.DoubleType(), True),
+        T.StructField("variance", T.DoubleType(), True),
+        T.StructField("entropy_bits", T.DoubleType(), True),
+        T.StructField("err", T.StringType(), True),
+    ]
+)
+
+
+def image_stats(images: DataFrame) -> DataFrame:
+    """Per-image quality signals for corpus gating: brightness (mean),
+    contrast (population variance), dynamic range (min/max) and
+    256-bin histogram entropy in bits — near-constant images (logos,
+    solid frames, failed captures) score near-zero entropy and get
+    filtered before expensive feature extraction. Exact integer sums
+    (px_sum, px_sq_sum) ride along so any SQL engine can re-derive the
+    floats bit-for-bit: mean = px_sum/n, variance = px_sq_sum/n -
+    mean^2 (that exact expression order), entropy = -sum p*log2(p)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for iid, data, fmt in zip(
+                b["image_id"].values, b["bytes"].values, b["fmt"].values
+            ):
+                try:
+                    px = to_gray(decode_image(bytes(data), fmt)).astype(np.uint8)
+                    h, w = px.shape
+                    flat = px.ravel().astype(np.int64)
+                    n = int(flat.size)
+                    s = int(flat.sum())
+                    sq = int((flat * flat).sum())
+                    mean = s / n
+                    var = sq / n - mean * mean
+                    counts = np.bincount(flat, minlength=256)
+                    p = counts[counts > 0] / n
+                    ent = float(-(p * np.log2(p)).sum())
+                    rows.append(
+                        {
+                            "image_id": iid, "w": w, "h": h, "n_px": n,
+                            "px_sum": s, "px_sq_sum": sq,
+                            "px_min": int(flat.min()), "px_max": int(flat.max()),
+                            "mean": mean, "variance": var,
+                            "entropy_bits": ent, "err": None,
+                        }
+                    )
+                except Exception as e:  # noqa: BLE001
+                    rows.append(
+                        {
+                            "image_id": iid, "w": None, "h": None, "n_px": None,
+                            "px_sum": None, "px_sq_sum": None, "px_min": None,
+                            "px_max": None, "mean": None, "variance": None,
+                            "entropy_bits": None,
+                            "err": f"{type(e).__name__}: {e}",
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in STATS_SCHEMA.fields])
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(run, STATS_SCHEMA)
+
+
+TRANSFORMED_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), True),
+        T.StructField("w", T.IntegerType(), True),
+        T.StructField("h", T.IntegerType(), True),
+        T.StructField("fmt", T.StringType(), True),
+        T.StructField("err", T.StringType(), True),
+    ]
+)
+
+_TRANSFORMS = ("flip_h", "flip_v", "rot90", "rot180", "rot270", "crop")
+
+
+def transform_images(
+    images: DataFrame,
+    op: str,
+    y0: int = 0,
+    x0: int = 0,
+    crop_h: int | None = None,
+    crop_w: int | None = None,
+) -> DataFrame:
+    """Deterministic geometric augmentation: decode -> transform ->
+    re-encode PNG, error-isolated. Pixel-coordinate contracts (input
+    pixel in[y, x], input dims h x w), each exactly replayable in SQL:
+
+    - flip_h:  out[y, x] = in[y, w-1-x]           (dims h x w)
+    - flip_v:  out[y, x] = in[h-1-y, x]           (dims h x w)
+    - rot90:   out[y, x] = in[x, w-1-y]           (dims w x h, CCW)
+    - rot180:  out[y, x] = in[h-1-y, w-1-x]       (dims h x w)
+    - rot270:  out[y, x] = in[h-1-x, y]           (dims w x h)
+    - crop:    out[y, x] = in[y0+y, x0+x]         (dims crop_h x crop_w;
+               raises per-record if the window exceeds the image)
+    """
+    if op not in _TRANSFORMS:
+        raise ValueError(f"unknown transform {op!r}; one of {_TRANSFORMS}")
+    if op == "crop" and (crop_h is None or crop_w is None):
+        raise ValueError("crop requires crop_h and crop_w")
+
+    def apply(px: np.ndarray) -> np.ndarray:
+        if op == "flip_h":
+            return px[:, ::-1]
+        if op == "flip_v":
+            return px[::-1, :]
+        if op == "rot90":
+            return np.rot90(px, 1)
+        if op == "rot180":
+            return np.rot90(px, 2)
+        if op == "rot270":
+            return np.rot90(px, 3)
+        h, w = px.shape
+        if y0 < 0 or x0 < 0 or y0 + crop_h > h or x0 + crop_w > w:
+            raise ValueError(
+                f"crop window ({y0},{x0})+({crop_h}x{crop_w}) exceeds {h}x{w}"
+            )
+        return px[y0 : y0 + crop_h, x0 : x0 + crop_w]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for iid, data, fmt in zip(
+                b["image_id"].values, b["bytes"].values, b["fmt"].values
+            ):
+                try:
+                    px = to_gray(decode_image(bytes(data), fmt)).astype(np.uint8)
+                    out = np.ascontiguousarray(apply(px))
+                    rows.append(
+                        {
+                            "image_id": iid, "bytes": encode_png(out),
+                            "w": out.shape[1], "h": out.shape[0],
+                            "fmt": "png", "err": None,
+                        }
+                    )
+                except Exception as e:  # noqa: BLE001
+                    rows.append(
+                        {
+                            "image_id": iid, "bytes": None, "w": None,
+                            "h": None, "fmt": None,
+                            "err": f"{type(e).__name__}: {e}",
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in TRANSFORMED_SCHEMA.fields]
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        run, TRANSFORMED_SCHEMA
+    )
+
+
+TILE_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("ty", T.IntegerType(), True),
+        T.StructField("tx", T.IntegerType(), True),
+        T.StructField("px_sum", T.LongType(), True),
+        T.StructField("px_sq_sum", T.LongType(), True),
+        T.StructField("px_min", T.IntegerType(), True),
+        T.StructField("px_max", T.IntegerType(), True),
+        T.StructField("bytes", T.BinaryType(), True),
+        T.StructField("err", T.StringType(), True),
+    ]
+)
+
+
+def tile_images(
+    images: DataFrame,
+    tile_h: int = 16,
+    tile_w: int = 16,
+    emit_bytes: bool = False,
+) -> DataFrame:
+    """ViT-style patch extraction: split each image into the
+    non-overlapping full (tile_h x tile_w) grid — tile (ty, tx) covers
+    input rows [ty*tile_h, (ty+1)*tile_h) x cols [tx*tile_w,
+    (tx+1)*tile_w); a ragged right/bottom remainder is DROPPED (full
+    patches only, the ViT convention — callers needing total coverage
+    resize first). Emits exact integer patch stats; ``emit_bytes``
+    additionally re-encodes each patch as PNG (off by default — at
+    100 TB the stats pass is the cheap curation scan, the bytes pass
+    the expensive materialization). Errors quarantine per record with
+    ty = tx = -1."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for iid, data, fmt in zip(
+                b["image_id"].values, b["bytes"].values, b["fmt"].values
+            ):
+                try:
+                    px = to_gray(decode_image(bytes(data), fmt)).astype(np.uint8)
+                    h, w = px.shape
+                    for ty in range(h // tile_h):
+                        for tx in range(w // tile_w):
+                            t = px[
+                                ty * tile_h : (ty + 1) * tile_h,
+                                tx * tile_w : (tx + 1) * tile_w,
+                            ]
+                            flat = t.ravel().astype(np.int64)
+                            rows.append(
+                                {
+                                    "image_id": iid, "ty": ty, "tx": tx,
+                                    "px_sum": int(flat.sum()),
+                                    "px_sq_sum": int((flat * flat).sum()),
+                                    "px_min": int(flat.min()),
+                                    "px_max": int(flat.max()),
+                                    "bytes": encode_png(np.ascontiguousarray(t))
+                                    if emit_bytes
+                                    else None,
+                                    "err": None,
+                                }
+                            )
+                except Exception as e:  # noqa: BLE001
+                    rows.append(
+                        {
+                            "image_id": iid, "ty": -1, "tx": -1,
+                            "px_sum": None, "px_sq_sum": None, "px_min": None,
+                            "px_max": None, "bytes": None,
+                            "err": f"{type(e).__name__}: {e}",
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in TILE_SCHEMA.fields])
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(run, TILE_SCHEMA)

@@ -3858,6 +3858,278 @@ ORACLES["pca_project"] = _pca_project_oracle_sql()
 
 
 # ---------------------------------------------------------------------------
+# Round-5 image-curation queries (operators/images.py): perceptual
+# hashes, per-image stats, geometric transforms, ViT tiling, near-dup
+# dedup — all over closed-form-pixel fixtures so DuckDB replays every
+# pixel, every hash bit, and the full dedup graph from the formula.
+# ---------------------------------------------------------------------------
+
+# the 12-image formula fixture dims (sources/images._W_CYCLE/_H_CYCLE)
+_SQL_FORMULA_DIMS = """
+dims AS (SELECT i,
+  CASE i % 4 WHEN 0 THEN 64 WHEN 1 THEN 96 WHEN 2 THEN 128 ELSE 256 END AS w,
+  CASE i % 3 WHEN 0 THEN 48 WHEN 1 THEN 64 ELSE 128 END AS h
+  FROM ids)"""
+
+
+def q_image_stats(spark, sf):
+    """Per-image quality signals (brightness / contrast / dynamic
+    range / histogram entropy), fully ORACLED: exact integer sums
+    compare raw; derived floats are re-derived in DuckDB with the
+    identical expression order (mean = s/n, var = sq/n - mean*mean)
+    and compared at floor(x*1e6 + 0.5)."""
+    from ..operators.images import image_stats
+    from ..sources.images import formula_images_df
+
+    s = image_stats(formula_images_df(spark, 12))
+    u = lambda c: F.floor(F.col(c) * 1e6 + F.lit(0.5)).cast("long")  # noqa: E731
+    return s.select(
+        "image_id", "w", "h", "n_px", "px_sum", "px_sq_sum", "px_min",
+        "px_max",
+        u("mean").alias("mean_u"),
+        u("variance").alias("var_u"),
+        u("entropy_bits").alias("entropy_u"),
+    ).orderBy("image_id")
+
+
+ORACLE_IMAGE_STATS = """
+WITH ids AS (SELECT unnest(range(12)) AS i),
+""" + _SQL_FORMULA_DIMS + """,
+px AS (SELECT i, w, h, (i*31 + x.g*7 + y.g*13) % 256 AS val
+       FROM dims, (SELECT unnest(range(256)) AS g) x,
+            (SELECT unnest(range(128)) AS g) y
+       WHERE x.g < w AND y.g < h),
+agg AS (SELECT i, w, h, count(*) AS n, sum(val) AS s, sum(val*val) AS sq,
+               min(val) AS mn, max(val) AS mx
+        FROM px GROUP BY i, w, h),
+hist AS (SELECT i, val, count(*) AS c FROM px GROUP BY i, val),
+ent AS (SELECT hist.i,
+               -sum((c::DOUBLE / n) * log2(c::DOUBLE / n)) AS e
+        FROM hist JOIN agg USING (i) GROUP BY hist.i)
+SELECT printf('img%08d', agg.i) AS image_id,
+       CAST(w AS INT) AS w, CAST(h AS INT) AS h,
+       CAST(n AS BIGINT) AS n_px, CAST(s AS BIGINT) AS px_sum,
+       CAST(sq AS BIGINT) AS px_sq_sum,
+       CAST(mn AS INT) AS px_min, CAST(mx AS INT) AS px_max,
+       CAST(floor((s::DOUBLE / n) * 1e6 + 0.5) AS BIGINT) AS mean_u,
+       CAST(floor((sq::DOUBLE / n - (s::DOUBLE / n) * (s::DOUBLE / n)) * 1e6
+                  + 0.5) AS BIGINT) AS var_u,
+       CAST(floor(e * 1e6 + 0.5) AS BIGINT) AS entropy_u
+FROM agg JOIN ent ON ent.i = agg.i ORDER BY image_id
+"""
+
+
+def q_image_hashes(spark, sf):
+    """Perceptual-hash scan (aHash/dHash/pHash), fully ORACLED: every
+    hash bit is recomputed closed-form in DuckDB — anchor-resize grids
+    from the pixel formula, the aHash integer mean threshold, dHash
+    gradient signs, and the full 32x32 DCT-II + median threshold for
+    pHash (coefficient margins over this fixture are >= 11 absolute vs
+    ~1e-10 cross-engine drift). Hashes compare as 64-char bit strings
+    (F.bin prints the same two's-complement bits both sides)."""
+    from ..operators.images import image_hashes
+    from ..sources.images import formula_images_df
+
+    hs = image_hashes(formula_images_df(spark, 12))
+    bits = lambda c: F.lpad(F.bin(F.col(c)), 64, "0")  # noqa: E731
+    return hs.select(
+        "image_id",
+        bits("ahash").alias("ahash_bits"),
+        bits("dhash").alias("dhash_bits"),
+        bits("phash").alias("phash_bits"),
+    ).orderBy("image_id")
+
+
+ORACLE_IMAGE_HASHES = """
+WITH ids AS (SELECT unnest(range(12)) AS i),
+""" + _SQL_FORMULA_DIMS + """,
+a8 AS (SELECT i, ry.g AS r, rx.g AS c,
+              (i*31 + ((rx.g*w)//8)*7 + ((ry.g*h)//8)*13) % 256 AS v
+       FROM dims, (SELECT unnest(range(8)) AS g) ry,
+            (SELECT unnest(range(8)) AS g) rx),
+asum AS (SELECT i, sum(v) AS s FROM a8 GROUP BY i),
+ahash AS (SELECT a8.i,
+                 string_agg(CASE WHEN v*64 > s THEN '1' ELSE '0' END, ''
+                            ORDER BY r, c) AS bits
+          FROM a8 JOIN asum USING (i) GROUP BY a8.i),
+d9 AS (SELECT i, ry.g AS r, rx.g AS c,
+              (i*31 + ((rx.g*w)//9)*7 + ((ry.g*h)//8)*13) % 256 AS v
+       FROM dims, (SELECT unnest(range(8)) AS g) ry,
+            (SELECT unnest(range(9)) AS g) rx),
+dhash AS (SELECT a.i,
+                 string_agg(CASE WHEN a.v < b.v THEN '1' ELSE '0' END, ''
+                            ORDER BY a.r, a.c) AS bits
+          FROM d9 a JOIN d9 b ON a.i = b.i AND a.r = b.r AND b.c = a.c + 1
+          WHERE a.c < 8 GROUP BY a.i),
+p32 AS (SELECT i, ry.g AS y, rx.g AS x,
+               CAST((i*31 + ((rx.g*w)//32)*7 + ((ry.g*h)//32)*13) % 256
+                    AS DOUBLE) AS v
+        FROM dims, (SELECT unnest(range(32)) AS g) ry,
+             (SELECT unnest(range(32)) AS g) rx),
+uv AS (SELECT uu.g AS u, vv.g AS v
+       FROM (SELECT unnest(range(8)) AS g) uu,
+            (SELECT unnest(range(8)) AS g) vv),
+coef AS (SELECT p32.i, uv.u, uv.v,
+                sum(p32.v * cos(pi()*(2*p32.y+1)*uv.u/64)
+                          * cos(pi()*(2*p32.x+1)*uv.v/64)) AS c
+         FROM p32, uv GROUP BY p32.i, uv.u, uv.v),
+med AS (SELECT i, median(c) AS m FROM coef GROUP BY i),
+phash AS (SELECT coef.i,
+                 string_agg(CASE WHEN c > m THEN '1' ELSE '0' END, ''
+                            ORDER BY u, v) AS bits
+          FROM coef JOIN med USING (i) GROUP BY coef.i)
+SELECT printf('img%08d', ahash.i) AS image_id,
+       ahash.bits AS ahash_bits, dhash.bits AS dhash_bits,
+       phash.bits AS phash_bits
+FROM ahash JOIN dhash ON dhash.i = ahash.i JOIN phash ON phash.i = ahash.i
+ORDER BY image_id
+"""
+
+
+def q_image_augment(spark, sf):
+    """Geometric augmentation (rot90 + crop), fully ORACLED through
+    the relational pixel view: DuckDB recomputes every output pixel
+    from the formula with the documented coordinate remap
+    (rot90: out[y, x] = in[x, w-1-y]; crop: out[y, x] = in[5+y, 9+x])."""
+    from ..operators.multimodal import image_pixels
+    from ..operators.images import transform_images
+    from ..sources.images import formula_images_df
+
+    imgs = formula_images_df(spark, 6)
+    rot = image_pixels(transform_images(imgs, "rot90")).withColumn(
+        "op", F.lit("rot90")
+    )
+    crop = image_pixels(
+        transform_images(imgs, "crop", y0=5, x0=9, crop_h=24, crop_w=20)
+    ).withColumn("op", F.lit("crop"))
+    return rot.unionByName(crop).select(
+        "op", "image_id", "y", "x", "val"
+    ).orderBy("op", "image_id", "y", "x")
+
+
+ORACLE_IMAGE_AUGMENT = """
+WITH ids AS (SELECT unnest(range(6)) AS i),
+""" + _SQL_FORMULA_DIMS + """,
+rot AS (SELECT i, oy.g AS y, ox.g AS x,
+               (i*31 + (w-1-oy.g)*7 + ox.g*13) % 256 AS val
+        FROM dims, (SELECT unnest(range(256)) AS g) oy,
+             (SELECT unnest(range(128)) AS g) ox
+        WHERE oy.g < w AND ox.g < h),
+crp AS (SELECT i, oy.g AS y, ox.g AS x,
+               (i*31 + (9+ox.g)*7 + (5+oy.g)*13) % 256 AS val
+        FROM dims, (SELECT unnest(range(24)) AS g) oy,
+             (SELECT unnest(range(20)) AS g) ox)
+SELECT op, printf('img%08d', i) AS image_id,
+       CAST(y AS INT) AS y, CAST(x AS INT) AS x, CAST(val AS INT) AS val
+FROM (SELECT 'rot90' AS op, * FROM rot UNION ALL SELECT 'crop', * FROM crp)
+ORDER BY op, image_id, y, x
+"""
+
+
+def q_image_tiles(spark, sf):
+    """ViT-style patch tiling, fully ORACLED: exact integer patch
+    stats (sum / sq-sum / min / max) for every full 16x16 tile are
+    recomputed in DuckDB by grouping the formula grid on
+    (y//16, x//16); the ragged remainder drop (full tiles only) is
+    replayed by the grid bound."""
+    from ..operators.images import tile_images
+    from ..sources.images import formula_images_df
+
+    t = tile_images(formula_images_df(spark, 8), tile_h=16, tile_w=16)
+    return t.select(
+        "image_id", "ty", "tx", "px_sum", "px_sq_sum", "px_min", "px_max"
+    ).orderBy("image_id", "ty", "tx")
+
+
+ORACLE_IMAGE_TILES = """
+WITH ids AS (SELECT unnest(range(8)) AS i),
+""" + _SQL_FORMULA_DIMS + """,
+grid AS (SELECT i, y.g // 16 AS ty, x.g // 16 AS tx,
+                (i*31 + x.g*7 + y.g*13) % 256 AS val
+         FROM dims, (SELECT unnest(range(256)) AS g) x,
+              (SELECT unnest(range(128)) AS g) y
+         WHERE x.g < (w // 16) * 16 AND y.g < (h // 16) * 16)
+SELECT printf('img%08d', i) AS image_id,
+       CAST(ty AS INT) AS ty, CAST(tx AS INT) AS tx,
+       CAST(sum(val) AS BIGINT) AS px_sum,
+       CAST(sum(val*val) AS BIGINT) AS px_sq_sum,
+       CAST(min(val) AS INT) AS px_min, CAST(max(val) AS INT) AS px_max
+FROM grid GROUP BY i, ty, tx ORDER BY image_id, ty, tx
+"""
+
+
+def q_image_dedup(spark, sf):
+    """Near-duplicate image dedup (dHash + 4x16-bit Hamming bands +
+    bit_count verify + transitive min-label components), fully ORACLED:
+    the fixture's pixels are closed-form (groups of 3 images within
+    dHash Hamming <= 2, distinct groups >= 5 apart), so DuckDB rebuilds
+    every dHash bit from the formula, regenerates the band candidate
+    pairs, verifies with bit_count(xor) <= 2 and resolves components
+    with a recursive CTE — the exact pipeline the Spark side runs."""
+    from ..operators.images import phash_dedup
+    from ..sources.images import near_dup_images_df
+
+    out = phash_dedup(
+        near_dup_images_df(spark, 18), hash_type="dhash", max_hamming=2
+    )
+    return out.select(
+        "image_id",
+        F.lpad(F.bin(F.col("dhash")), 64, "0").alias("dhash_bits"),
+        "rep_id",
+    ).orderBy("image_id")
+
+
+ORACLE_IMAGE_DEDUP = """
+WITH RECURSIVE ids AS (SELECT unnest(range(18)) AS i),
+px AS (SELECT i, y.g AS y, x.g AS x,
+        CASE WHEN y.g = 0 AND x.g = 0 AND i % 3 >= 1
+               THEN (((i//3)*37 + x.g*7 + y.g*13) % 251 + 128) % 256
+             WHEN y.g = 2 AND x.g = 0 AND i % 3 = 2
+               THEN (((i//3)*37 + x.g*7 + y.g*13) % 251 + 128) % 256
+             ELSE ((i//3)*37 + x.g*7 + y.g*13) % 251 END AS v
+       FROM ids, (SELECT unnest(range(16)) AS g) y,
+            (SELECT unnest(range(16)) AS g) x),
+d9 AS (SELECT px.i, r.g AS r, c.g AS c, px.v
+       FROM px, (SELECT unnest(range(8)) AS g) r,
+            (SELECT unnest(range(9)) AS g) c
+       WHERE px.y = r.g * 2 AND px.x = (c.g * 16) // 9),
+hashes AS (SELECT a.i,
+                  string_agg(CASE WHEN a.v < b.v THEN '1' ELSE '0' END, ''
+                             ORDER BY a.r, a.c) AS bits
+           FROM d9 a JOIN d9 b ON a.i = b.i AND a.r = b.r AND b.c = a.c + 1
+           WHERE a.c < 8 GROUP BY a.i),
+bands AS (SELECT i, bnd.g AS band, substr(bits, 1 + 16*bnd.g, 16) AS val, bits
+          FROM hashes, (SELECT unnest(range(4)) AS g) bnd),
+pairs AS (SELECT DISTINCT a.i AS id_a, b.i AS id_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.val = b.val
+                                    AND b.i < a.i
+          WHERE bit_count(xor(a.bits::BIT, b.bits::BIT)) <= 2),
+sym AS (SELECT id_a AS s, id_b AS d FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach(a, r) AS (
+  SELECT i, i FROM ids
+  UNION
+  SELECT sym.s, reach.r FROM sym JOIN reach ON reach.a = sym.d),
+comp AS (SELECT a AS i, min(r) AS rep FROM reach GROUP BY a)
+SELECT printf('img%08d', h.i) AS image_id, h.bits AS dhash_bits,
+       printf('img%08d', comp.rep) AS rep_id
+FROM hashes h JOIN comp ON comp.i = h.i ORDER BY image_id
+"""
+
+
+QUERIES["image_stats"] = q_image_stats
+ORACLES["image_stats"] = ORACLE_IMAGE_STATS
+QUERIES["image_hashes"] = q_image_hashes
+ORACLES["image_hashes"] = ORACLE_IMAGE_HASHES
+QUERIES["image_augment"] = q_image_augment
+ORACLES["image_augment"] = ORACLE_IMAGE_AUGMENT
+QUERIES["image_tiles"] = q_image_tiles
+ORACLES["image_tiles"] = ORACLE_IMAGE_TILES
+QUERIES["image_dedup"] = q_image_dedup
+ORACLES["image_dedup"] = ORACLE_IMAGE_DEDUP
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering.
 #
 # The driver's correctness gate windows the FIRST 50 registered queries
@@ -3870,6 +4142,12 @@ ORACLES["pca_project"] = _pca_project_oracle_sql()
 # ---------------------------------------------------------------------------
 
 _PRIORITY: list[str] = [
+    # round-5 image-curation additions
+    "image_hashes",
+    "image_dedup",
+    "image_stats",
+    "image_augment",
+    "image_tiles",
     # round-4 additions + highest-risk round-3 operators
     "paragraph_dedup",
     "winnow_overlap",
@@ -3910,15 +4188,13 @@ _PRIORITY: list[str] = [
     "image_formats",
     "video_frames",
     "entity_features",
-    "entity_features_rel",
-    # representative core
+    # representative core (asof_merge/asof_forward/asof_tolerance/ffill/
+    # entity_features_rel moved past the 50-window to make room for the
+    # round-5 image block — long-green since round 1/2, asof and
+    # entity_features still represent their families inside the window)
     "asof",
-    "asof_merge",
-    "asof_forward",
-    "asof_tolerance",
     "sessionize",
     "lag_lead",
-    "ffill",
     "pricing_summary",
     "stats7",
     "band_agg",

@@ -288,3 +288,50 @@ def formula_images_df(spark: SparkSession, n: int) -> DataFrame:
     )
     rng_df = spark.range(0, n, numPartitions=min(max(n // 16, 1), 32))
     return rng_df.mapInPandas(gen, schema)
+
+
+def near_dup_images_df(spark: SparkSession, n: int) -> DataFrame:
+    """Closed-form near-duplicate image fixture for the perceptual-hash
+    dedup oracle: images come in groups of 3 (group g = i//3) sharing
+    the base formula ``pixel(y, x) = (g*37 + x*7 + y*13) % 251`` on a
+    fixed 16x16 canvas; variant v = i%3 perturbs sampled dHash anchor
+    pixels — v>=1 sets pixel (0,0) to (base+128) % 256, v==2
+    additionally pixel (2,0) — so intra-group dHash Hamming distance
+    is <= 2 while distinct groups sit >= 5 apart (measured over the
+    first 6 groups; the 37-stride decorrelates group bases). Every
+    pixel, hence every hash bit, is exactly recomputable in SQL."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for i in b["id"].values:
+                i = int(i)
+                g, v = divmod(i, 3)
+                yy, xx = np.mgrid[0:16, 0:16]
+                px = ((g * 37 + xx * 7 + yy * 13) % 251).astype(np.int64)
+                if v >= 1:
+                    px[0, 0] = (px[0, 0] + 128) % 256
+                if v == 2:
+                    px[2, 0] = (px[2, 0] + 128) % 256
+                rows.append(
+                    {
+                        "image_id": f"img{i:08d}",
+                        "bytes": encode_png(px.astype(np.uint8)),
+                        "w": 16,
+                        "h": 16,
+                        "fmt": "png",
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType(), False),
+            T.StructField("bytes", T.BinaryType(), False),
+            T.StructField("w", T.IntegerType(), False),
+            T.StructField("h", T.IntegerType(), False),
+            T.StructField("fmt", T.StringType(), False),
+        ]
+    )
+    rng_df = spark.range(0, n, numPartitions=min(max(n // 16, 1), 32))
+    return rng_df.mapInPandas(gen, schema)

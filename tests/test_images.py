@@ -1,0 +1,258 @@
+"""Image-curation operators: perceptual hashes, stats, transforms,
+tiling, near-dup dedup (operators/images.py).
+
+Hash expectations are verified against independent straight-line
+reimplementations of the documented bit rules (not the operator's own
+helpers), and the dedup grouping against brute-force all-pairs
+Hamming over the fixture."""
+
+import itertools
+
+import numpy as np
+import pytest
+
+from rp_extract_spark.codecs import decode_image, encode_png
+from rp_extract_spark.operators.images import (
+    ahash64,
+    dhash64,
+    image_hashes,
+    image_stats,
+    phash64,
+    phash_dedup,
+    tile_images,
+    transform_images,
+)
+from rp_extract_spark.sources.images import formula_images_df, near_dup_images_df
+
+
+def _anchor(g, oh, ow):
+    h, w = g.shape
+    return g[
+        (np.arange(oh)[:, None] * h) // oh, (np.arange(ow)[None, :] * w) // ow
+    ]
+
+
+def _bits_to_signed(bits):
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def _naive_ahash(g):
+    r = _anchor(g, 8, 8).astype(int)
+    s = r.sum()
+    return _bits_to_signed([1 if r[y, x] * 64 > s else 0
+                            for y in range(8) for x in range(8)])
+
+
+def _naive_dhash(g):
+    r = _anchor(g, 8, 9).astype(int)
+    return _bits_to_signed([1 if r[y, x] < r[y, x + 1] else 0
+                            for y in range(8) for x in range(8)])
+
+
+def _naive_phash(g):
+    r = _anchor(g, 32, 32).astype(float)
+    c = np.array(
+        [
+            [
+                sum(
+                    r[y, x]
+                    * np.cos(np.pi * (2 * y + 1) * u / 64)
+                    * np.cos(np.pi * (2 * x + 1) * v / 64)
+                    for y in range(32)
+                    for x in range(32)
+                )
+                for v in range(8)
+            ]
+            for u in range(8)
+        ]
+    )
+    low = c.ravel()
+    med = np.median(low)
+    return _bits_to_signed([1 if val > med else 0 for val in low])
+
+
+def _formula_img(i, w=24, h=16):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return ((i * 31 + xx * 7 + yy * 13) % 256).astype(np.uint8)
+
+
+def test_hashes_match_naive_bit_rules():
+    for i in range(3):
+        g = _formula_img(i)
+        assert ahash64(g) == _naive_ahash(g)
+        assert dhash64(g) == _naive_dhash(g)
+        assert phash64(g) == _naive_phash(g)
+
+
+def test_ahash_constant_image_is_zero():
+    # 64*px > sum is strict: a constant image has no set bit
+    assert ahash64(np.full((16, 16), 77, dtype=np.uint8)) == 0
+
+
+def test_dhash_brightness_invariant():
+    # strict < comparisons survive a uniform brightness shift as long
+    # as no pixel clips or wraps
+    g2 = np.minimum(_formula_img(2).astype(np.int64), 200).astype(np.uint8)
+    assert dhash64(g2) == dhash64((g2 + 40).astype(np.uint8))
+
+
+def test_hash_scan_spark_matches_local(spark):
+    imgs = formula_images_df(spark, 6)
+    out = {r.image_id: r for r in image_hashes(imgs).collect()}
+    for r in imgs.select("image_id", "bytes", "fmt").collect():
+        px = decode_image(bytes(r.bytes), r.fmt)
+        row = out[r.image_id]
+        assert row.err is None
+        assert row.ahash == ahash64(px)
+        assert row.dhash == dhash64(px)
+        assert row.phash == phash64(px)
+
+
+def test_hash_scan_is_shuffle_free(spark):
+    plan = image_hashes(formula_images_df(spark, 4))._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_image_stats_exact(spark):
+    imgs = formula_images_df(spark, 3)
+    rows = {r.image_id: r for r in image_stats(imgs).collect()}
+    for r in imgs.select("image_id", "bytes", "fmt").collect():
+        px = decode_image(bytes(r.bytes), r.fmt).astype(np.int64)
+        row = rows[r.image_id]
+        n = px.size
+        assert row.n_px == n
+        assert row.px_sum == int(px.sum())
+        assert row.px_sq_sum == int((px * px).sum())
+        assert row.px_min == int(px.min()) and row.px_max == int(px.max())
+        mean = row.px_sum / n
+        assert row.mean == mean
+        assert row.variance == row.px_sq_sum / n - mean * mean
+        counts = np.bincount(px.ravel(), minlength=256)
+        p = counts[counts > 0] / n
+        assert row.entropy_bits == pytest.approx(-(p * np.log2(p)).sum(), abs=1e-12)
+
+
+def test_transforms_match_numpy(spark):
+    imgs = formula_images_df(spark, 2)
+    src = {
+        r.image_id: decode_image(bytes(r.bytes), r.fmt)
+        for r in imgs.select("image_id", "bytes", "fmt").collect()
+    }
+    cases = {
+        "flip_h": lambda p: p[:, ::-1],
+        "flip_v": lambda p: p[::-1, :],
+        "rot90": lambda p: np.rot90(p, 1),
+        "rot180": lambda p: np.rot90(p, 2),
+        "rot270": lambda p: np.rot90(p, 3),
+    }
+    for op, fn in cases.items():
+        for r in transform_images(imgs, op).collect():
+            assert r.err is None
+            got = decode_image(bytes(r.bytes), r.fmt)
+            np.testing.assert_array_equal(got, fn(src[r.image_id]))
+    for r in transform_images(imgs, "crop", y0=3, x0=5, crop_h=10, crop_w=12).collect():
+        got = decode_image(bytes(r.bytes), r.fmt)
+        np.testing.assert_array_equal(got, src[r.image_id][3:13, 5:17])
+
+
+def test_transform_guards(spark):
+    imgs = formula_images_df(spark, 1)
+    with pytest.raises(ValueError, match="unknown transform"):
+        transform_images(imgs, "shear")
+    with pytest.raises(ValueError, match="crop requires"):
+        transform_images(imgs, "crop")
+    # oversized crop quarantines per record, never aborts the stage
+    rows = transform_images(imgs, "crop", crop_h=10_000, crop_w=8).collect()
+    assert all(r.err and "crop window" in r.err for r in rows)
+
+
+def test_tiles_partition_the_image(spark):
+    imgs = formula_images_df(spark, 4)  # dims 64/96/128/256 x 48/64/128
+    tiles = tile_images(imgs, tile_h=16, tile_w=16).collect()
+    src = {
+        r.image_id: decode_image(bytes(r.bytes), r.fmt).astype(np.int64)
+        for r in imgs.select("image_id", "bytes", "fmt").collect()
+    }
+    by_img = {}
+    for t in tiles:
+        assert t.err is None
+        by_img.setdefault(t.image_id, []).append(t)
+        px = src[t.image_id][
+            t.ty * 16 : (t.ty + 1) * 16, t.tx * 16 : (t.tx + 1) * 16
+        ]
+        assert t.px_sum == int(px.sum())
+        assert t.px_sq_sum == int((px * px).sum())
+        assert (t.px_min, t.px_max) == (int(px.min()), int(px.max()))
+        assert t.bytes is None  # stats-only pass by default
+    for iid, ts in by_img.items():
+        h, w = src[iid].shape
+        assert len(ts) == (h // 16) * (w // 16)
+        # full grid: every (ty, tx) exactly once
+        assert {(t.ty, t.tx) for t in ts} == {
+            (y, x) for y in range(h // 16) for x in range(w // 16)
+        }
+
+
+def test_tile_bytes_roundtrip(spark):
+    imgs = formula_images_df(spark, 1)
+    t = tile_images(imgs, tile_h=16, tile_w=16, emit_bytes=True).collect()[0]
+    px = decode_image(bytes(t.bytes), "png")
+    assert px.shape == (16, 16) and int(px.astype(np.int64).sum()) == t.px_sum
+
+
+def test_near_dup_fixture_distances(spark):
+    imgs = near_dup_images_df(spark, 18)
+    hs = {
+        int(r.image_id[3:]): r.dhash
+        for r in image_hashes(imgs).collect()
+    }
+    for a, b in itertools.combinations(range(18), 2):
+        d = bin((hs[a] ^ hs[b]) & ((1 << 64) - 1)).count("1")
+        if a // 3 == b // 3:
+            assert d <= 2, (a, b, d)
+        else:
+            assert d > 3, (a, b, d)
+
+
+def test_phash_dedup_groups(spark):
+    imgs = near_dup_images_df(spark, 18)
+    out = phash_dedup(imgs, hash_type="dhash", max_hamming=2).collect()
+    assert len(out) == 18
+    for r in out:
+        i = int(r.image_id[3:])
+        assert r.rep_id == f"img{(i // 3) * 3:08d}", (r.image_id, r.rep_id)
+
+
+def test_phash_dedup_exact_mode(spark):
+    imgs = near_dup_images_df(spark, 9)
+    out = phash_dedup(imgs, hash_type="dhash", max_hamming=0).collect()
+    # exact mode groups only identical hashes: variant 0 of each group
+    # is its own rep; variants may or may not share hashes, but every
+    # rep must have the same hash as its members
+    h = {r.image_id: r.dhash for r in out}
+    for r in out:
+        assert h[r.rep_id] == r.dhash
+    with pytest.raises(ValueError, match="unknown hash_type"):
+        phash_dedup(imgs, hash_type="md5")
+
+
+def test_hash_error_isolation(spark):
+    import pandas as pd
+
+    good = near_dup_images_df(spark, 2).toPandas()
+    bad = pd.DataFrame(
+        [{"image_id": "broken", "bytes": b"\x00nope", "w": 1, "h": 1,
+          "fmt": "png"}]
+    )
+    df = spark.createDataFrame(pd.concat([good, bad], ignore_index=True))
+    rows = {r.image_id: r for r in image_hashes(df).collect()}
+    assert rows["broken"].err is not None and rows["broken"].dhash is None
+    assert rows["img00000000"].err is None
+    srows = {r.image_id: r for r in image_stats(df).collect()}
+    assert srows["broken"].err is not None
+    trows = {r.image_id: r for r in tile_images(df).collect()}
+    assert trows["broken"].err is not None and trows["broken"].ty == -1

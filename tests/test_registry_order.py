@@ -6,6 +6,11 @@ oracled name must also be a registered query."""
 from rp_extract_spark.plans.driver_queries import ORACLES, QUERIES, _PRIORITY
 
 HIGH_RISK = [
+    "image_hashes",
+    "image_dedup",
+    "image_stats",
+    "image_augment",
+    "image_tiles",
     "ivf_topk",
     "cv_accuracy",
     "winnow_overlap",

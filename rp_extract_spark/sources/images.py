@@ -299,7 +299,13 @@ def near_dup_images_df(spark: SparkSession, n: int) -> DataFrame:
     additionally pixel (2,0) — so intra-group dHash Hamming distance
     is <= 2 while distinct groups sit >= 5 apart (measured over the
     first 6 groups; the 37-stride decorrelates group bases). Every
-    pixel, hence every hash bit, is exactly recomputable in SQL."""
+    pixel, hence every hash bit, is exactly recomputable in SQL.
+
+    ORACLE-SCALE ONLY (n <= ~30): the base offsets cycle mod 251, so
+    at many groups distinct groups collide to identical or near-Hamming
+    images and chain into deep components (observed at n=2000:
+    propagate_min_ids hits its round cap). Scale benchmarks use
+    seeded-random bases instead (tools/bench_scaling_phash.py)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:

@@ -152,6 +152,64 @@ def phash_dedup(
     return hamming64_dedup(hashed, hash_type, "image_id", max_hamming, max_iters)
 
 
+def streaming_image_dedup(
+    images: DataFrame,
+    ts_col: str = "ts",
+    hash_type: str = "dhash",
+    ttl_minutes: int = 0,
+) -> DataFrame:
+    """Streaming analog of ``phash_dedup(max_hamming=0)``: the Arrow
+    hash stage runs per micro-batch (mapInPandas is streaming-
+    compatible), then keyed state emits the FIRST image per 64-bit
+    perceptual hash and drops replays, carrying the winning image_id.
+    Exact-hash tier only — Hamming band tiers need the batch path
+    (candidate joins are not expressible as per-key state). Rows whose
+    decode fails are dropped from the stream (batch pipelines wanting
+    a quarantine column use ``image_hashes``)."""
+    if hash_type not in ("ahash", "dhash", "phash"):
+        raise ValueError(f"unknown hash_type {hash_type!r}")
+    from ..streaming.stateful import streaming_dedup
+
+    kernel = {"ahash": ahash64, "dhash": dhash64, "phash": phash64}[hash_type]
+    schema = T.StructType(
+        [
+            images.schema["image_id"],
+            T.StructField(hash_type, T.LongType(), True),
+            images.schema[ts_col],
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            vals = []
+            for data, fmt in zip(b["bytes"].values, b["fmt"].values):
+                try:
+                    px = to_gray(decode_image(bytes(data), fmt)).astype(np.uint8)
+                    vals.append(kernel(px))
+                except Exception:  # noqa: BLE001
+                    vals.append(None)
+            yield pd.DataFrame(
+                {
+                    "image_id": b["image_id"],
+                    hash_type: pd.array(vals, dtype="Int64"),
+                    ts_col: b[ts_col],
+                }
+            )
+
+    hashed = (
+        images.select("image_id", "bytes", "fmt", ts_col)
+        .mapInPandas(run, schema)
+        .filter(F.col(hash_type).isNotNull())
+    )
+    return streaming_dedup(
+        hashed,
+        key_col=hash_type,
+        ts_col=ts_col,
+        ttl_minutes=ttl_minutes,
+        carry_cols=("image_id",),
+    )
+
+
 STATS_SCHEMA = T.StructType(
     [
         T.StructField("image_id", T.StringType(), False),

@@ -26,9 +26,24 @@ def streaming_dedup(
     key_col: str = "image_id",
     ts_col: str = "ts",
     ttl_minutes: int = 0,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Keep the first occurrence of each key; count dropped replays in
-    state. Emits one row per key on first sight only."""
+    state. Emits one row per key on first sight only. ``carry_cols``
+    additionally emits the first-seen row's values for those columns
+    (the representative survives — e.g. the winning image_id when
+    deduping on a perceptual-hash key). The output ``key`` column takes
+    the input key's type (hash keys are bigint, not string)."""
+    carry = list(carry_cols)
+    in_schema = events.schema
+    out_schema = T.StructType(
+        [
+            T.StructField("key", in_schema[key_col].dataType),
+            T.StructField("first_ts", in_schema[ts_col].dataType),
+            T.StructField("n_dropped", T.LongType()),
+        ]
+        + [T.StructField(c, in_schema[c].dataType) for c in carry]
+    )
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -39,11 +54,16 @@ def streaming_dedup(
             state.remove()
             return iter(())
         first_ts = None
+        first_row = None
         total = 0
         for pdf in pdfs:
             total += len(pdf)
-            if first_ts is None and len(pdf):
-                first_ts = pdf[ts_col].min()
+            if len(pdf):
+                idx = pdf[ts_col].idxmin()
+                ts = pdf[ts_col].loc[idx]
+                if first_ts is None or ts < first_ts:
+                    first_ts = ts
+                    first_row = pdf.loc[idx, carry] if carry else None
         if state.exists:
             seen, dropped = state.get
             state.update((True, dropped + total))
@@ -54,10 +74,11 @@ def streaming_dedup(
         state.update((True, max(total - 1, 0)))
         if ttl_minutes:
             state.setTimeoutDuration(ttl_minutes * 60 * 1000)
-        return iter(
-            [pd.DataFrame({"key": [key[0]], "first_ts": [first_ts],
-                           "n_dropped": [max(total - 1, 0)]})]
-        )
+        out = {"key": [key[0]], "first_ts": [first_ts],
+               "n_dropped": [max(total - 1, 0)]}
+        for c in carry:
+            out[c] = [first_row[c]]
+        return iter([pd.DataFrame(out)])
 
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout
@@ -67,7 +88,7 @@ def streaming_dedup(
     return (
         events.groupBy(key_col)
         .applyInPandasWithState(
-            fn, DEDUP_OUT_SCHEMA, DEDUP_STATE_SCHEMA, "append", timeout
+            fn, out_schema, DEDUP_STATE_SCHEMA, "append", timeout
         )
     )
 

@@ -256,3 +256,57 @@ def test_hash_error_isolation(spark):
     assert srows["broken"].err is not None
     trows = {r.image_id: r for r in tile_images(df).collect()}
     assert trows["broken"].err is not None and trows["broken"].ty == -1
+
+
+def test_streaming_image_dedup_across_batches(spark, tmp_path):
+    """First-seen-per-dhash streaming dedup: identical image bytes in a
+    later micro-batch are dropped; the winning image_id is carried."""
+    from datetime import datetime, timedelta
+
+    from rp_extract_spark.operators.images import streaming_image_dedup
+
+    base = datetime(2024, 1, 1)
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    rows = near_dup_images_df(spark, 9).collect()
+    by_id = {r.image_id: r for r in rows}
+
+    def write_batch(items):
+        spark.createDataFrame(
+            [(iid, bytes(by_id[src_id].bytes), "png", ts)
+             for iid, src_id, ts in items],
+            "image_id string, bytes binary, fmt string, ts timestamp",
+        ).write.mode("append").parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(
+            "image_id string, bytes binary, fmt string, ts timestamp"
+        ).parquet(src)
+        q = (
+            streaming_image_dedup(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: two distinct images (groups 0 and 1, variant 0)
+    write_batch([
+        ("a", "img00000000", base),
+        ("b", "img00000003", base + timedelta(seconds=1)),
+    ])
+    run()
+    got = {r.image_id: r for r in spark.read.parquet(out).collect()}
+    assert set(got) == {"a", "b"} and all(r.n_dropped == 0 for r in got.values())
+
+    # batch 2: byte-identical replay of group 0 (new id) + a new group
+    write_batch([
+        ("a2", "img00000000", base + timedelta(minutes=1)),
+        ("c", "img00000006", base + timedelta(minutes=1)),
+    ])
+    run()
+    rows2 = spark.read.parquet(out).collect()
+    assert {r.image_id for r in rows2} == {"a", "b", "c"}  # a2 dropped
+    assert len(rows2) == 3

@@ -90,6 +90,8 @@ RELATIONAL = [
     "image_stats",
     "image_augment",
     "image_tiles",
+    "image_gradients",
+    "image_equalize",
 ]
 
 

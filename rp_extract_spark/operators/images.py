@@ -280,6 +280,131 @@ def image_stats(images: DataFrame) -> DataFrame:
     return images.select("image_id", "bytes", "fmt").mapInPandas(run, STATS_SCHEMA)
 
 
+GRADIENT_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("n_interior", T.LongType(), True),
+        T.StructField("abs_gx_sum", T.LongType(), True),
+        T.StructField("abs_gy_sum", T.LongType(), True),
+        T.StructField("lap_sq_sum", T.LongType(), True),
+        T.StructField("sharpness", T.DoubleType(), True),
+        T.StructField("err", T.StringType(), True),
+    ]
+)
+
+
+def image_gradients(images: DataFrame) -> DataFrame:
+    """Gradient/sharpness signals over interior pixels (1 <= y <= h-2,
+    1 <= x <= w-2), all exact integers: central differences
+    gx = px[y, x+1] - px[y, x-1], gy = px[y+1, x] - px[y-1, x], and the
+    4-neighbor Laplacian lap = 4*px - left - right - up - down.
+    ``sharpness`` = lap_sq_sum / n_interior is the classic
+    variance-of-Laplacian-style blur gate (near-zero for blurred or
+    flat captures — the standard drop rule a vision-corpus curation
+    pass applies before feature extraction)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for iid, data, fmt in zip(
+                b["image_id"].values, b["bytes"].values, b["fmt"].values
+            ):
+                try:
+                    px = to_gray(decode_image(bytes(data), fmt)).astype(np.int64)
+                    c = px[1:-1, 1:-1]
+                    gx = px[1:-1, 2:] - px[1:-1, :-2]
+                    gy = px[2:, 1:-1] - px[:-2, 1:-1]
+                    lap = (
+                        4 * c
+                        - px[1:-1, 2:] - px[1:-1, :-2]
+                        - px[2:, 1:-1] - px[:-2, 1:-1]
+                    )
+                    n = int(c.size)
+                    lap_sq = int((lap * lap).sum())
+                    rows.append(
+                        {
+                            "image_id": iid,
+                            "n_interior": n,
+                            "abs_gx_sum": int(np.abs(gx).sum()),
+                            "abs_gy_sum": int(np.abs(gy).sum()),
+                            "lap_sq_sum": lap_sq,
+                            "sharpness": lap_sq / n if n else 0.0,
+                            "err": None,
+                        }
+                    )
+                except Exception as e:  # noqa: BLE001
+                    rows.append(
+                        {
+                            "image_id": iid, "n_interior": None,
+                            "abs_gx_sum": None, "abs_gy_sum": None,
+                            "lap_sq_sum": None, "sharpness": None,
+                            "err": f"{type(e).__name__}: {e}",
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in GRADIENT_SCHEMA.fields]
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        run, GRADIENT_SCHEMA
+    )
+
+
+def equalize_images(images: DataFrame) -> DataFrame:
+    """Histogram equalization (the classic contrast normalization a
+    training pipeline applies before feature extraction), kept fully
+    integer-exact so SQL replays it bit-for-bit: with cdf(v) the count
+    of pixels <= v and m = cdf(min pixel),
+
+        out(v) = floor((cdf(v) - m) * 255 / (n - m) + 1/2)
+               = ((cdf(v) - m) * 510 + (n - m)) // (2 * (n - m))
+
+    (integer half-up rounding — no float division anywhere). A
+    constant image (n == m) maps to 0. Emits re-encoded PNGs,
+    error-isolated per record."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for iid, data, fmt in zip(
+                b["image_id"].values, b["bytes"].values, b["fmt"].values
+            ):
+                try:
+                    px = to_gray(decode_image(bytes(data), fmt)).astype(np.int64)
+                    n = px.size
+                    cdf = np.cumsum(np.bincount(px.ravel(), minlength=256))
+                    m = int(cdf[int(px.min())])
+                    denom = n - m
+                    if denom > 0:
+                        lut = ((cdf - m) * 510 + denom) // (2 * denom)
+                    else:
+                        lut = np.zeros(256, dtype=np.int64)
+                    out = lut[px].astype(np.uint8)
+                    rows.append(
+                        {
+                            "image_id": iid,
+                            "bytes": encode_png(np.ascontiguousarray(out)),
+                            "w": out.shape[1], "h": out.shape[0],
+                            "fmt": "png", "err": None,
+                        }
+                    )
+                except Exception as e:  # noqa: BLE001
+                    rows.append(
+                        {
+                            "image_id": iid, "bytes": None, "w": None,
+                            "h": None, "fmt": None,
+                            "err": f"{type(e).__name__}: {e}",
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in TRANSFORMED_SCHEMA.fields]
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        run, TRANSFORMED_SCHEMA
+    )
+
+
 TRANSFORMED_SCHEMA = T.StructType(
     [
         T.StructField("image_id", T.StringType(), False),

@@ -4117,6 +4117,93 @@ FROM hashes h JOIN comp ON comp.i = h.i ORDER BY image_id
 """
 
 
+def q_image_gradients(spark, sf):
+    """Gradient/sharpness blur-gate signals, fully ORACLED: central
+    differences and the 4-neighbor Laplacian over interior pixels are
+    exact integers DuckDB recomputes from the formula at shifted
+    coordinates; sharpness (lap_sq_sum/n, one float division) compares
+    at floor(x*1e6 + 0.5)."""
+    from ..operators.images import image_gradients
+    from ..sources.images import formula_images_df
+
+    g = image_gradients(formula_images_df(spark, 10))
+    return g.select(
+        "image_id", "n_interior", "abs_gx_sum", "abs_gy_sum", "lap_sq_sum",
+        F.floor(F.col("sharpness") * 1e6 + F.lit(0.5)).cast("long")
+        .alias("sharp_u"),
+    ).orderBy("image_id")
+
+
+ORACLE_IMAGE_GRADIENTS = """
+WITH ids AS (SELECT unnest(range(10)) AS i),
+""" + _SQL_FORMULA_DIMS + """,
+g AS (SELECT i,
+             (i*31 + (x.g+1)*7 + y.g*13) % 256
+               - (i*31 + (x.g-1)*7 + y.g*13) % 256 AS gx,
+             (i*31 + x.g*7 + (y.g+1)*13) % 256
+               - (i*31 + x.g*7 + (y.g-1)*13) % 256 AS gy,
+             4 * ((i*31 + x.g*7 + y.g*13) % 256)
+               - (i*31 + (x.g+1)*7 + y.g*13) % 256
+               - (i*31 + (x.g-1)*7 + y.g*13) % 256
+               - (i*31 + x.g*7 + (y.g+1)*13) % 256
+               - (i*31 + x.g*7 + (y.g-1)*13) % 256 AS lap
+      FROM dims, (SELECT unnest(range(256)) AS g) x,
+           (SELECT unnest(range(128)) AS g) y
+      WHERE x.g >= 1 AND x.g < w - 1 AND y.g >= 1 AND y.g < h - 1)
+SELECT printf('img%08d', i) AS image_id,
+       CAST(count(*) AS BIGINT) AS n_interior,
+       CAST(sum(abs(gx)) AS BIGINT) AS abs_gx_sum,
+       CAST(sum(abs(gy)) AS BIGINT) AS abs_gy_sum,
+       CAST(sum(lap*lap) AS BIGINT) AS lap_sq_sum,
+       CAST(floor(sum(lap*lap)::DOUBLE / count(*) * 1e6 + 0.5) AS BIGINT)
+         AS sharp_u
+FROM g GROUP BY i ORDER BY image_id
+"""
+
+
+def q_image_equalize(spark, sf):
+    """Histogram equalization, fully ORACLED pixel-by-pixel: the LUT is
+    pure integer arithmetic (out = ((cdf-m)*510 + (n-m)) // (2*(n-m)),
+    half-up rounding with no float division), so DuckDB rebuilds the
+    per-image CDF with a window cumulative sum and replays every output
+    pixel exactly."""
+    from ..operators.images import equalize_images
+    from ..operators.multimodal import image_pixels
+    from ..sources.images import formula_images_df
+
+    out = equalize_images(formula_images_df(spark, 6))
+    return image_pixels(out).orderBy("image_id", "y", "x")
+
+
+ORACLE_IMAGE_EQUALIZE = """
+WITH ids AS (SELECT unnest(range(6)) AS i),
+""" + _SQL_FORMULA_DIMS + """,
+px AS (SELECT i, w, h, y.g AS y, x.g AS x,
+              (i*31 + x.g*7 + y.g*13) % 256 AS val
+       FROM dims, (SELECT unnest(range(256)) AS g) x,
+            (SELECT unnest(range(128)) AS g) y
+       WHERE x.g < w AND y.g < h),
+counts AS (SELECT i, val, count(*) AS c, max(w*h) AS n
+           FROM px GROUP BY i, val),
+cdf AS (SELECT i, val, n,
+               sum(c) OVER (PARTITION BY i ORDER BY val) AS cum
+        FROM counts),
+m AS (SELECT i, min(cum) AS m FROM cdf GROUP BY i),
+lut AS (SELECT cdf.i, val,
+               ((cum - m.m) * 510 + (n - m.m)) // (2 * (n - m.m)) AS out_val
+        FROM cdf JOIN m ON m.i = cdf.i)
+SELECT printf('img%08d', px.i) AS image_id,
+       CAST(px.y AS INT) AS y, CAST(px.x AS INT) AS x,
+       CAST(lut.out_val AS INT) AS val
+FROM px JOIN lut ON lut.i = px.i AND lut.val = px.val
+ORDER BY image_id, y, x
+"""
+
+
+QUERIES["image_gradients"] = q_image_gradients
+ORACLES["image_gradients"] = ORACLE_IMAGE_GRADIENTS
+QUERIES["image_equalize"] = q_image_equalize
+ORACLES["image_equalize"] = ORACLE_IMAGE_EQUALIZE
 QUERIES["image_stats"] = q_image_stats
 ORACLES["image_stats"] = ORACLE_IMAGE_STATS
 QUERIES["image_hashes"] = q_image_hashes

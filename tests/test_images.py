@@ -310,3 +310,94 @@ def test_streaming_image_dedup_across_batches(spark, tmp_path):
     rows2 = spark.read.parquet(out).collect()
     assert {r.image_id for r in rows2} == {"a", "b", "c"}  # a2 dropped
     assert len(rows2) == 3
+
+
+def test_image_gradients_exact(spark):
+    from rp_extract_spark.operators.images import image_gradients
+
+    imgs = formula_images_df(spark, 3)
+    rows = {r.image_id: r for r in image_gradients(imgs).collect()}
+    for r in imgs.select("image_id", "bytes", "fmt").collect():
+        px = decode_image(bytes(r.bytes), r.fmt).astype(np.int64)
+        got = rows[r.image_id]
+        assert got.err is None
+        gx = px[1:-1, 2:] - px[1:-1, :-2]
+        gy = px[2:, 1:-1] - px[:-2, 1:-1]
+        lap = 4 * px[1:-1, 1:-1] - px[1:-1, 2:] - px[1:-1, :-2] \
+            - px[2:, 1:-1] - px[:-2, 1:-1]
+        assert got.n_interior == px[1:-1, 1:-1].size
+        assert got.abs_gx_sum == int(np.abs(gx).sum())
+        assert got.abs_gy_sum == int(np.abs(gy).sum())
+        assert got.lap_sq_sum == int((lap * lap).sum())
+        assert got.sharpness == got.lap_sq_sum / got.n_interior
+
+
+def test_sharpness_flags_flat_images(spark):
+    """The blur gate: a constant image has zero Laplacian energy."""
+    import pandas as pd
+
+    from rp_extract_spark.operators.images import image_gradients
+
+    flat = encode_png(np.full((24, 24), 99, dtype=np.uint8))
+    df = spark.createDataFrame(
+        pd.DataFrame([{"image_id": "flat", "bytes": flat, "fmt": "png"}])
+    )
+    r = image_gradients(df).collect()[0]
+    assert (r.abs_gx_sum, r.abs_gy_sum, r.lap_sq_sum, r.sharpness) == (0, 0, 0, 0.0)
+
+
+def test_equalize_matches_classic_lut(spark):
+    from rp_extract_spark.operators.images import equalize_images
+
+    imgs = formula_images_df(spark, 2)
+    src = {
+        r.image_id: decode_image(bytes(r.bytes), r.fmt).astype(np.int64)
+        for r in imgs.select("image_id", "bytes", "fmt").collect()
+    }
+    for r in equalize_images(imgs).collect():
+        assert r.err is None
+        got = decode_image(bytes(r.bytes), r.fmt)
+        px = src[r.image_id]
+        n = px.size
+        cdf = np.cumsum(np.bincount(px.ravel(), minlength=256))
+        m = int(cdf[int(px.min())])
+        want = np.array(
+            [((int(cdf[v]) - m) * 510 + (n - m)) // (2 * (n - m))
+             for v in range(256)]
+        )[px]
+        np.testing.assert_array_equal(got.astype(np.int64), want)
+
+
+def test_equalize_constant_image_is_zero(spark):
+    import pandas as pd
+
+    from rp_extract_spark.operators.images import equalize_images
+
+    df = spark.createDataFrame(
+        pd.DataFrame([{
+            "image_id": "c",
+            "bytes": encode_png(np.full((8, 8), 201, dtype=np.uint8)),
+            "fmt": "png",
+        }])
+    )
+    r = equalize_images(df).collect()[0]
+    assert r.err is None
+    assert int(decode_image(bytes(r.bytes), "png").max()) == 0
+
+
+def test_equalize_spreads_histogram(spark):
+    """Post-equalization the value range must span ~the full 0..255."""
+    from rp_extract_spark.operators.images import equalize_images
+
+    # a low-contrast image: values squeezed into [100, 131]
+    import pandas as pd
+
+    yy, xx = np.mgrid[0:32, 0:32]
+    px = (100 + (xx + yy) % 32).astype(np.uint8)
+    df = spark.createDataFrame(
+        pd.DataFrame([{"image_id": "lc", "bytes": encode_png(px),
+                       "fmt": "png"}])
+    )
+    r = equalize_images(df).collect()[0]
+    out = decode_image(bytes(r.bytes), "png")
+    assert int(out.min()) <= 8 and int(out.max()) == 255

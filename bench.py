@@ -92,6 +92,7 @@ RELATIONAL = [
     "image_tiles",
     "image_gradients",
     "image_equalize",
+    "image_decontaminate",
 ]
 
 

@@ -280,6 +280,68 @@ def image_stats(images: DataFrame) -> DataFrame:
     return images.select("image_id", "bytes", "fmt").mapInPandas(run, STATS_SCHEMA)
 
 
+def decontaminate_images(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    hash_type: str = "dhash",
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Benchmark decontamination for image corpora — the visual analog
+    of curation.decontaminate: drop every corpus image whose perceptual
+    hash sits within Hamming distance ``max_hamming`` of ANY benchmark
+    image (an eval image that leaked into training data rarely survives
+    re-encode/resize byte-identical, but its perceptual hash does).
+
+    Scale shape: both sides hash in shuffle-free Arrow scans; the
+    benchmark hash/band table (eval sets are small) is BROADCAST
+    against the corpus bands, verified with bit_count, and the
+    resulting contaminated-id set is broadcast back for the anti-join —
+    corpus image bytes never cross an exchange. Returns the kept corpus
+    rows (all original columns)."""
+    if max_hamming > 3:
+        raise ValueError("4 bands guarantee recall only up to max_hamming=3")
+    c = image_hashes(corpus).filter(F.col("err").isNull()).select(
+        "image_id", F.col(hash_type).alias("__h")
+    )
+    b = image_hashes(benchmark).filter(F.col("err").isNull()).select(
+        F.col(hash_type).alias("__bh")
+    ).distinct()
+    if max_hamming == 0:
+        contaminated = c.join(
+            F.broadcast(b), c["__h"] == b["__bh"], "left_semi"
+        ).select("image_id")
+    else:
+        def bands(df, col, out):
+            return df.select(
+                "*",
+                F.explode(
+                    F.array(*[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            F.shiftrightunsigned(col, 16 * i)
+                            .bitwiseAND(F.lit(0xFFFF))
+                            .alias("val"),
+                        )
+                        for i in range(4)
+                    ])
+                ).alias(out),
+            ).select("*", F.col(f"{out}.band").alias("band"),
+                     F.col(f"{out}.val").alias("val")).drop(out)
+
+        cb = bands(c, "__h", "__cb")
+        bb = bands(b, "__bh", "__bb")
+        contaminated = (
+            cb.join(F.broadcast(bb), ["band", "val"])
+            .filter(
+                F.bit_count(F.col("__h").bitwiseXOR(F.col("__bh")))
+                <= max_hamming
+            )
+            .select("image_id")
+            .distinct()
+        )
+    return corpus.join(F.broadcast(contaminated), "image_id", "left_anti")
+
+
 GRADIENT_SCHEMA = T.StructType(
     [
         T.StructField("image_id", T.StringType(), False),

@@ -4079,8 +4079,9 @@ def q_image_dedup(spark, sf):
     ).orderBy("image_id")
 
 
-ORACLE_IMAGE_DEDUP = """
-WITH RECURSIVE ids AS (SELECT unnest(range(18)) AS i),
+# dHash bits of the near_dup_images_df fixture, closed-form (shared by
+# the image_dedup and image_decontaminate oracles)
+_SQL_NEAR_DUP_HASHES = """ids AS (SELECT unnest(range(18)) AS i),
 px AS (SELECT i, y.g AS y, x.g AS x,
         CASE WHEN y.g = 0 AND x.g = 0 AND i % 3 >= 1
                THEN (((i//3)*37 + x.g*7 + y.g*13) % 251 + 128) % 256
@@ -4097,7 +4098,11 @@ hashes AS (SELECT a.i,
                   string_agg(CASE WHEN a.v < b.v THEN '1' ELSE '0' END, ''
                              ORDER BY a.r, a.c) AS bits
            FROM d9 a JOIN d9 b ON a.i = b.i AND a.r = b.r AND b.c = a.c + 1
-           WHERE a.c < 8 GROUP BY a.i),
+           WHERE a.c < 8 GROUP BY a.i)"""
+
+
+ORACLE_IMAGE_DEDUP = """
+WITH RECURSIVE """ + _SQL_NEAR_DUP_HASHES + """,
 bands AS (SELECT i, bnd.g AS band, substr(bits, 1 + 16*bnd.g, 16) AS val, bits
           FROM hashes, (SELECT unnest(range(4)) AS g) bnd),
 pairs AS (SELECT DISTINCT a.i AS id_a, b.i AS id_b
@@ -4200,6 +4205,37 @@ ORDER BY image_id, y, x
 """
 
 
+def q_image_decontaminate(spark, sf):
+    """Perceptual-hash benchmark decontamination, fully ORACLED: with
+    benchmark images 1 and 10 (variant members of groups 0 and 3), the
+    whole of both groups must drop (intra-group dHash Hamming <= 2);
+    DuckDB recomputes every hash closed-form and applies the exact
+    brute-force NOT EXISTS rule — the band pigeonhole on the Spark side
+    is guaranteed-equal for max_hamming <= 3."""
+    from ..operators.images import decontaminate_images
+    from ..sources.images import near_dup_images_df
+
+    corpus = near_dup_images_df(spark, 18)
+    benchmark = corpus.filter(
+        F.col("image_id").isin("img00000001", "img00000010")
+    )
+    kept = decontaminate_images(corpus, benchmark, max_hamming=2)
+    return kept.select("image_id").orderBy("image_id")
+
+
+ORACLE_IMAGE_DECONTAMINATE = """
+WITH """ + _SQL_NEAR_DUP_HASHES + """
+SELECT printf('img%08d', h.i) AS image_id
+FROM hashes h
+WHERE NOT EXISTS (
+  SELECT 1 FROM hashes b WHERE b.i IN (1, 10)
+  AND bit_count(xor(h.bits::BIT, b.bits::BIT)) <= 2)
+ORDER BY image_id
+"""
+
+
+QUERIES["image_decontaminate"] = q_image_decontaminate
+ORACLES["image_decontaminate"] = ORACLE_IMAGE_DECONTAMINATE
 QUERIES["image_gradients"] = q_image_gradients
 ORACLES["image_gradients"] = ORACLE_IMAGE_GRADIENTS
 QUERIES["image_equalize"] = q_image_equalize

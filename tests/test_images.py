@@ -401,3 +401,27 @@ def test_equalize_spreads_histogram(spark):
     r = equalize_images(df).collect()[0]
     out = decode_image(bytes(r.bytes), "png")
     assert int(out.min()) <= 8 and int(out.max()) == 255
+
+
+def test_decontaminate_images_drops_whole_groups(spark):
+    from pyspark.sql import functions as F
+
+    from rp_extract_spark.operators.images import decontaminate_images
+
+    corpus = near_dup_images_df(spark, 18)
+    bench = corpus.filter(F.col("image_id").isin("img00000001", "img00000010"))
+    kept = {r.image_id for r in
+            decontaminate_images(corpus, bench, max_hamming=2)
+            .select("image_id").collect()}
+    dropped = {f"img{i:08d}" for i in (0, 1, 2, 9, 10, 11)}
+    assert kept == {f"img{i:08d}" for i in range(18)} - dropped
+    # exact mode only drops byte/hash-identical members
+    kept0 = {r.image_id for r in
+             decontaminate_images(corpus, bench, max_hamming=0)
+             .select("image_id").collect()}
+    assert "img00000001" not in kept0 and "img00000010" not in kept0
+    assert kept0 >= kept  # exact is never more aggressive than hamming<=2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="recall only up to"):
+        decontaminate_images(corpus, bench, max_hamming=4)

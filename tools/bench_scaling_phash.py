@@ -74,7 +74,14 @@ from rp_extract_spark.operators.images import phash_dedup
 from rp_extract_spark.session import get_spark
 
 cores = {cores}
-spark = get_spark("phash-scaling", cores=cores, shuffle_partitions=cores)
+# small-image binary scans: the default 128m maxPartitionBytes packs a
+# 350 MB corpus into ~3 scan partitions and serializes the decode at
+# ANY core count (first 1M-run measured 0.295 efficiency from exactly
+# this). 4m yields ~90 scan tasks without shuffling image bytes — the
+# same fix the audio fat-binary scans document in CLAUDE.md.
+spark = get_spark("phash-scaling", cores=cores, shuffle_partitions=cores,
+                  extra={{"spark.sql.files.maxPartitionBytes": "4m",
+                          "spark.sql.files.openCostInBytes": "0"}})
 imgs = spark.read.parquet({img_dir!r})
 # warm-up: python worker pool + codegen on a tiny slice
 phash_dedup(imgs.limit(4 * cores), hash_type="dhash", max_hamming=2).count()

@@ -846,25 +846,20 @@ def simhash_dedup(
     return hamming64_dedup(hashed, "simhash", id_col, max_hamming, max_iters)
 
 
-def hamming64_dedup(
+def hamming64_candidates(
     hashed: DataFrame,
     hash_col: str,
     id_col: str,
-    max_hamming: int = 0,
-    max_iters: int = 10,
+    max_hamming: int,
 ) -> DataFrame:
-    """Group rows whose 64-bit ``hash_col`` values are within Hamming
-    distance ``max_hamming``: returns (id, hash, rep_id). The shared
-    tail of simhash_dedup and the image perceptual-hash dedup
-    (operators/images.phash_dedup): ``max_hamming=0`` is one groupBy;
-    1-3 uses the 4x16-bit band pigeonhole (any pair within distance 3
-    shares a band) — candidates are band-bucket equi-joins, never
-    all-pairs — verified with ``bit_count(a ^ b)`` and merged
-    transitively via min-label propagation."""
-    if max_hamming == 0:
-        reps = hashed.groupBy(hash_col).agg(F.min(id_col).alias("rep_id"))
-        return hashed.join(reps, hash_col).select(id_col, hash_col, "rep_id")
-    if max_hamming > 3:
+    """Candidate pairs (id_a, id_b), id_b < id_a, whose 64-bit
+    ``hash_col`` values are within Hamming distance ``max_hamming``
+    (1-3): the 4x16-bit band pigeonhole — any pair within distance 3
+    shares at least one identical 16-bit band, so candidates are band
+    equi-joins on 8-byte values (never all-pairs), then verified with
+    ``bit_count(a ^ b)``. Shared by hamming64_dedup and the
+    pixel-verified image variant (operators/images.phash_dedup_verified)."""
+    if not 1 <= max_hamming <= 3:
         raise ValueError("4 bands guarantee recall only up to max_hamming=3")
     bands = hashed.select(
         id_col,
@@ -886,7 +881,7 @@ def hamming64_dedup(
                         F.col(hash_col).alias("__ha"), "band", "val")
     right = bands.select(F.col(id_col).alias("id_b"),
                          F.col(hash_col).alias("__hb"), "band", "val")
-    pairs = (
+    return (
         left.join(right, ["band", "val"])
         .filter(F.col("id_b") < F.col("id_a"))
         .filter(
@@ -895,6 +890,27 @@ def hamming64_dedup(
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def hamming64_dedup(
+    hashed: DataFrame,
+    hash_col: str,
+    id_col: str,
+    max_hamming: int = 0,
+    max_iters: int = 10,
+) -> DataFrame:
+    """Group rows whose 64-bit ``hash_col`` values are within Hamming
+    distance ``max_hamming``: returns (id, hash, rep_id). The shared
+    tail of simhash_dedup and the image perceptual-hash dedup
+    (operators/images.phash_dedup): ``max_hamming=0`` is one groupBy;
+    1-3 uses the 4x16-bit band pigeonhole (any pair within distance 3
+    shares a band) — candidates are band-bucket equi-joins, never
+    all-pairs — verified with ``bit_count(a ^ b)`` and merged
+    transitively via min-label propagation."""
+    if max_hamming == 0:
+        reps = hashed.groupBy(hash_col).agg(F.min(id_col).alias("rep_id"))
+        return hashed.join(reps, hash_col).select(id_col, hash_col, "rep_id")
+    pairs = hamming64_candidates(hashed, hash_col, id_col, max_hamming)
     # each verified pair is an edge; reuse the bipartite propagation by
     # treating the pair itself as a 2-member bucket
     edge_bk = F.xxhash64("id_a", "id_b")

@@ -630,3 +630,226 @@ def tile_images(
             yield pd.DataFrame(rows, columns=[f.name for f in TILE_SCHEMA.fields])
 
     return images.select("image_id", "bytes", "fmt").mapInPandas(run, TILE_SCHEMA)
+
+
+GRID_HASH_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("__h", T.LongType(), True),
+        T.StructField("__grid", T.ArrayType(T.IntegerType()), True),
+    ]
+)
+
+
+def phash_dedup_verified(
+    images: DataFrame,
+    hash_type: str = "dhash",
+    max_hamming: int = 2,
+    max_sse: int = 40000,
+    grid: int = 16,
+    max_iters: int = 10,
+) -> DataFrame:
+    """Near-duplicate image dedup with a pixel-level VERIFY stage:
+    (image_id, <hash>, rep_id). The image analog of
+    dedup.minhash_lsh_dedup(verify=...) — perceptual-hash bands
+    generate candidates, exact integer SSE over an anchor-resampled
+    ``grid`` x ``grid`` pixel grid confirms them.
+
+    Why: perceptual hashes sample a sparse anchor lattice (dHash reads
+    8x9 pixels), so two images can collide at Hamming 0 while most of
+    their pixels differ — at web scale such false positives silently
+    delete unique training images. The verify grid (default 16x16,
+    finer than any of the three hash lattices) bounds the damage: a
+    candidate pair survives only if sum((a-b)^2) over the grid is
+    <= ``max_sse`` (integer-exact, SQL-replayable).
+
+    Physical plan: ONE Arrow decode scan emits (id, hash, grid) —
+    image bytes never leave the scan; the band equi-join moves
+    (id, int64); only CANDIDATE rows move the ~1 KB grid payload
+    (two id-keyed joins), mirroring the signature-join cost of the
+    verified MinHash path. Components via min-label propagation."""
+    if hash_type not in ("ahash", "dhash", "phash"):
+        raise ValueError(f"unknown hash_type {hash_type!r}")
+    from .dedup import hamming64_candidates, propagate_min_ids
+
+    kernel = {"ahash": ahash64, "dhash": dhash64, "phash": phash64}[hash_type]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for iid, data, fmt in zip(
+                b["image_id"].values, b["bytes"].values, b["fmt"].values
+            ):
+                try:
+                    px = to_gray(decode_image(bytes(data), fmt)).astype(np.uint8)
+                    g = block_mean_resize(px, grid, grid).astype(np.int32)
+                    rows.append(
+                        {"image_id": iid, "__h": kernel(px),
+                         "__grid": g.ravel().tolist()}
+                    )
+                except Exception:  # noqa: BLE001
+                    rows.append({"image_id": iid, "__h": None, "__grid": None})
+            yield pd.DataFrame(rows, columns=["image_id", "__h", "__grid"])
+
+    hashed = (
+        images.select("image_id", "bytes", "fmt")
+        .mapInPandas(run, GRID_HASH_SCHEMA)
+        .filter(F.col("__h").isNotNull())
+    )
+    cand = hamming64_candidates(
+        hashed.select("image_id", "__h"), "__h", "image_id", max_hamming
+    )
+    grids = hashed.select(F.col("image_id"), F.col("__grid"))
+    sse = F.aggregate(
+        F.zip_with("__ga", "__gb", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    verified = (
+        cand.join(grids.select(F.col("image_id").alias("id_a"),
+                               F.col("__grid").alias("__ga")), "id_a")
+        .join(grids.select(F.col("image_id").alias("id_b"),
+                           F.col("__grid").alias("__gb")), "id_b")
+        .filter(sse <= F.lit(int(max_sse)))
+        .select("id_a", "id_b")
+    )
+    edge_bk = F.xxhash64("id_a", "id_b")
+    edges = (
+        verified.select(F.col("id_a").alias("image_id"), edge_bk.alias("__bk"))
+        .unionByName(
+            verified.select(F.col("id_b").alias("image_id"),
+                            edge_bk.alias("__bk"))
+        )
+        .unionByName(
+            hashed.select("image_id",
+                          F.xxhash64("image_id", F.lit(-1)).alias("__bk"))
+        )
+    )
+    labels = propagate_min_ids(edges, "image_id", "__bk", max_iters=max_iters)
+    return (
+        hashed.select("image_id", F.col("__h").alias(hash_type))
+        .join(labels, "image_id")
+        .select("image_id", hash_type, "rep_id")
+    )
+
+
+_GATE_REASONS = [
+    "decode_error", "too_small", "extreme_aspect", "too_dark",
+    "too_bright", "low_contrast", "low_entropy",
+]
+
+
+def quality_gate_images(
+    images: DataFrame,
+    min_w: int = 64,
+    min_h: int = 48,
+    max_aspect: tuple[int, int] = (4, 1),
+    brightness: tuple[int, int] = (16, 240),
+    min_variance: float = 25.0,
+    min_entropy_bits: float = 1.0,
+) -> DataFrame:
+    """LAION-style image curation gate: per image, boolean ``passes``
+    plus a deterministic comma-joined ``reject_reasons`` string —
+    resolution, aspect ratio, brightness, contrast and histogram
+    entropy, the standard pre-filters before any expensive embedding
+    or feature stage. Built on the image_stats scan (one decode, no
+    shuffle); every gate is evaluated in EXACT integer arithmetic on
+    the ridden-along sums so a SQL engine replays each decision
+    bit-for-bit:
+
+    - too_small:       w < min_w OR h < min_h
+    - extreme_aspect:  max(w,h) * ad > min(w,h) * an   (an, ad) = max_aspect
+    - too_dark/bright: px_sum <> bound * n_px          (integer bounds)
+    - low_contrast:    n*px_sq_sum - px_sum^2 < min_variance * n^2
+                       (exact when min_variance has a short binary
+                       fraction; default 25.0 is exact)
+    - low_entropy:     entropy_bits < min_entropy_bits (float compare;
+                       callers pick thresholds away from attainable
+                       values — flat images score exactly 0.0)
+
+    Decode failures quarantine as passes=false / 'decode_error' — one
+    corrupt blob never kills the scan."""
+    an, ad = max_aspect
+    lo, hi = brightness
+    s = image_stats(images)
+    n, px_sum = F.col("n_px"), F.col("px_sum")
+    checks = [
+        ("decode_error", F.col("err").isNotNull()),
+        ("too_small", (F.col("w") < min_w) | (F.col("h") < min_h)),
+        ("extreme_aspect",
+         F.greatest("w", "h") * ad > F.least("w", "h") * an),
+        ("too_dark", px_sum < F.lit(int(lo)) * n),
+        ("too_bright", px_sum > F.lit(int(hi)) * n),
+        ("low_contrast",
+         n * F.col("px_sq_sum") - px_sum * px_sum
+         < F.lit(float(min_variance)) * n * n),
+        ("low_entropy", F.col("entropy_bits") < F.lit(float(min_entropy_bits))),
+    ]
+    # decode failures null out the stats columns; make later gates
+    # three-valued-logic-safe by short-circuiting on err
+    reasons = F.filter(
+        F.array(*[
+            F.when(
+                cond if name == "decode_error"
+                else F.col("err").isNull() & cond,
+                F.lit(name),
+            )
+            for name, cond in checks
+        ]),
+        lambda x: x.isNotNull(),
+    )
+    return s.select(
+        "image_id", "w", "h", "n_px", "px_sum", "px_sq_sum",
+        "entropy_bits",
+        reasons.alias("__r"),
+    ).select(
+        "image_id", "w", "h", "n_px", "px_sum", "px_sq_sum", "entropy_bits",
+        (F.size("__r") == 0).alias("passes"),
+        F.concat_ws(",", "__r").alias("reject_reasons"),
+    )
+
+
+# SDXL's published 1024^2-budget resolution buckets (width, height),
+# multiples of 64 — the public reference list for aspect bucketing.
+SDXL_BUCKETS: list[tuple[int, int]] = [
+    (1024, 1024),
+    (1152, 896), (896, 1152),
+    (1216, 832), (832, 1216),
+    (1344, 768), (768, 1344),
+    (1536, 640), (640, 1536),
+]
+
+
+def aspect_bucket_images(
+    images: DataFrame,
+    buckets: list[tuple[int, int]] | None = None,
+) -> DataFrame:
+    """Aspect-ratio bucketing for batched training (the SDXL recipe):
+    assign each image to the bucket minimizing |w/h - bw/bh|, ties to
+    the earliest bucket in the list. A PURE PROJECTION — no decode, no
+    shuffle, no UDF: the argmin runs inside one codegen'd expression
+    (sort_array over a literal struct array), so at 100 TB this is a
+    metadata-speed scan.
+
+    Exactness: |w/h - bw/bh| = |w*bh - h*bw| / (h*bh); h is constant
+    per image, so buckets order by |w*bh - h*bw| / bh — one exact
+    integer product/difference and ONE correctly-rounded double
+    division, bit-identical across engines (the oracle replays it
+    verbatim). Returns (image_id, w, h, bucket_w, bucket_h)."""
+    bks = buckets if buckets is not None else SDXL_BUCKETS
+    cand = F.array(*[
+        F.struct(
+            (F.abs(F.col("w") * bh - F.col("h") * bw) / F.lit(bh))
+            .cast("double").alias("score"),
+            F.lit(i).alias("idx"),
+            F.lit(bw).alias("bw"),
+            F.lit(bh).alias("bh"),
+        )
+        for i, (bw, bh) in enumerate(bks)
+    ])
+    best = F.sort_array(cand)[0]
+    return images.select(
+        "image_id", "w", "h",
+        best["bw"].alias("bucket_w"),
+        best["bh"].alias("bucket_h"),
+    )

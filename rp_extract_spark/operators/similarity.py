@@ -448,3 +448,210 @@ def pca_transform(
         )
     )
     return df.join(scored, id_col)
+
+
+# --------------------------------------------------------------------- PQ
+
+
+def pq_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    k: int = 16,
+    iters: int = 5,
+    seed: int = 29,
+    init: DataFrame | None = None,
+) -> DataFrame:
+    """Product-quantization codebooks: split the vector into ``m``
+    contiguous subspaces and k-means each — the memory-compression
+    layer an embedding store needs at 10^11+ vectors (codes are
+    ``m`` bytes instead of ``dim * 4``; Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011 — public).
+
+    Returns an (sub int, centroid_label string, centroid
+    array<double>) model of m*k rows. All m subspaces train in the
+    SAME distributed pass — one assignment join + one mean agg per
+    Lloyd iteration regardless of m — and the model is driver-
+    materialized between iterations (kmeans_fit's lineage rule: no
+    recompute bomb). ``init`` takes (sub, centroid_label, centroid)
+    rows verbatim for an SQL-reproducible quantizer (the pq_topk
+    oracle's path); otherwise seeds are the sub-slices of the k rows
+    with the smallest seeded hash, same TakeOrdered discipline as
+    kmeans_fit."""
+    spark = df.sparkSession
+    dim = len(df.select(F.col(vec_col)).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    v = F.col(vec_col).cast("array<double>")
+    subs = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("sub"),
+                    F.slice(v, s * d + 1, d).alias("sv"),
+                )
+                for s in range(m)
+            ])
+        ).alias("b"),
+    ).select(id_col, F.col("b.sub").alias("sub"), F.col("b.sv").alias("sv"))
+    if init is not None:
+        model = init.select(
+            F.col("sub").cast("int"),
+            F.col("centroid_label").cast("string").alias("centroid_label"),
+            F.col("centroid").cast("array<double>").alias("centroid"),
+        )
+        model = spark.createDataFrame(model.collect(), schema=model.schema)
+    else:
+        seed_rows = (
+            df.select(F.col(id_col), v.alias("__v"))
+            .withColumn("__h", F.xxhash64(F.col(id_col), F.lit(seed)))
+            .orderBy("__h", id_col)
+            .limit(k)
+            .collect()
+        )
+        model = spark.createDataFrame(
+            [
+                (s, str(c + 1), list(r["__v"])[s * d:(s + 1) * d])
+                for s in range(m)
+                for c, r in enumerate(seed_rows)
+            ],
+            schema="sub int, centroid_label string, centroid array<double>",
+        )
+    pts = subs.persist()
+    try:
+        for _ in range(iters):
+            dist = F.aggregate(
+                F.zip_with("sv", "centroid", lambda x, c: (x - c) * (x - c)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            assigned = (
+                pts.join(F.broadcast(model), "sub")
+                .withColumn("__d", dist)
+                .withColumn(
+                    "__r",
+                    F.row_number().over(
+                        Window.partitionBy(id_col, "sub").orderBy(
+                            F.col("__d").asc(), F.col("centroid_label").asc()
+                        )
+                    ),
+                )
+                .filter(F.col("__r") == 1)
+            )
+            new_model = (
+                assigned.select(
+                    "sub", "centroid_label",
+                    F.posexplode("sv").alias("pos", "x"),
+                )
+                .groupBy("sub", "centroid_label", "pos")
+                .agg(F.avg("x").alias("mu"))
+                .groupBy("sub", "centroid_label")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "mu"))),
+                        lambda s: s["mu"],
+                    ).alias("centroid")
+                )
+            )
+            model = spark.createDataFrame(new_model.collect(), schema=model.schema)
+        return model
+    finally:
+        pts.unpersist()
+
+
+def _pq_code_expr(vec: Column, model_rows, m: int, d: int) -> Column:
+    """codes array<int>: per subspace, argmin squared distance over the
+    INLINED codebook (ties to the smallest label) — a pure projection,
+    no join, no shuffle; the codebook is m*k tiny literal arrays."""
+    by_sub: dict[int, list] = {}
+    for r in model_rows:
+        by_sub.setdefault(int(r["sub"]), []).append(r)
+    codes = []
+    for s in range(m):
+        sv = F.slice(vec, s * d + 1, d)
+        cands = F.array(*[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        sv,
+                        F.array(*[F.lit(float(x)) for x in r["centroid"]]),
+                        lambda x, c: (x - c) * (x - c),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                F.lit(int(r["centroid_label"])).alias("code"),
+            )
+            for r in sorted(
+                by_sub[s], key=lambda r: int(r["centroid_label"])
+            )
+        ])
+        codes.append(F.sort_array(cands)[0]["code"])
+    return F.array(*codes)
+
+
+def pq_encode(
+    df: DataFrame,
+    model: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, codes array<int>): nearest codebook entry per subspace.
+    The codebook is collected (m*k rows — a model, not data) and
+    inlined as literals, so encoding is ONE shuffle-free codegen'd
+    scan: the pattern that turns a 100 TB float store into an
+    m-byte-per-vector code table in a single pass."""
+    rows = model.collect()
+    m = 1 + max(int(r["sub"]) for r in rows)
+    d = len(rows[0]["centroid"])
+    v = F.col(vec_col).cast("array<double>")
+    return df.select(
+        F.col(id_col), _pq_code_expr(v, rows, m, d).alias("codes")
+    )
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    model: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over a PRE-ENCODED code table:
+    the query builds an m*k lookup table of exact per-subspace squared
+    distances on the driver (numpy over the collected model), each row
+    sums m LUT entries indexed by its codes — no vector arithmetic per
+    row at all — and TakeOrdered returns the k smallest. This is the
+    serve path after a one-off pq_encode: the scan reads m ints per
+    vector instead of dim floats. Returns (id, adc_dist), ties to the
+    smaller id."""
+    rows = model.collect()
+    m = 1 + max(int(r["sub"]) for r in rows)
+    d = len(rows[0]["centroid"])
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    if q.size != m * d:
+        raise ValueError(f"query dim {q.size} != model dim {m * d}")
+    lut: dict[int, dict[int, float]] = {s: {} for s in range(m)}
+    for r in rows:
+        s = int(r["sub"])
+        c = np.asarray(r["centroid"], dtype=np.float64)
+        diff = q[s * d:(s + 1) * d] - c
+        lut[s][int(r["centroid_label"])] = float(diff @ diff)
+    dist = None
+    for s in range(m):
+        term = F.element_at(
+            F.map_from_arrays(
+                F.array(*[F.lit(c) for c in sorted(lut[s])]),
+                F.array(*[F.lit(lut[s][c]) for c in sorted(lut[s])]),
+            ),
+            F.col("codes")[s],
+        )
+        dist = term if dist is None else dist + term
+    return (
+        codes_df.select(F.col(id_col), dist.alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -4252,6 +4252,271 @@ QUERIES["image_dedup"] = q_image_dedup
 ORACLES["image_dedup"] = ORACLE_IMAGE_DEDUP
 
 
+def q_image_dedup_verified(spark, sf):
+    """MSE-verified near-dup image dedup (dHash bands -> candidate
+    pairs -> EXACT integer SSE over the 16x16 anchor grid -> min-label
+    components), fully ORACLED. The fixture plants the canonical
+    hash-collision false positive — variant v3 shifts every pixel the
+    dHash anchor lattice does NOT sample, so its hash equals the base
+    at Hamming 0 while 128 of 256 pixels differ by 128 — and the
+    verify stage must reject it (plain phash_dedup would merge it).
+    DuckDB replays every hash bit, the band join, the per-pair SSE sum
+    and the component fixpoint from the pixel formula."""
+    from ..operators.images import phash_dedup_verified
+    from ..sources.images import verified_dup_images_df
+
+    out = phash_dedup_verified(
+        verified_dup_images_df(spark, 20),
+        hash_type="dhash", max_hamming=2, max_sse=40000, grid=16,
+    )
+    return out.select(
+        "image_id",
+        F.lpad(F.bin(F.col("dhash")), 64, "0").alias("dhash_bits"),
+        "rep_id",
+    ).orderBy("image_id")
+
+
+ORACLE_IMAGE_DEDUP_VERIFIED = """
+WITH RECURSIVE ids AS (SELECT unnest(range(20)) AS i),
+px AS (SELECT i, y.g AS y, x.g AS x,
+        CASE WHEN i % 4 IN (1, 2) AND y.g = 0 AND x.g = 0
+               THEN (((i//4)*41 + x.g*7 + y.g*13) % 251 + 128) % 256
+             WHEN i % 4 = 2 AND y.g = 2 AND x.g = 0
+               THEN (((i//4)*41 + x.g*7 + y.g*13) % 251 + 128) % 256
+             WHEN i % 4 = 3 AND y.g % 2 = 1
+               THEN (((i//4)*41 + x.g*7 + y.g*13) % 251 + 128) % 256
+             ELSE ((i//4)*41 + x.g*7 + y.g*13) % 251 END AS v
+       FROM ids, (SELECT unnest(range(16)) AS g) y,
+            (SELECT unnest(range(16)) AS g) x),
+d9 AS (SELECT px.i, r.g AS r, c.g AS c, px.v
+       FROM px, (SELECT unnest(range(8)) AS g) r,
+            (SELECT unnest(range(9)) AS g) c
+       WHERE px.y = r.g * 2 AND px.x = (c.g * 16) // 9),
+hashes AS (SELECT a.i,
+                  string_agg(CASE WHEN a.v < b.v THEN '1' ELSE '0' END, ''
+                             ORDER BY a.r, a.c) AS bits
+           FROM d9 a JOIN d9 b ON a.i = b.i AND a.r = b.r AND b.c = a.c + 1
+           WHERE a.c < 8 GROUP BY a.i),
+bands AS (SELECT i, bnd.g AS band, substr(bits, 1 + 16*bnd.g, 16) AS val, bits
+          FROM hashes, (SELECT unnest(range(4)) AS g) bnd),
+cand AS (SELECT DISTINCT a.i AS id_a, b.i AS id_b
+         FROM bands a JOIN bands b ON a.band = b.band AND a.val = b.val
+                                   AND b.i < a.i
+         WHERE bit_count(xor(a.bits::BIT, b.bits::BIT)) <= 2),
+sse AS (SELECT c.id_a, c.id_b,
+               sum((pa.v - pb.v) * (pa.v - pb.v)) AS s
+        FROM cand c
+        JOIN px pa ON pa.i = c.id_a
+        JOIN px pb ON pb.i = c.id_b AND pb.y = pa.y AND pb.x = pa.x
+        GROUP BY c.id_a, c.id_b),
+pairs AS (SELECT id_a, id_b FROM sse WHERE s <= 40000),
+sym AS (SELECT id_a AS s, id_b AS d FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach(a, r) AS (
+  SELECT i, i FROM ids
+  UNION
+  SELECT sym.s, reach.r FROM sym JOIN reach ON reach.a = sym.d),
+comp AS (SELECT a AS i, min(r) AS rep FROM reach GROUP BY a)
+SELECT printf('img%08d', h.i) AS image_id, h.bits AS dhash_bits,
+       printf('img%08d', comp.rep) AS rep_id
+FROM hashes h JOIN comp ON comp.i = h.i ORDER BY image_id
+"""
+
+
+QUERIES["image_dedup_verified"] = q_image_dedup_verified
+ORACLES["image_dedup_verified"] = ORACLE_IMAGE_DEDUP_VERIFIED
+
+
+def q_image_quality_gate(spark, sf):
+    """LAION-style curation gate, fully ORACLED: every gate decision
+    (resolution / aspect / brightness / contrast / entropy) is integer
+    arithmetic on the ridden-along pixel sums, replayed verbatim by
+    DuckDB over the closed-form gate fixture (every 5th image is FLAT
+    — zero variance, zero entropy — so the contrast and entropy
+    rejections actually fire; dimension cycles fire the rest).
+    entropy rides along rounded at 1e-6 like image_stats."""
+    from ..operators.images import quality_gate_images
+    from ..sources.images import gate_images_df
+
+    g = quality_gate_images(
+        gate_images_df(spark, 15),
+        min_w=96, min_h=48, max_aspect=(4, 1), brightness=(32, 240),
+        min_variance=25.0, min_entropy_bits=1.0,
+    )
+    return g.select(
+        "image_id", "w", "h", "n_px", "px_sum", "px_sq_sum",
+        F.floor(F.col("entropy_bits") * 1e6 + F.lit(0.5)).cast("long")
+        .alias("entropy_u"),
+        "passes", "reject_reasons",
+    ).orderBy("image_id")
+
+
+ORACLE_IMAGE_QUALITY_GATE = """
+WITH ids AS (SELECT unnest(range(15)) AS i),
+dims AS (SELECT i,
+  CASE i % 4 WHEN 0 THEN 64 WHEN 1 THEN 96 WHEN 2 THEN 128 ELSE 256 END AS w,
+  CASE i % 3 WHEN 0 THEN 48 WHEN 1 THEN 64 ELSE 128 END AS h
+  FROM ids),
+px AS (SELECT i, w, h,
+              CASE WHEN i % 5 = 4 THEN (i*31) % 256
+                   ELSE (i*31 + x.g*7 + y.g*13) % 256 END AS val
+       FROM dims, (SELECT unnest(range(256)) AS g) x,
+            (SELECT unnest(range(128)) AS g) y
+       WHERE x.g < w AND y.g < h),
+agg AS (SELECT i, w, h, count(*) AS n, sum(val) AS s, sum(val*val) AS sq
+        FROM px GROUP BY i, w, h),
+hist AS (SELECT i, val, count(*) AS c FROM px GROUP BY i, val),
+ent AS (SELECT hist.i,
+               -sum((c::DOUBLE / n) * log2(c::DOUBLE / n)) AS e
+        FROM hist JOIN agg USING (i) GROUP BY hist.i),
+gated AS (SELECT agg.i, w, h, n, s, sq, e,
+                 (w < 96 OR h < 48) AS too_small,
+                 (greatest(w, h) * 1 > least(w, h) * 4) AS extreme_aspect,
+                 (s < 32 * n) AS too_dark,
+                 (s > 240 * n) AS too_bright,
+                 (n*sq - s*s < 25 * n * n) AS low_contrast,
+                 (e < 1.0) AS low_entropy
+          FROM agg JOIN ent ON ent.i = agg.i)
+SELECT printf('img%08d', i) AS image_id,
+       CAST(w AS INT) AS w, CAST(h AS INT) AS h,
+       CAST(n AS BIGINT) AS n_px, CAST(s AS BIGINT) AS px_sum,
+       CAST(sq AS BIGINT) AS px_sq_sum,
+       CAST(floor(e * 1e6 + 0.5) AS BIGINT) AS entropy_u,
+       NOT (too_small OR extreme_aspect OR too_dark OR too_bright
+            OR low_contrast OR low_entropy) AS passes,
+       concat_ws(',',
+         CASE WHEN too_small THEN 'too_small' END,
+         CASE WHEN extreme_aspect THEN 'extreme_aspect' END,
+         CASE WHEN too_dark THEN 'too_dark' END,
+         CASE WHEN too_bright THEN 'too_bright' END,
+         CASE WHEN low_contrast THEN 'low_contrast' END,
+         CASE WHEN low_entropy THEN 'low_entropy' END) AS reject_reasons
+FROM gated ORDER BY image_id
+"""
+
+
+QUERIES["image_quality_gate"] = q_image_quality_gate
+ORACLES["image_quality_gate"] = ORACLE_IMAGE_QUALITY_GATE
+
+
+def q_image_aspect_buckets(spark, sf):
+    """SDXL aspect-ratio bucketing, fully ORACLED: the argmin of
+    |w/h - bw/bh| over the published SDXL 1024^2 bucket list — one
+    exact integer product/difference and one correctly-rounded double
+    division per candidate (|w*bh - h*bw| / bh; the common 1/h factor
+    cancels), ties to the earliest bucket. A pure projection — the
+    oracle replays the identical expression over the dimension
+    cycles."""
+    from ..operators.images import aspect_bucket_images
+    from ..sources.images import formula_images_df
+
+    return aspect_bucket_images(formula_images_df(spark, 12)).orderBy(
+        "image_id"
+    )
+
+
+ORACLE_IMAGE_ASPECT_BUCKETS = """
+WITH ids AS (SELECT unnest(range(12)) AS i),
+""" + _SQL_FORMULA_DIMS + """,
+bk(idx, bw, bh) AS (VALUES
+  (0, 1024, 1024), (1, 1152, 896), (2, 896, 1152), (3, 1216, 832),
+  (4, 832, 1216), (5, 1344, 768), (6, 768, 1344), (7, 1536, 640),
+  (8, 640, 1536)),
+scored AS (SELECT i, w, h, bw, bh,
+                  row_number() OVER (
+                    PARTITION BY i
+                    ORDER BY abs(w*bh - h*bw)::DOUBLE / bh, idx) AS rn
+           FROM dims, bk)
+SELECT printf('img%08d', i) AS image_id,
+       CAST(w AS INT) AS w, CAST(h AS INT) AS h,
+       CAST(bw AS INT) AS bucket_w, CAST(bh AS INT) AS bucket_h
+FROM scored WHERE rn = 1 ORDER BY image_id
+"""
+
+
+QUERIES["image_aspect_buckets"] = q_image_aspect_buckets
+ORACLES["image_aspect_buckets"] = ORACLE_IMAGE_ASPECT_BUCKETS
+
+
+def q_pq_topk(spark, sf):
+    """Product-quantization ADC top-k with FIXED codebooks (the
+    sub-slices of embeddings vec_id 0..3, m=4 subspaces x 16 dims), so
+    the whole compressed-domain search — per-subspace nearest-code
+    assignment, the query's LUT of per-subspace squared distances, the
+    m-term ADC sum and the top-k cut — is independently recomputable
+    in DuckDB (the ivf_recall pattern; pq_fit's TRAINED quantizer is
+    exercised in pytest). Membership by raw distance, final order by
+    the rounded alias + id, floor(x*1e4+0.5) both sides."""
+    from ..operators.similarity import pq_encode, pq_topk
+
+    e = _t(spark, sf, "embeddings")
+    cent = e.filter(F.col("vec_id") < 4).select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("sub"),
+                    F.col("vec_id").cast("string").alias("centroid_label"),
+                    F.slice(
+                        F.col("embedding").cast("array<double>"),
+                        s * 16 + 1, 16,
+                    ).alias("centroid"),
+                )
+                for s in range(4)
+            ])
+        ).alias("b")
+    ).select("b.*")
+    qv = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 9).first()["embedding"]
+    ]
+    codes = pq_encode(e, cent)
+    out = pq_topk(codes, cent, qv, k=10)
+    return out.select(
+        "vec_id",
+        F.floor(F.col("adc_dist") * 1e4 + F.lit(0.5)).cast("long")
+        .alias("adc_u"),
+    ).orderBy("adc_u", "vec_id")
+
+
+ORACLE_PQ_TOPK = """
+WITH cb AS (SELECT s.g AS sub, CAST(e.vec_id AS INT) AS code,
+                   list_slice(e.embedding::DOUBLE[],
+                              s.g*16 + 1, s.g*16 + 16) AS c
+            FROM embeddings e, (SELECT unnest(range(4)) AS g) s
+            WHERE e.vec_id < 4),
+q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 9),
+sv AS (SELECT e.vec_id, s.g AS sub,
+              list_slice(e.embedding::DOUBLE[],
+                         s.g*16 + 1, s.g*16 + 16) AS x
+       FROM embeddings e, (SELECT unnest(range(4)) AS g) s),
+codes AS (SELECT vec_id, sub,
+                 (SELECT code FROM cb WHERE cb.sub = sv.sub
+                  ORDER BY list_distance(cb.c, sv.x) ASC, code ASC
+                  LIMIT 1) AS code
+          FROM sv),
+lut AS (SELECT sub, code,
+               list_distance(c, list_slice((SELECT v FROM q),
+                                           sub*16 + 1, sub*16 + 16)) AS li
+        FROM cb),
+adc AS (SELECT codes.vec_id,
+               -- ordered list_sum, NOT sum(): rows sharing all m codes
+               -- must get BIT-IDENTICAL dists so the (dist, vec_id)
+               -- tie-break at the LIMIT cut is deterministic —
+               -- sum()'s per-group accumulation order is not
+               list_sum(list(lut.li * lut.li ORDER BY codes.sub)) AS dist
+        FROM codes JOIN lut ON lut.sub = codes.sub AND lut.code = codes.code
+        GROUP BY codes.vec_id)
+SELECT * FROM (
+  SELECT vec_id, CAST(floor(dist * 1e4 + 0.5) AS BIGINT) AS adc_u
+  FROM adc ORDER BY dist ASC, vec_id ASC LIMIT 10)
+ORDER BY adc_u ASC, vec_id ASC
+"""
+
+
+QUERIES["pq_topk"] = q_pq_topk
+ORACLES["pq_topk"] = ORACLE_PQ_TOPK
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #
@@ -4268,6 +4533,12 @@ _PRIORITY: list[str] = [
     # round-5 image-curation additions
     "image_hashes",
     "image_dedup",
+    "image_dedup_verified",
+    "image_quality_gate",
+    "image_aspect_buckets",
+    "image_gradients",
+    "image_equalize",
+    "image_decontaminate",
     "image_stats",
     "image_augment",
     "image_tiles",
@@ -4279,6 +4550,7 @@ _PRIORITY: list[str] = [
     "flac_decode",
     "contamination_report",
     "ivf_topk",
+    "pq_topk",
     "cv_accuracy",
     "logreg_classify",
     "minhash_dedup_verified",
@@ -4290,31 +4562,29 @@ _PRIORITY: list[str] = [
     "simhash",
     "embedding_dedup",
     "bpe_merges",
-    "bpe_encode",
     "repetition_stats",
     "redact_pii",
     "unigram_lm",
     "hash_embed",
     "decontaminate_ngram",
-    "decontaminate",
     "bm25_rank",
     "pack_sequences",
     "sequences_table",
     "stratified_split",
     "chunk_documents",
     "cms_counts",
-    "mix_corpus",
-    "corpus_sample",
-    "hdf5_roundtrip",
-    "mp3_decode",
     "resize_images",
     "image_formats",
-    "video_frames",
     "entity_features",
-    # representative core (asof_merge/asof_forward/asof_tolerance/ffill/
-    # entity_features_rel moved past the 50-window to make room for the
-    # round-5 image block — long-green since round 1/2, asof and
-    # entity_features still represent their families inside the window)
+    # representative core. Moved past the 50-window to make room for
+    # the round-5 image block, each with its family still represented
+    # inside the window: asof_merge/asof_forward/asof_tolerance/ffill/
+    # entity_features_rel (asof + entity_features stay), mp3_decode
+    # (rows-only; flac_decode carries the codec-decode signal),
+    # decontaminate (decontaminate_ngram + image_decontaminate stay),
+    # bpe_encode (bpe_merges + bpe_ids stay), corpus_sample/mix_corpus
+    # (stratified_split + pack_sequences carry sampling/packing),
+    # hdf5_roundtrip (long-green since r3, pytest-covered).
     "asof",
     "sessionize",
     "lag_lead",

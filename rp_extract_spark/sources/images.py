@@ -341,3 +341,110 @@ def near_dup_images_df(spark: SparkSession, n: int) -> DataFrame:
     )
     rng_df = spark.range(0, n, numPartitions=min(max(n // 16, 1), 32))
     return rng_df.mapInPandas(gen, schema)
+
+
+def verified_dup_images_df(spark: SparkSession, n: int) -> DataFrame:
+    """Closed-form fixture for MSE-VERIFIED near-dup dedup
+    (operators/images.phash_dedup_verified): images come in groups of
+    4 (g = i//4) on a fixed 16x16 canvas with base pixel
+    ``(g*41 + x*7 + y*13) % 251``; variant v = i%4:
+
+    - v0: the base image;
+    - v1: pixel (0,0) += 128 (mod 256) — dHash Hamming <= 1, grid
+      SSE 16384 (one 128^2 term): a TRUE near-dup;
+    - v2: pixels (0,0) and (2,0) += 128 — Hamming <= 2, SSE 32768:
+      still a true near-dup;
+    - v3: ALL odd rows += 128 (mod 256) — the dHash anchor grid on a
+      16-row image samples only even rows (y = 2r), so v3's dHash is
+      IDENTICAL to the base (Hamming 0) while 128 of 256 pixels differ
+      by 128 (SSE 2,097,152): the canonical hash-collision FALSE
+      POSITIVE that only a pixel-level verify stage can reject.
+
+    Cross-group pixel deltas are >= 41 everywhere (bases stride 41
+    mod 251), so grid SSE >= 256*41^2 = 430,336 — any cross-group
+    hash collision is also rejected by the verify. Every pixel is
+    exactly recomputable in SQL (ORACLE_IMAGE_DEDUP_VERIFIED).
+
+    ORACLE-SCALE ONLY (n <= ~40), same cycling caveat as
+    near_dup_images_df; scale benchmarks use seeded-random bases."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for i in b["id"].values:
+                i = int(i)
+                g, v = divmod(i, 4)
+                yy, xx = np.mgrid[0:16, 0:16]
+                px = ((g * 41 + xx * 7 + yy * 13) % 251).astype(np.int64)
+                if v in (1, 2):
+                    px[0, 0] = (px[0, 0] + 128) % 256
+                if v == 2:
+                    px[2, 0] = (px[2, 0] + 128) % 256
+                if v == 3:
+                    px[1::2, :] = (px[1::2, :] + 128) % 256
+                rows.append(
+                    {
+                        "image_id": f"img{i:08d}",
+                        "bytes": encode_png(px.astype(np.uint8)),
+                        "w": 16,
+                        "h": 16,
+                        "fmt": "png",
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType(), False),
+            T.StructField("bytes", T.BinaryType(), False),
+            T.StructField("w", T.IntegerType(), False),
+            T.StructField("h", T.IntegerType(), False),
+            T.StructField("fmt", T.StringType(), False),
+        ]
+    )
+    rng_df = spark.range(0, n, numPartitions=min(max(n // 16, 1), 32))
+    return rng_df.mapInPandas(gen, schema)
+
+
+def gate_images_df(spark: SparkSession, n: int) -> DataFrame:
+    """Closed-form fixture for the quality gate: the formula images of
+    ``formula_images_df`` except every 5th image (i % 5 == 4) is FLAT
+    — all pixels equal ``(i*31) % 256`` — so zero variance and zero
+    entropy exercise the contrast/entropy rejections while the
+    dimension cycles exercise resolution and aspect gates. Exactly
+    recomputable in SQL (one CASE over the formula)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for i in b["id"].values:
+                i = int(i)
+                w = _W_CYCLE[i % len(_W_CYCLE)]
+                h = _H_CYCLE[i % len(_H_CYCLE)]
+                if i % 5 == 4:
+                    px = np.full((h, w), (i * 31) % 256, dtype=np.uint8)
+                else:
+                    yy, xx = np.mgrid[0:h, 0:w]
+                    px = ((i * 31 + xx * 7 + yy * 13) % 256).astype(np.uint8)
+                rows.append(
+                    {
+                        "image_id": f"img{i:08d}",
+                        "bytes": encode_png(px),
+                        "w": w,
+                        "h": h,
+                        "fmt": "png",
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType(), False),
+            T.StructField("bytes", T.BinaryType(), False),
+            T.StructField("w", T.IntegerType(), False),
+            T.StructField("h", T.IntegerType(), False),
+            T.StructField("fmt", T.StringType(), False),
+        ]
+    )
+    rng_df = spark.range(0, n, numPartitions=min(max(n // 16, 1), 32))
+    return rng_df.mapInPandas(gen, schema)

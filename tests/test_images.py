@@ -425,3 +425,149 @@ def test_decontaminate_images_drops_whole_groups(spark):
 
     with _pytest.raises(ValueError, match="recall only up to"):
         decontaminate_images(corpus, bench, max_hamming=4)
+
+
+# ---------------------------------------------------------------- verified
+
+
+def test_verified_dedup_rejects_hash_collision_decoy(spark):
+    """The v3 decoy perturbs only pixels the dHash anchor lattice never
+    samples: its hash equals the base at Hamming 0, so the band stage
+    MUST emit it as a candidate — and the SSE verify MUST reject it.
+    v1/v2 (true near-dups) merge with the base."""
+    from rp_extract_spark.operators.images import phash_dedup_verified
+    from rp_extract_spark.sources.images import verified_dup_images_df
+
+    imgs = verified_dup_images_df(spark, 8)
+    hs = {
+        r["image_id"]: r["dhash"]
+        for r in image_hashes(imgs).collect()
+    }
+    # precondition: the decoy collides with the base at Hamming 0
+    assert hs["img00000000"] == hs["img00000003"]
+    assert hs["img00000004"] == hs["img00000007"]
+
+    out = phash_dedup_verified(
+        imgs, hash_type="dhash", max_hamming=2, max_sse=40000, grid=16
+    )
+    reps = {r["image_id"]: r["rep_id"] for r in out.collect()}
+    assert reps == {
+        "img00000000": "img00000000",
+        "img00000001": "img00000000",
+        "img00000002": "img00000000",
+        "img00000003": "img00000003",  # decoy survives as its own rep
+        "img00000004": "img00000004",
+        "img00000005": "img00000004",
+        "img00000006": "img00000004",
+        "img00000007": "img00000007",
+    }
+
+
+def test_plain_dedup_merges_the_decoy(spark):
+    """Contrast case: WITHOUT the verify stage the Hamming-0 decoy is
+    (wrongly, pixel-wise) merged — the false positive the verified
+    variant exists to stop."""
+    from rp_extract_spark.sources.images import verified_dup_images_df
+
+    out = phash_dedup(
+        verified_dup_images_df(spark, 4), hash_type="dhash", max_hamming=2
+    )
+    reps = {r["image_id"]: r["rep_id"] for r in out.collect()}
+    assert reps["img00000003"] == "img00000000"
+
+
+# ------------------------------------------------------------ quality gate
+
+
+def _gate_expect(i):
+    w = [64, 96, 128, 256][i % 4]
+    h = [48, 64, 128][i % 3]
+    if i % 5 == 4:
+        px = np.full((h, w), (i * 31) % 256, dtype=np.int64)
+    else:
+        yy, xx = np.mgrid[0:h, 0:w]
+        px = (i * 31 + xx * 7 + yy * 13) % 256
+    n = px.size
+    s = int(px.sum())
+    sq = int((px * px).sum())
+    counts = np.bincount(px.ravel().astype(int), minlength=256)
+    p = counts[counts > 0] / n
+    ent = float(-(p * np.log2(p)).sum())
+    reasons = []
+    if w < 96 or h < 48:
+        reasons.append("too_small")
+    if max(w, h) > min(w, h) * 4:
+        reasons.append("extreme_aspect")
+    if s < 32 * n:
+        reasons.append("too_dark")
+    if s > 240 * n:
+        reasons.append("too_bright")
+    if n * sq - s * s < 25 * n * n:
+        reasons.append("low_contrast")
+    if ent < 1.0:
+        reasons.append("low_entropy")
+    return ",".join(reasons)
+
+
+def test_quality_gate_reasons_match_straightline(spark):
+    from rp_extract_spark.operators.images import quality_gate_images
+    from rp_extract_spark.sources.images import gate_images_df
+
+    out = quality_gate_images(
+        gate_images_df(spark, 15),
+        min_w=96, min_h=48, max_aspect=(4, 1), brightness=(32, 240),
+        min_variance=25.0, min_entropy_bits=1.0,
+    ).collect()
+    assert len(out) == 15
+    for r in out:
+        i = int(r["image_id"][3:])
+        exp = _gate_expect(i)
+        assert r["reject_reasons"] == exp, (i, r["reject_reasons"], exp)
+        assert r["passes"] == (exp == "")
+    # the fixture must actually exercise every non-decode reason
+    fired = set(",".join(_gate_expect(i) for i in range(15)).split(","))
+    assert {"too_small", "extreme_aspect", "too_dark",
+            "low_contrast", "low_entropy"} <= fired
+
+
+def test_quality_gate_quarantines_corrupt_blob(spark):
+    from rp_extract_spark.operators.images import quality_gate_images
+
+    df = spark.createDataFrame(
+        [("bad", bytearray(b"not a png"), 16, 16, "png")],
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    r = quality_gate_images(df).collect()[0]
+    assert r["passes"] is False
+    assert r["reject_reasons"] == "decode_error"
+
+
+# ----------------------------------------------------------- aspect bucket
+
+
+def test_aspect_buckets_match_argmin(spark):
+    from rp_extract_spark.operators.images import (
+        SDXL_BUCKETS,
+        aspect_bucket_images,
+    )
+
+    out = aspect_bucket_images(formula_images_df(spark, 12)).collect()
+    assert len(out) == 12
+    for r in out:
+        best = min(
+            (abs(r["w"] * bh - r["h"] * bw) / bh, idx, bw, bh)
+            for idx, (bw, bh) in enumerate(SDXL_BUCKETS)
+        )
+        assert (r["bucket_w"], r["bucket_h"]) == (best[2], best[3])
+    # dimension cycles must hit more than one bucket
+    assert len({(r["bucket_w"], r["bucket_h"]) for r in out}) >= 3
+
+
+def test_aspect_buckets_plan_is_shuffle_free(spark):
+    from rp_extract_spark.operators.images import aspect_bucket_images
+
+    df = spark.createDataFrame(
+        [("a", 64, 48)], "image_id string, w int, h int"
+    )
+    plan = aspect_bucket_images(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -8,10 +8,17 @@ from rp_extract_spark.plans.driver_queries import ORACLES, QUERIES, _PRIORITY
 HIGH_RISK = [
     "image_hashes",
     "image_dedup",
+    "image_dedup_verified",
+    "image_quality_gate",
+    "image_aspect_buckets",
+    "image_gradients",
+    "image_equalize",
+    "image_decontaminate",
     "image_stats",
     "image_augment",
     "image_tiles",
     "ivf_topk",
+    "pq_topk",
     "cv_accuracy",
     "winnow_overlap",
     "paragraph_dedup",

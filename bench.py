@@ -93,6 +93,11 @@ RELATIONAL = [
     "image_gradients",
     "image_equalize",
     "image_decontaminate",
+    # round 5, second batch
+    "image_dedup_verified",
+    "image_quality_gate",
+    "image_aspect_buckets",
+    "pq_topk",
 ]
 
 

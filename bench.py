@@ -97,6 +97,7 @@ RELATIONAL = [
     "image_dedup_verified",
     "image_quality_gate",
     "image_aspect_buckets",
+    "image_curation",
     "pq_topk",
 ]
 

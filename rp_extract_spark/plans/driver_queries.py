@@ -4517,6 +4517,142 @@ QUERIES["pq_topk"] = q_pq_topk
 ORACLES["pq_topk"] = ORACLE_PQ_TOPK
 
 
+def q_image_curation(spark, sf):
+    """COMPOSED image-curation pipeline, fully ORACLED end to end:
+    quality gate -> MSE-verified near-dup dedup on the survivors ->
+    aspect-bucket assignment for the kept representatives (with
+    component sizes). The fixture makes stage ORDER observable: every
+    group's flat variant is identical across groups — if it reached
+    the dedup stage it would chain all groups into one component — but
+    the gate rejects it first (zero variance/entropy), and the decoy
+    variant passes the gate, collides at Hamming 0, and is rejected by
+    the pixel-SSE verify. DuckDB replays the gate arithmetic, every
+    hash bit, the band join, per-pair SSE, the component fixpoint,
+    member counts and the bucket argmin from the pixel formula."""
+    from ..operators.images import (
+        aspect_bucket_images,
+        phash_dedup_verified,
+        quality_gate_images,
+    )
+    from ..sources.images import curation_images_df
+
+    imgs = curation_images_df(spark, 20)
+    gated = quality_gate_images(
+        imgs, min_w=16, min_h=16, max_aspect=(4, 1), brightness=(16, 240),
+        min_variance=25.0, min_entropy_bits=1.0,
+    )
+    keep = imgs.join(
+        gated.filter(F.col("passes")).select("image_id"), "image_id"
+    )
+    dd = phash_dedup_verified(
+        keep, hash_type="dhash", max_hamming=2, max_sse=40000, grid=16
+    )
+    reps = dd.groupBy("rep_id").agg(F.count("*").alias("n_members"))
+    rep_dims = reps.join(
+        imgs.select("image_id", "w", "h"),
+        reps["rep_id"] == F.col("image_id"),
+    ).select("image_id", "n_members", "w", "h")
+    out = aspect_bucket_images(rep_dims).join(
+        rep_dims.select("image_id", "n_members"), "image_id"
+    )
+    return out.select(
+        "image_id", "n_members", "w", "h", "bucket_w", "bucket_h"
+    ).orderBy("image_id")
+
+
+def _cur_px(i: str, x: str, y: str) -> str:
+    """Pixel CASE of curation_images_df at row ``i`` and SOURCE
+    coordinates (``x``, ``y``) — shared by the full-resolution gate
+    view, the dHash anchor view and the SSE grid view (each samples
+    the same formula at different coordinates)."""
+    base = f"(({i}//5)*41 + ({x})*7 + ({y})*13) % 251"
+    return f"""CASE
+      WHEN {i} % 5 = 4 THEN (({i}//5)*41) % 251
+      WHEN {i} % 5 IN (1, 2) AND ({y}) = 0 AND ({x}) = 0
+        THEN ({base} + 128) % 256
+      WHEN {i} % 5 = 2 AND ({y}) = 2 AND ({x}) = 0
+        THEN ({base} + 128) % 256
+      WHEN {i} % 5 = 3 AND ({y}) % 2 = 1 THEN ({base} + 128) % 256
+      ELSE {base} END"""
+
+
+ORACLE_IMAGE_CURATION = f"""
+WITH RECURSIVE ids AS (SELECT unnest(range(20)) AS i),
+dims AS (SELECT i,
+  CASE (i//5) % 3 WHEN 0 THEN 16 WHEN 1 THEN 20 ELSE 24 END AS w,
+  16 AS h FROM ids),
+px AS (SELECT d.i, d.w, d.h, {_cur_px("d.i", "x.g", "y.g")} AS v
+       FROM dims d, (SELECT unnest(range(24)) AS g) x,
+            (SELECT unnest(range(16)) AS g) y
+       WHERE x.g < d.w),
+agg AS (SELECT i, w, h, count(*) AS n, sum(v) AS s, sum(v*v) AS sq
+        FROM px GROUP BY i, w, h),
+hist AS (SELECT i, v, count(*) AS c FROM px GROUP BY i, v),
+ent AS (SELECT hist.i,
+               -sum((c::DOUBLE / n) * log2(c::DOUBLE / n)) AS e
+        FROM hist JOIN agg USING (i) GROUP BY hist.i),
+keep AS (SELECT agg.i, agg.w
+         FROM agg JOIN ent ON ent.i = agg.i
+         WHERE NOT (w < 16 OR h < 16)
+           AND NOT (greatest(w, h) * 1 > least(w, h) * 4)
+           AND s >= 16 * n AND s <= 240 * n
+           AND n*sq - s*s >= 25 * n * n
+           AND e >= 1.0),
+d9 AS (SELECT k.i, r.g AS r, c.g AS c,
+              {_cur_px("k.i", "(c.g * k.w) // 9", "r.g * 2")} AS v
+       FROM keep k, (SELECT unnest(range(8)) AS g) r,
+            (SELECT unnest(range(9)) AS g) c),
+hashes AS (SELECT a.i,
+                  string_agg(CASE WHEN a.v < b.v THEN '1' ELSE '0' END, ''
+                             ORDER BY a.r, a.c) AS bits
+           FROM d9 a JOIN d9 b ON a.i = b.i AND a.r = b.r AND b.c = a.c + 1
+           WHERE a.c < 8 GROUP BY a.i),
+bands AS (SELECT i, bnd.g AS band, substr(bits, 1 + 16*bnd.g, 16) AS val, bits
+          FROM hashes, (SELECT unnest(range(4)) AS g) bnd),
+cand AS (SELECT DISTINCT a.i AS id_a, b.i AS id_b
+         FROM bands a JOIN bands b ON a.band = b.band AND a.val = b.val
+                                   AND b.i < a.i
+         WHERE bit_count(xor(a.bits::BIT, b.bits::BIT)) <= 2),
+grid AS (SELECT k.i, gy.g AS gy, gx.g AS gx,
+                {_cur_px("k.i", "(gx.g * k.w) // 16", "gy.g")} AS v
+         FROM keep k, (SELECT unnest(range(16)) AS g) gy,
+              (SELECT unnest(range(16)) AS g) gx),
+sse AS (SELECT c.id_a, c.id_b,
+               sum((ga.v - gb.v) * (ga.v - gb.v)) AS s
+        FROM cand c
+        JOIN grid ga ON ga.i = c.id_a
+        JOIN grid gb ON gb.i = c.id_b AND gb.gy = ga.gy AND gb.gx = ga.gx
+        GROUP BY c.id_a, c.id_b),
+pairs AS (SELECT id_a, id_b FROM sse WHERE s <= 40000),
+sym AS (SELECT id_a AS sa, id_b AS d FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach(a, r) AS (
+  SELECT i, i FROM keep
+  UNION
+  SELECT sym.sa, reach.r FROM sym JOIN reach ON reach.a = sym.d),
+comp AS (SELECT a AS i, min(r) AS rep FROM reach GROUP BY a),
+members AS (SELECT rep, count(*) AS n_members FROM comp GROUP BY rep),
+bk(idx, bw, bh) AS (VALUES
+  (0, 1024, 1024), (1, 1152, 896), (2, 896, 1152), (3, 1216, 832),
+  (4, 832, 1216), (5, 1344, 768), (6, 768, 1344), (7, 1536, 640),
+  (8, 640, 1536)),
+scored AS (SELECT m.rep, m.n_members, d.w, d.h, bw, bh,
+                  row_number() OVER (
+                    PARTITION BY m.rep
+                    ORDER BY abs(d.w*bh - d.h*bw)::DOUBLE / bh, idx) AS rn
+           FROM members m JOIN dims d ON d.i = m.rep, bk)
+SELECT printf('img%08d', rep) AS image_id,
+       CAST(n_members AS BIGINT) AS n_members,
+       CAST(w AS INT) AS w, CAST(h AS INT) AS h,
+       CAST(bw AS INT) AS bucket_w, CAST(bh AS INT) AS bucket_h
+FROM scored WHERE rn = 1 ORDER BY image_id
+"""
+
+
+QUERIES["image_curation"] = q_image_curation
+ORACLES["image_curation"] = ORACLE_IMAGE_CURATION
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #
@@ -4539,6 +4675,7 @@ _PRIORITY: list[str] = [
     "image_gradients",
     "image_equalize",
     "image_decontaminate",
+    "image_curation",
     "image_stats",
     "image_augment",
     "image_tiles",
@@ -4573,7 +4710,6 @@ _PRIORITY: list[str] = [
     "stratified_split",
     "chunk_documents",
     "cms_counts",
-    "resize_images",
     "image_formats",
     "entity_features",
     # representative core. Moved past the 50-window to make room for

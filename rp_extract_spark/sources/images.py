@@ -448,3 +448,64 @@ def gate_images_df(spark: SparkSession, n: int) -> DataFrame:
     )
     rng_df = spark.range(0, n, numPartitions=min(max(n // 16, 1), 32))
     return rng_df.mapInPandas(gen, schema)
+
+
+def curation_images_df(spark: SparkSession, n: int) -> DataFrame:
+    """Closed-form fixture for the COMPOSED curation pipeline
+    (gate -> verified dedup -> aspect buckets): groups of 5
+    (g = i//5) on a per-group canvas (w = 16/20/24 by g%3, h = 16)
+    with base pixel ``(g*41 + x*7 + y*13) % 251``; variant v = i%5:
+
+    - v0/v1/v2: as verified_dup_images_df (base, one-pixel dup,
+      two-pixel dup);
+    - v3: the odd-rows +128 dHash-collision decoy (h = 16 keeps the
+      dHash anchor rows even for every canvas width);
+    - v4: FLAT (all pixels ``(g*41) % 251``) — zero variance/entropy,
+      so the QUALITY GATE rejects it before dedup ever sees it. Flat
+      images are identical across groups; if they reached the dedup
+      stage they would chain every group together — the fixture
+      proves stage ordering matters and the pipeline gets it right.
+
+    Every pixel exactly recomputable in SQL; per-group widths make the
+    final aspect-bucket stage non-degenerate. ORACLE-SCALE ONLY."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for i in b["id"].values:
+                i = int(i)
+                g, v = divmod(i, 5)
+                w = [16, 20, 24][g % 3]
+                if v == 4:
+                    px = np.full((16, w), (g * 41) % 251, dtype=np.int64)
+                else:
+                    yy, xx = np.mgrid[0:16, 0:w]
+                    px = ((g * 41 + xx * 7 + yy * 13) % 251).astype(np.int64)
+                    if v in (1, 2):
+                        px[0, 0] = (px[0, 0] + 128) % 256
+                    if v == 2:
+                        px[2, 0] = (px[2, 0] + 128) % 256
+                    if v == 3:
+                        px[1::2, :] = (px[1::2, :] + 128) % 256
+                rows.append(
+                    {
+                        "image_id": f"img{i:08d}",
+                        "bytes": encode_png(px.astype(np.uint8)),
+                        "w": w,
+                        "h": 16,
+                        "fmt": "png",
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType(), False),
+            T.StructField("bytes", T.BinaryType(), False),
+            T.StructField("w", T.IntegerType(), False),
+            T.StructField("h", T.IntegerType(), False),
+            T.StructField("fmt", T.StringType(), False),
+        ]
+    )
+    rng_df = spark.range(0, n, numPartitions=min(max(n // 16, 1), 32))
+    return rng_df.mapInPandas(gen, schema)

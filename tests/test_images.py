@@ -571,3 +571,51 @@ def test_aspect_buckets_plan_is_shuffle_free(spark):
     )
     plan = aspect_bucket_images(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ------------------------------------------------------- composed pipeline
+
+
+def test_curation_pipeline_stage_order(spark):
+    """gate -> verified dedup -> buckets: flat variants (identical
+    ACROSS groups — they would chain every group into one component)
+    must be removed by the GATE before dedup; decoys must reach dedup
+    and be rejected by the SSE verify; kept reps bucket by their
+    group's canvas."""
+    from rp_extract_spark.operators.images import (
+        aspect_bucket_images,
+        phash_dedup_verified,
+        quality_gate_images,
+    )
+    from rp_extract_spark.sources.images import curation_images_df
+
+    imgs = curation_images_df(spark, 20)
+    gated = quality_gate_images(imgs, min_w=16, min_h=16)
+    rejected = sorted(
+        r["image_id"] for r in gated.filter(~gated["passes"]).collect()
+    )
+    # exactly the flat variants (v4 of each group) fail the gate
+    assert rejected == [f"img{i:08d}" for i in (4, 9, 14, 19)]
+
+    keep = imgs.join(
+        gated.filter(gated["passes"]).select("image_id"), "image_id"
+    )
+    dd = phash_dedup_verified(keep, max_sse=40000, grid=16)
+    comp = {}
+    for r in dd.collect():
+        comp.setdefault(r["rep_id"], []).append(r["image_id"])
+    # per group: {v0, v1, v2} merged; decoy v3 alone; v4 never present
+    assert sorted(len(v) for v in comp.values()) == [1, 1, 1, 1, 3, 3, 3, 3]
+    assert "img00000004" not in {i for v in comp.values() for i in v}
+
+    reps = spark.createDataFrame(
+        [(k, 16 + 4 * ((int(k[3:]) // 5) % 3), 16) for k in comp],
+        "image_id string, w int, h int",
+    )
+    buckets = {
+        r["image_id"]: (r["bucket_w"], r["bucket_h"])
+        for r in aspect_bucket_images(reps).collect()
+    }
+    assert buckets["img00000000"] == (1024, 1024)   # 16x16
+    assert buckets["img00000005"] == (1152, 896)    # 20x16
+    assert buckets["img00000010"] == (1216, 832)    # 24x16

@@ -11,6 +11,7 @@ HIGH_RISK = [
     "image_dedup_verified",
     "image_quality_gate",
     "image_aspect_buckets",
+    "image_curation",
     "image_gradients",
     "image_equalize",
     "image_decontaminate",

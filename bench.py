@@ -99,6 +99,8 @@ RELATIONAL = [
     "image_aspect_buckets",
     "image_curation",
     "pq_topk",
+    "epoch_shuffle",
+    "webdataset_roundtrip",
 ]
 
 

@@ -1023,3 +1023,58 @@ def mix_corpus(
         .filter(h < F.col("__thr"))
         .drop("__thr")
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    epoch: int = 0,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Deterministic global shuffle for training epochs: every row gets
+    a reshuffle-stable position ``pos`` (its rank in
+    ``md5(id:seed:epoch)`` order — a new permutation per epoch, the
+    same permutation on every run/cluster/engine) and a round-robin
+    ``shard = pos % n_shards`` so a data loader can read its slice by
+    shard. md5, not xxhash64, for cross-engine reproducibility (the
+    hash_sample precedent).
+
+    Scale shape: NO global sort on one reducer — rows range-partition
+    by the shuffle key, each partition ranks locally, and broadcast
+    per-partition base counts lift local ranks to global positions
+    (the pack_sequences / stratified_split two-level-rank technique;
+    the only unpartitioned window runs over the P-row counts table)."""
+    key = F.md5(
+        F.concat_ws(
+            ":",
+            F.col(id_col).cast("string"),
+            F.lit(str(int(seed))),
+            F.lit(str(int(epoch))),
+        )
+    )
+    t = (
+        df.withColumn("__k", key)
+        .repartitionByRange("__k", id_col)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()  # __pid feeds both the local rank and the base
+        # counts; the cache pins one partition placement for both
+        # (leak-until-evict, the documented pack_sequences policy)
+    )
+    local = t.withColumn(
+        "__r",
+        F.row_number().over(
+            Window.partitionBy("__pid").orderBy("__k", id_col)
+        ),
+    )
+    counts = t.groupBy("__pid").agg(F.count("*").alias("__c"))
+    wp = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    bases = counts.select(
+        "__pid", F.coalesce(F.sum("__c").over(wp), F.lit(0)).alias("__base")
+    )
+    pos = F.col("__base") + F.col("__r") - 1
+    return local.join(F.broadcast(bases), "__pid").select(
+        *[F.col(c) for c in df.columns],
+        pos.alias("pos"),
+        (pos % n_shards).cast("int").alias("shard"),
+    )

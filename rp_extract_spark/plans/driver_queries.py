@@ -4653,6 +4653,87 @@ QUERIES["image_curation"] = q_image_curation
 ORACLES["image_curation"] = ORACLE_IMAGE_CURATION
 
 
+def q_epoch_shuffle(spark, sf):
+    """Deterministic per-epoch training shuffle, fully ORACLED: rank
+    in md5(id:seed:epoch) order — Spark's F.md5 and DuckDB's md5 agree
+    byte-for-byte on the same concatenation, so the whole permutation
+    (and the pos % n_shards round-robin) replays exactly. The Spark
+    side computes the global rank with the two-level technique (range
+    partition by key, per-partition row_number, broadcast base
+    counts) — never a single-reducer global sort."""
+    from ..operators.curation import epoch_shuffle
+
+    docs = _t(spark, sf, "documents")
+    out = epoch_shuffle(docs, id_col="doc_id", seed=7, epoch=2, n_shards=8)
+    return out.select("doc_id", "pos", "shard").orderBy("doc_id")
+
+
+ORACLE_EPOCH_SHUFFLE = """
+WITH r AS (SELECT doc_id,
+                  row_number() OVER (
+                    ORDER BY md5(doc_id || ':7:2'), doc_id) - 1 AS pos
+           FROM documents)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       CAST(pos % 8 AS INT) AS shard
+FROM r ORDER BY doc_id
+"""
+
+
+QUERIES["epoch_shuffle"] = q_epoch_shuffle
+ORACLES["epoch_shuffle"] = ORACLE_EPOCH_SHUFFLE
+
+
+def q_webdataset_roundtrip(spark, sf):
+    """WebDataset tar-shard sink + scan, ORACLED end to end: formula
+    images are written as tar shards (deterministic member names,
+    mtime 0), scanned back through the binaryFile + untar stage,
+    DECODED, and reduced to exact integer pixel sums — which DuckDB
+    recomputes straight from the pixel formula. A corrupted byte
+    anywhere in the write→scan→decode chain breaks the integer
+    equality, so this verifies the full sink/scan fidelity, not just
+    row counts (the hdf5_roundtrip pattern). Side effect: writes tar
+    shards to a fresh temp dir each run."""
+    import tempfile
+
+    from ..operators.images import image_stats
+    from ..sources.images import formula_images_df
+    from ..sources.webdataset import read_webdataset, write_webdataset
+
+    d = tempfile.mkdtemp(prefix="wds_roundtrip_")
+    write_webdataset(
+        formula_images_df(spark, 12), d, shard_rows=5
+    ).count()
+    back = read_webdataset(spark, d + "/*.tar").filter(F.col("err").isNull())
+    imgs = back.select(
+        F.col("key").alias("image_id"),
+        F.col("data").alias("bytes"),
+        F.col("ext").alias("fmt"),
+    )
+    return image_stats(imgs).select(
+        "image_id", "w", "h", "n_px", "px_sum", "px_sq_sum"
+    ).orderBy("image_id")
+
+
+ORACLE_WEBDATASET_ROUNDTRIP = """
+WITH ids AS (SELECT unnest(range(12)) AS i),
+""" + _SQL_FORMULA_DIMS + """,
+px AS (SELECT i, w, h, (i*31 + x.g*7 + y.g*13) % 256 AS val
+       FROM dims, (SELECT unnest(range(256)) AS g) x,
+            (SELECT unnest(range(128)) AS g) y
+       WHERE x.g < w AND y.g < h)
+SELECT printf('img%08d', i) AS image_id,
+       CAST(w AS INT) AS w, CAST(h AS INT) AS h,
+       CAST(count(*) AS BIGINT) AS n_px,
+       CAST(sum(val) AS BIGINT) AS px_sum,
+       CAST(sum(val*val) AS BIGINT) AS px_sq_sum
+FROM px GROUP BY i, w, h ORDER BY image_id
+"""
+
+
+QUERIES["webdataset_roundtrip"] = q_webdataset_roundtrip
+ORACLES["webdataset_roundtrip"] = ORACLE_WEBDATASET_ROUNDTRIP
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #
@@ -4676,6 +4757,8 @@ _PRIORITY: list[str] = [
     "image_equalize",
     "image_decontaminate",
     "image_curation",
+    "webdataset_roundtrip",
+    "epoch_shuffle",
     "image_stats",
     "image_augment",
     "image_tiles",
@@ -4706,9 +4789,7 @@ _PRIORITY: list[str] = [
     "decontaminate_ngram",
     "bm25_rank",
     "pack_sequences",
-    "sequences_table",
     "stratified_split",
-    "chunk_documents",
     "cms_counts",
     "image_formats",
     "entity_features",

@@ -1,0 +1,167 @@
+"""WebDataset-style tar shard sink/scan for training corpora.
+
+The PUBLIC WebDataset convention (github.com/webdataset/webdataset —
+the de-facto loader format for large image/text training sets): a
+dataset is a set of ``.tar`` shards; a sample is the group of adjacent
+tar members sharing a basename key, with the member extension naming
+the field (``000123.png`` + ``000123.json``). Training loaders stream
+shards sequentially — no random access, which is exactly what an
+object store wants at 100 TB.
+
+Scale shape: the SINK is embarrassingly parallel — each input
+partition rolls its own shard files (named ``prefix-<pid>-<k>.tar``,
+deterministic, so task retries overwrite idempotently via
+``os.replace``) and emits a manifest row per shard; nothing shuffles.
+The SCAN is a ``binaryFile`` source over the shards plus an Arrow
+untar stage with per-FILE error isolation — one corrupt shard
+quarantines as an ``err`` row instead of killing the read. Shards are
+the parallelism unit on read, matching the loader semantics.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import tarfile
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.StringType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+    ]
+)
+
+MEMBER_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.StringType(), False),
+        T.StructField("key", T.StringType(), True),
+        T.StructField("ext", T.StringType(), True),
+        T.StructField("data", T.BinaryType(), True),
+        T.StructField("err", T.StringType(), True),
+    ]
+)
+
+
+def write_webdataset(
+    df: DataFrame,
+    out_dir: str,
+    id_col: str = "image_id",
+    data_col: str = "bytes",
+    ext_col: str = "fmt",
+    meta_cols: tuple[str, ...] = (),
+    shard_rows: int = 1000,
+    prefix: str = "shard",
+) -> DataFrame:
+    """Write rows as WebDataset tar shards; returns the (lazy) shard
+    manifest — COUNT or collect it to run the job. Each sample is a
+    ``<key>.<ext>`` member holding ``data_col`` plus, when
+    ``meta_cols`` are given, a ``<key>.json`` member with those
+    columns (sorted keys, so byte-stable). Not transactional: like
+    the CSV sink, concurrent writers to one ``out_dir`` race; task
+    retries are safe (deterministic names + atomic ``os.replace``)."""
+    os.makedirs(out_dir, exist_ok=True)
+    cols = [id_col, data_col, ext_col, *meta_cols]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        rows_out, k, n, nbytes = [], 0, 0, 0
+        buf = io.BytesIO()
+        tf = tarfile.open(fileobj=buf, mode="w")
+
+        def roll():
+            nonlocal buf, tf, k, n, nbytes
+            tf.close()
+            name = f"{prefix}-{pid:05d}-{k:04d}.tar"
+            tmp = os.path.join(out_dir, f".{name}.tmp-{os.getpid()}")
+            with open(tmp, "wb") as f:
+                f.write(buf.getvalue())
+            os.replace(tmp, os.path.join(out_dir, name))
+            rows_out.append({"shard": name, "n_samples": n,
+                             "n_bytes": len(buf.getvalue())})
+            buf, tf, k, n, nbytes = io.BytesIO(), None, k + 1, 0, 0
+            tf = tarfile.open(fileobj=buf, mode="w")
+
+        def add(name: str, payload: bytes):
+            nonlocal nbytes
+            info = tarfile.TarInfo(name=name)
+            info.size = len(payload)
+            info.mtime = 0  # deterministic archives
+            tf.addfile(info, io.BytesIO(payload))
+            nbytes += len(payload)
+
+        for b in batches:
+            for row in b.itertuples(index=False):
+                d = dict(zip(b.columns, row))
+                key, ext = str(d[id_col]), str(d[ext_col])
+                add(f"{key}.{ext}", bytes(d[data_col]))
+                if meta_cols:
+                    meta = {c: d[c] for c in meta_cols}
+                    add(
+                        f"{key}.json",
+                        json.dumps(meta, sort_keys=True, default=str).encode(),
+                    )
+                n += 1
+                if n >= shard_rows:
+                    roll()
+        if n:
+            roll()
+        yield pd.DataFrame(
+            rows_out, columns=[f.name for f in MANIFEST_SCHEMA.fields]
+        )
+
+    return df.select(*cols).mapInPandas(run, MANIFEST_SCHEMA)
+
+
+def read_webdataset(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Scan WebDataset shards back to one row per tar member
+    (shard, key, ext, data, err). Shards parallelize the scan
+    (binaryFile source, predicate/glob pushdown); a corrupt shard
+    yields a single err row (per-file isolation). Reassemble samples
+    by grouping on ``key`` or pivoting ``ext``."""
+    files = spark.read.format("binaryFile").load(path_glob)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for path, content in zip(b["path"].values, b["content"].values):
+                shard = os.path.basename(str(path))
+                try:
+                    with tarfile.open(
+                        fileobj=io.BytesIO(bytes(content)), mode="r"
+                    ) as tf:
+                        for m in tf.getmembers():
+                            if not m.isfile():
+                                continue
+                            stem, dot, ext = m.name.rpartition(".")
+                            rows.append(
+                                {
+                                    "shard": shard,
+                                    "key": stem if dot else m.name,
+                                    "ext": ext if dot else "",
+                                    "data": tf.extractfile(m).read(),
+                                    "err": None,
+                                }
+                            )
+                except Exception as e:  # noqa: BLE001
+                    rows.append(
+                        {
+                            "shard": shard, "key": None, "ext": None,
+                            "data": None,
+                            "err": f"{type(e).__name__}: {e}",
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEMBER_SCHEMA.fields]
+            )
+
+    return files.select("path", "content").mapInPandas(run, MEMBER_SCHEMA)

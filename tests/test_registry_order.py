@@ -12,6 +12,8 @@ HIGH_RISK = [
     "image_quality_gate",
     "image_aspect_buckets",
     "image_curation",
+    "webdataset_roundtrip",
+    "epoch_shuffle",
     "image_gradients",
     "image_equalize",
     "image_decontaminate",

@@ -101,6 +101,7 @@ RELATIONAL = [
     "pq_topk",
     "epoch_shuffle",
     "webdataset_roundtrip",
+    "audio_quality_gate",
 ]
 
 

@@ -17,6 +17,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..codecs import decode_image, encode_png, to_gray
@@ -363,4 +364,109 @@ def image_pixels(images: DataFrame) -> DataFrame:
 
     return images.select("image_id", "bytes", "fmt").mapInPandas(
         run, PIXEL_SCHEMA
+    )
+
+
+AUDIO_GATE_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType(), False),
+        T.StructField("n_samples", T.IntegerType(), True),
+        T.StructField("samplerate", T.IntegerType(), True),
+        T.StructField("n_clipped", T.IntegerType(), True),
+        T.StructField("n_silent", T.IntegerType(), True),
+        T.StructField("peak", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("err", T.StringType(), True),
+    ]
+)
+
+
+def quality_gate_audio(
+    clips: DataFrame,
+    min_samples: int = 16,
+    min_rms: float = 0.001,
+    clip_thresh: float = 0.999,
+    silence_thresh: float = 1.0 / 1024,
+    max_clip_ratio: tuple[int, int] = (1, 100),
+    max_silence_ratio: tuple[int, int] = (1, 2),
+) -> DataFrame:
+    """Audio curation gate — the audio analog of
+    images.quality_gate_images: per clip, boolean ``passes`` plus a
+    deterministic comma-joined ``reject_reasons`` string over the
+    standard pre-training filters (decode failure, too-short,
+    clipping, dominant silence, near-zero level).
+
+    Exactness contract: the decode stage emits EXACT counts
+    (``n_clipped`` = samples with \\|x\\| >= clip_thresh, ``n_silent``
+    = samples with \\|x\\| <= silence_thresh) and the ratio gates are
+    integer cross-products (``n_clipped * den > n * num``) — with
+    float-WAV sources and power-of-two thresholds every decision is
+    bit-replayable by a SQL engine over the same sample arrays. RMS is
+    the only derived float (callers round it for comparison). One
+    Arrow scan, no shuffle, per-record error isolation."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for cid, data in zip(b["clip_id"].values, b["bytes"].values):
+                try:
+                    sr, samples = decode_audio(bytes(data))
+                    a = np.abs(samples.astype(np.float64, copy=False))
+                    rows.append(
+                        {
+                            "clip_id": cid,
+                            "n_samples": len(samples),
+                            "samplerate": sr,
+                            "n_clipped": int((a >= clip_thresh).sum()),
+                            "n_silent": int((a <= silence_thresh).sum()),
+                            "peak": float(a.max()) if len(a) else 0.0,
+                            "rms": float(np.sqrt(np.mean(samples.astype(np.float64) ** 2)))
+                            if len(samples) else 0.0,
+                            "err": None,
+                        }
+                    )
+                except Exception as e:  # noqa: BLE001
+                    rows.append(
+                        {
+                            "clip_id": cid, "n_samples": None,
+                            "samplerate": None, "n_clipped": None,
+                            "n_silent": None, "peak": None, "rms": None,
+                            "err": f"{type(e).__name__}: {e}",
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_GATE_SCHEMA.fields]
+            )
+
+    s = clips.select("clip_id", "bytes").mapInPandas(run, AUDIO_GATE_SCHEMA)
+    cn, cd = max_clip_ratio
+    sn, sd = max_silence_ratio
+    n = F.col("n_samples")
+    checks = [
+        ("decode_error", F.col("err").isNotNull()),
+        ("too_short", n < min_samples),
+        ("clipped", F.col("n_clipped") * cd > n * cn),
+        ("mostly_silence", F.col("n_silent") * sd > n * sn),
+        ("too_quiet", F.col("rms") < F.lit(float(min_rms))),
+    ]
+    reasons = F.filter(
+        F.array(*[
+            F.when(
+                cond if name == "decode_error"
+                else F.col("err").isNull() & cond,
+                F.lit(name),
+            )
+            for name, cond in checks
+        ]),
+        lambda x: x.isNotNull(),
+    )
+    return s.select(
+        "clip_id", "n_samples", "samplerate", "n_clipped", "n_silent",
+        "peak", "rms",
+        reasons.alias("__r"),
+    ).select(
+        "clip_id", "n_samples", "samplerate", "n_clipped", "n_silent",
+        "peak", "rms",
+        (F.size("__r") == 0).alias("passes"),
+        F.concat_ws(",", "__r").alias("reject_reasons"),
     )

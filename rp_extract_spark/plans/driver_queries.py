@@ -4734,6 +4734,103 @@ QUERIES["webdataset_roundtrip"] = q_webdataset_roundtrip
 ORACLES["webdataset_roundtrip"] = ORACLE_WEBDATASET_ROUNDTRIP
 
 
+def q_audio_quality_gate(spark, sf):
+    """Audio curation gate (the audio analog of image_quality_gate),
+    fully ORACLED: embeddings mux into float32 WAVs with POWER-OF-TWO
+    per-clip transformations (x64 -> clipping, x2^-20 -> silence,
+    8-sample slice -> too-short) that are exact in BOTH float32 and
+    double, so every count and gate decision replays bit-for-bit in
+    DuckDB over the same arrays; float-WAV decode is an exact
+    roundtrip (the audio_roundtrip precedent). RMS/peak ride along at
+    floor(x*1e6+0.5)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..codecs.wav import encode_wav
+    from ..operators.multimodal import quality_gate_audio
+
+    e = _t(spark, sf, "embeddings")
+
+    def gen(batches):
+        for b in batches:
+            ids, blobs = [], []
+            for vid, v in zip(b["vec_id"].values, b["embedding"].values):
+                vid = int(vid)
+                a = np.asarray(v, dtype=np.float32)
+                if vid % 5 == 0:
+                    a = a * np.float32(64.0)
+                elif vid % 7 == 0:
+                    a = a * np.float32(2.0 ** -20)
+                elif vid % 11 == 0:
+                    a = a[:8]
+                ids.append(str(vid))
+                blobs.append(encode_wav(a, 8000, samplewidth=4))
+            yield pd.DataFrame({"clip_id": ids, "bytes": blobs})
+
+    clips = e.select("vec_id", "embedding").mapInPandas(
+        gen, "clip_id string, bytes binary"
+    )
+    g = quality_gate_audio(clips)
+    u = lambda c: F.floor(F.col(c) * 1e6 + F.lit(0.5)).cast("long")  # noqa: E731
+    return g.select(
+        F.col("clip_id").cast("bigint").alias("clip_id"),
+        "n_samples", "n_clipped", "n_silent",
+        u("peak").alias("peak_u"),
+        u("rms").alias("rms_u"),
+        "passes", "reject_reasons",
+    ).orderBy("clip_id")
+
+
+ORACLE_AUDIO_QUALITY_GATE = """
+WITH base AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 5 = 0
+                THEN list_transform(embedding, x -> CAST(x AS DOUBLE) * 64)
+              WHEN vec_id % 7 = 0
+                THEN list_transform(embedding,
+                                    x -> CAST(x AS DOUBLE) / 1048576)
+              WHEN vec_id % 11 = 0
+                THEN list_transform(list_slice(embedding, 1, 8),
+                                    x -> CAST(x AS DOUBLE))
+              ELSE list_transform(embedding, x -> CAST(x AS DOUBLE))
+         END AS s
+  FROM embeddings),
+st AS (
+  SELECT vec_id, len(s) AS n,
+         list_aggregate(list_transform(
+           s, x -> CASE WHEN abs(x) >= 0.999 THEN 1 ELSE 0 END),
+           'sum') AS nclip,
+         list_aggregate(list_transform(
+           s, x -> CASE WHEN abs(x) <= 1.0/1024 THEN 1 ELSE 0 END),
+           'sum') AS nsil,
+         list_max(list_transform(s, x -> abs(x))) AS peak,
+         sqrt(list_aggregate(list_transform(s, x -> x*x), 'sum')
+              / len(s)) AS rms
+  FROM base),
+g AS (SELECT *,
+             (n < 16) AS too_short,
+             (nclip * 100 > n * 1) AS clipped,
+             (nsil * 2 > n * 1) AS mostly_silence,
+             (rms < 0.001) AS too_quiet
+      FROM st)
+SELECT vec_id AS clip_id, CAST(n AS INT) AS n_samples,
+       CAST(nclip AS INT) AS n_clipped, CAST(nsil AS INT) AS n_silent,
+       CAST(floor(peak * 1e6 + 0.5) AS BIGINT) AS peak_u,
+       CAST(floor(rms * 1e6 + 0.5) AS BIGINT) AS rms_u,
+       NOT (too_short OR clipped OR mostly_silence OR too_quiet) AS passes,
+       concat_ws(',',
+         CASE WHEN too_short THEN 'too_short' END,
+         CASE WHEN clipped THEN 'clipped' END,
+         CASE WHEN mostly_silence THEN 'mostly_silence' END,
+         CASE WHEN too_quiet THEN 'too_quiet' END) AS reject_reasons
+FROM g ORDER BY clip_id
+"""
+
+
+QUERIES["audio_quality_gate"] = q_audio_quality_gate
+ORACLES["audio_quality_gate"] = ORACLE_AUDIO_QUALITY_GATE
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #
@@ -4759,6 +4856,7 @@ _PRIORITY: list[str] = [
     "image_curation",
     "webdataset_roundtrip",
     "epoch_shuffle",
+    "audio_quality_gate",
     "image_stats",
     "image_augment",
     "image_tiles",
@@ -4778,7 +4876,6 @@ _PRIORITY: list[str] = [
     "svm_classify",
     "minhash_dedup",
     "minhash_recall",
-    "ivf_recall",
     "simhash",
     "embedding_dedup",
     "bpe_merges",

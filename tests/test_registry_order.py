@@ -14,6 +14,7 @@ HIGH_RISK = [
     "image_curation",
     "webdataset_roundtrip",
     "epoch_shuffle",
+    "audio_quality_gate",
     "image_gradients",
     "image_equalize",
     "image_decontaminate",

@@ -102,6 +102,7 @@ RELATIONAL = [
     "epoch_shuffle",
     "webdataset_roundtrip",
     "audio_quality_gate",
+    "ivfpq_topk",
 ]
 
 

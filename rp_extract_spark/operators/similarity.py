@@ -655,3 +655,42 @@ def pq_topk(
         .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    model: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ top-k — the FAISS serve architecture composed from the
+    repo's own parts: the coarse quantizer (ivf_build assignment)
+    prunes the corpus to the query's ``nprobe`` nearest inverted
+    lists, then the ADC path (pq_encode + pq_topk) scans ONLY those
+    lists' m-byte codes. At 10^11+ vectors this is the standard
+    memory/recall trade: the coarse probe cuts candidates ~(nlist /
+    nprobe)x, PQ cuts bytes-per-candidate ~(dim*4/m)x, and neither
+    step touches a float vector at serve time once lists and codes
+    are materialized (build-once / probe-many: persist or write
+    ivf_build's output partitioned by list_id so probes become
+    partition pruning).
+
+    Probe selection runs on the driver over the collected K-row
+    centroid model (nearest by squared euclidean, ties to the smaller
+    label) — a model-sized collect, the kmeans_fit discipline."""
+    rows = centroids.collect()
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    scored = sorted(
+        (float(np.sum((np.asarray(r["centroid"], dtype=np.float64) - q) ** 2)),
+         str(r["centroid_label"]))
+        for r in rows
+    )
+    probe = [lab for _, lab in scored[:nprobe]]
+    lists = ivf_build(corpus, centroids, vec_col=vec_col, id_col=id_col)
+    pruned = lists.filter(F.col("list_id").isin(probe))
+    codes = pq_encode(pruned, model, vec_col=vec_col, id_col=id_col)
+    return pq_topk(codes, model, q, k=k, id_col=id_col)

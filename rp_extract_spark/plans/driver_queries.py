@@ -4831,6 +4831,95 @@ QUERIES["audio_quality_gate"] = q_audio_quality_gate
 ORACLES["audio_quality_gate"] = ORACLE_AUDIO_QUALITY_GATE
 
 
+def q_ivfpq_topk(spark, sf):
+    """IVF-PQ top-k (the FAISS serve architecture) with FIXED coarse
+    centroids (embeddings vec_id 0..7) and FIXED PQ codebooks (the
+    sub-slices of vec_id 0..3), so the ENTIRE two-stage approximate
+    search — coarse assignment, nprobe probe-list selection, the
+    pruned per-subspace code assignment, the ADC sum and the top-k
+    cut — replays independently in DuckDB. Same membership-by-raw /
+    order-by-rounded convention and ordered list_sum as pq_topk."""
+    from ..operators.similarity import ivfpq_topk
+
+    e = _t(spark, sf, "embeddings")
+    cent = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("string").alias("centroid_label"),
+        F.col("embedding").cast("array<double>").alias("centroid"),
+    )
+    pq_model = e.filter(F.col("vec_id") < 4).select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("sub"),
+                    F.col("vec_id").cast("string").alias("centroid_label"),
+                    F.slice(
+                        F.col("embedding").cast("array<double>"),
+                        s * 16 + 1, 16,
+                    ).alias("centroid"),
+                )
+                for s in range(4)
+            ])
+        ).alias("b")
+    ).select("b.*")
+    qv = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 9).first()["embedding"]
+    ]
+    out = ivfpq_topk(e, cent, pq_model, qv, k=10, nprobe=2)
+    return out.select(
+        "vec_id",
+        F.floor(F.col("adc_dist") * 1e4 + F.lit(0.5)).cast("long")
+        .alias("adc_u"),
+    ).orderBy("adc_u", "vec_id")
+
+
+ORACLE_IVFPQ_TOPK = """
+WITH cent AS (SELECT CAST(vec_id AS VARCHAR) AS lab, embedding::DOUBLE[] AS c
+              FROM embeddings WHERE vec_id < 8),
+q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 9),
+probe AS (SELECT lab FROM cent, q
+          ORDER BY list_distance(c, v) ASC, lab ASC LIMIT 2),
+assign AS (SELECT e.vec_id,
+                  (SELECT lab FROM cent
+                   ORDER BY list_distance(cent.c, e.embedding::DOUBLE[]) ASC,
+                            lab ASC LIMIT 1) AS list_id
+           FROM embeddings e),
+pruned AS (SELECT vec_id FROM assign
+           WHERE list_id IN (SELECT lab FROM probe)),
+cb AS (SELECT s.g AS sub, CAST(e.vec_id AS INT) AS code,
+              list_slice(e.embedding::DOUBLE[],
+                         s.g*16 + 1, s.g*16 + 16) AS c
+       FROM embeddings e, (SELECT unnest(range(4)) AS g) s
+       WHERE e.vec_id < 4),
+sv AS (SELECT e.vec_id, s.g AS sub,
+              list_slice(e.embedding::DOUBLE[],
+                         s.g*16 + 1, s.g*16 + 16) AS x
+       FROM embeddings e JOIN pruned USING (vec_id),
+            (SELECT unnest(range(4)) AS g) s),
+codes AS (SELECT vec_id, sub,
+                 (SELECT code FROM cb WHERE cb.sub = sv.sub
+                  ORDER BY list_distance(cb.c, sv.x) ASC, code ASC
+                  LIMIT 1) AS code
+          FROM sv),
+lut AS (SELECT sub, code,
+               list_distance(c, list_slice((SELECT v FROM q),
+                                           sub*16 + 1, sub*16 + 16)) AS li
+        FROM cb),
+adc AS (SELECT codes.vec_id,
+               list_sum(list(lut.li * lut.li ORDER BY codes.sub)) AS dist
+        FROM codes JOIN lut ON lut.sub = codes.sub AND lut.code = codes.code
+        GROUP BY codes.vec_id)
+SELECT * FROM (
+  SELECT vec_id, CAST(floor(dist * 1e4 + 0.5) AS BIGINT) AS adc_u
+  FROM adc ORDER BY dist ASC, vec_id ASC LIMIT 10)
+ORDER BY adc_u ASC, vec_id ASC
+"""
+
+
+QUERIES["ivfpq_topk"] = q_ivfpq_topk
+ORACLES["ivfpq_topk"] = ORACLE_IVFPQ_TOPK
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #
@@ -4869,13 +4958,13 @@ _PRIORITY: list[str] = [
     "contamination_report",
     "ivf_topk",
     "pq_topk",
+    "ivfpq_topk",
     "cv_accuracy",
     "logreg_classify",
     "minhash_dedup_verified",
     "pca_project",
     "svm_classify",
     "minhash_dedup",
-    "minhash_recall",
     "simhash",
     "embedding_dedup",
     "bpe_merges",

@@ -130,3 +130,64 @@ def test_pq_encode_plan_is_shuffle_free(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_ivfpq_full_probe_equals_pq(spark):
+    """nprobe = nlist disables pruning: IVF-PQ must return exactly the
+    plain ADC top-k."""
+    from rp_extract_spark.operators.similarity import ivfpq_topk
+
+    dim, m, k = 8, 2, 3
+    vecs = _rng_vectors(40, dim, seed=21)
+    cbs = {
+        s: {lab: np.round(np.random.RandomState(5 * s + lab).randn(dim // m), 3)
+            for lab in range(k)}
+        for s in range(m)
+    }
+    model = _model_df(spark, cbs)
+    cents = spark.createDataFrame(
+        [(str(i), [float(x) for x in vecs[i]]) for i in range(4)],
+        "centroid_label string, centroid array<double>",
+    )
+    q = [float(x) for x in _rng_vectors(1, dim, seed=77)[0]]
+    corpus = _vec_df(spark, vecs)
+    full = ivfpq_topk(corpus, cents, model, q, k=6, nprobe=4)
+    plain = pq_topk(pq_encode(corpus, model), model, q, k=6)
+    assert [r["vec_id"] for r in full.collect()] == [
+        r["vec_id"] for r in plain.collect()
+    ]
+
+
+def test_ivfpq_results_come_from_probed_lists(spark):
+    from rp_extract_spark.operators.classify import predict_centroids
+    from rp_extract_spark.operators.similarity import ivfpq_topk
+
+    dim, m, k = 8, 2, 3
+    vecs = _rng_vectors(40, dim, seed=31)
+    cbs = {
+        s: {lab: np.round(np.random.RandomState(3 * s + lab).randn(dim // m), 3)
+            for lab in range(k)}
+        for s in range(m)
+    }
+    model = _model_df(spark, cbs)
+    cents = spark.createDataFrame(
+        [(str(i), [float(x) for x in vecs[i]]) for i in range(4)],
+        "centroid_label string, centroid array<double>",
+    )
+    q = [float(x) for x in _rng_vectors(1, dim, seed=78)[0]]
+    corpus = _vec_df(spark, vecs)
+    got = ivfpq_topk(corpus, cents, model, q, k=10, nprobe=2).collect()
+    assert 0 < len(got) <= 10
+
+    qa = np.asarray(q)
+    cent_rows = cents.collect()
+    probe = [lab for _, lab in sorted(
+        (float(np.sum((np.asarray(r["centroid"]) - qa) ** 2)),
+         r["centroid_label"]) for r in cent_rows
+    )[:2]]
+    assigned = {
+        r["vec_id"]: r["predicted_label"]
+        for r in predict_centroids(corpus, cents).collect()
+    }
+    for r in got:
+        assert assigned[r["vec_id"]] in probe

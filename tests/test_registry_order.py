@@ -23,6 +23,7 @@ HIGH_RISK = [
     "image_tiles",
     "ivf_topk",
     "pq_topk",
+    "ivfpq_topk",
     "cv_accuracy",
     "winnow_overlap",
     "paragraph_dedup",

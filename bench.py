@@ -103,6 +103,7 @@ RELATIONAL = [
     "webdataset_roundtrip",
     "audio_quality_gate",
     "ivfpq_topk",
+    "pq_trained_topk",
 ]
 
 

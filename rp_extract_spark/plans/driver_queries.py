@@ -4920,6 +4920,99 @@ QUERIES["ivfpq_topk"] = q_ivfpq_topk
 ORACLES["ivfpq_topk"] = ORACLE_IVFPQ_TOPK
 
 
+def q_pq_trained_topk(spark, sf):
+    """PQ with TRAINED codebooks verified end to end (the ivf_topk
+    discipline): pq_fit runs 2 Lloyd iterations per subspace from
+    fixed table-row seeds, and the oracle unrolls the SAME iterations
+    as generated DuckDB CTEs (assignment tiebreak distance ASC, label
+    ASC — exactly pq_fit's window order; per-position avg means), then
+    replays encode + ADC + the top-k cut. Training, not just serving,
+    is in the hard signal."""
+    from ..operators.similarity import pq_encode, pq_fit, pq_topk
+
+    e = _t(spark, sf, "embeddings")
+    init = e.filter(F.col("vec_id") < 4).select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("sub"),
+                    F.col("vec_id").cast("string").alias("centroid_label"),
+                    F.slice(
+                        F.col("embedding").cast("array<double>"),
+                        s * 16 + 1, 16,
+                    ).alias("centroid"),
+                )
+                for s in range(4)
+            ])
+        ).alias("b")
+    ).select("b.*")
+    model = pq_fit(e, m=4, k=4, iters=2, init=init)
+    qv = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 9).first()["embedding"]
+    ]
+    out = pq_topk(pq_encode(e, model), model, qv, k=10)
+    return out.select(
+        "vec_id",
+        F.floor(F.col("adc_dist") * 1e4 + F.lit(0.5)).cast("long")
+        .alias("adc_u"),
+    ).orderBy("adc_u", "vec_id")
+
+
+def _pq_trained_topk_oracle_sql(iters: int = 2, m: int = 4, d: int = 16,
+                                k: int = 10) -> str:
+    """Unrolled per-subspace Lloyd + ADC, mirroring q_pq_trained_topk."""
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""sv AS (SELECT vec_id, s.g AS sub,
+           list_slice(v, s.g*{d} + 1, s.g*{d} + {d}) AS x
+    FROM e, (SELECT unnest(range({m})) AS g) s)""",
+        f"""qs AS (SELECT s.g AS sub,
+           list_slice((SELECT v FROM e WHERE vec_id = 9),
+                      s.g*{d} + 1, s.g*{d} + {d}) AS x
+    FROM (SELECT unnest(range({m})) AS g) s)""",
+        """cb0 AS (SELECT sv.sub, CAST(sv.vec_id AS VARCHAR) AS lab, sv.x AS c
+    FROM sv WHERE sv.vec_id < 4)""",
+    ]
+    for it in range(1, iters + 1):
+        ctes.append(
+            f"""a{it} AS (
+  SELECT sv.vec_id, sv.sub, sv.x,
+         (SELECT lab FROM cb{it - 1} cb WHERE cb.sub = sv.sub
+          ORDER BY list_distance(cb.c, sv.x) ASC, lab ASC LIMIT 1) AS lab
+  FROM sv)"""
+        )
+        ctes.append(
+            f"""cb{it} AS (
+  SELECT sub, lab, array_agg(mu ORDER BY pos) AS c FROM (
+    SELECT sub, lab, pos, avg(val) AS mu FROM (
+      SELECT sub, lab, generate_subscripts(x, 1) AS pos, unnest(x) AS val
+      FROM a{it})
+    GROUP BY sub, lab, pos)
+  GROUP BY sub, lab)"""
+        )
+    final = f"""codes AS (
+  SELECT sv.vec_id, sv.sub,
+         (SELECT lab FROM cb{iters} cb WHERE cb.sub = sv.sub
+          ORDER BY list_distance(cb.c, sv.x) ASC, lab ASC LIMIT 1) AS lab
+  FROM sv),
+lut AS (SELECT cb.sub, cb.lab, list_distance(cb.c, qs.x) AS li
+        FROM cb{iters} cb JOIN qs USING (sub)),
+adc AS (SELECT codes.vec_id,
+               list_sum(list(lut.li * lut.li ORDER BY codes.sub)) AS dist
+        FROM codes JOIN lut ON lut.sub = codes.sub AND lut.lab = codes.lab
+        GROUP BY codes.vec_id)
+SELECT * FROM (
+  SELECT vec_id, CAST(floor(dist * 1e4 + 0.5) AS BIGINT) AS adc_u
+  FROM adc ORDER BY dist ASC, vec_id ASC LIMIT {k})
+ORDER BY adc_u ASC, vec_id ASC"""
+    return "WITH " + ",\n".join(ctes) + ",\n" + final
+
+
+QUERIES["pq_trained_topk"] = q_pq_trained_topk
+ORACLES["pq_trained_topk"] = _pq_trained_topk_oracle_sql()
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #
@@ -4959,6 +5052,7 @@ _PRIORITY: list[str] = [
     "ivf_topk",
     "pq_topk",
     "ivfpq_topk",
+    "pq_trained_topk",
     "cv_accuracy",
     "logreg_classify",
     "minhash_dedup_verified",
@@ -4971,7 +5065,6 @@ _PRIORITY: list[str] = [
     "repetition_stats",
     "redact_pii",
     "unigram_lm",
-    "hash_embed",
     "decontaminate_ngram",
     "bm25_rank",
     "pack_sequences",

@@ -24,6 +24,7 @@ HIGH_RISK = [
     "ivf_topk",
     "pq_topk",
     "ivfpq_topk",
+    "pq_trained_topk",
     "cv_accuracy",
     "winnow_overlap",
     "paragraph_dedup",

@@ -619,3 +619,36 @@ def test_curation_pipeline_stage_order(spark):
     assert buckets["img00000000"] == (1024, 1024)   # 16x16
     assert buckets["img00000005"] == (1152, 896)    # 20x16
     assert buckets["img00000010"] == (1216, 832)    # 24x16
+
+
+def test_quality_gate_works_on_streams(spark, tmp_path):
+    """quality_gate_images is a stateless mapInPandas + projection, so
+    it must run unchanged as a Structured Streaming stage — curation
+    gating on ingest, not just batch."""
+    from rp_extract_spark.sources.images import gate_images_df
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    gate_images_df(spark, 10).write.mode("append").parquet(src)
+
+    from rp_extract_spark.operators.images import quality_gate_images
+
+    stream = spark.readStream.schema(
+        "image_id string, bytes binary, w int, h int, fmt string"
+    ).parquet(src)
+    q = (
+        quality_gate_images(stream, min_w=96, min_h=48)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.image_id: r for r in spark.read.parquet(out).collect()}
+    assert len(got) == 10
+    # flat images (i%5==4) and w=64 images must be rejected on-stream
+    assert not got["img00000004"].passes
+    assert "low_entropy" in got["img00000004"].reject_reasons
+    assert not got["img00000000"].passes  # w=64 < 96
+    assert got["img00000001"].passes

@@ -853,3 +853,143 @@ def aspect_bucket_images(
         best["bw"].alias("bucket_w"),
         best["bh"].alias("bucket_h"),
     )
+
+
+ENTROPY_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("n_px", T.LongType(), True),
+        T.StructField("n_distinct", T.IntegerType(), True),
+        T.StructField("entropy", T.DoubleType(), True),
+        T.StructField("err", T.StringType(), True),
+    ]
+)
+
+
+def image_entropy(images: DataFrame) -> DataFrame:
+    """Grayscale histogram entropy in nats — the flat/synthetic-image
+    curation signal (a solid color scores 0, a busy natural image
+    approaches ln 256 ~ 5.545; LAION-style pipelines gate on it next
+    to the blur/size gates). One shuffle-free Arrow scan; the
+    histogram is exact integers and the entropy is evaluated as
+    ``ln(n) - sum(c*ln c)/n`` — the exact expression a SQL oracle
+    replays (cross-engine drift ~1e-12, six orders below the 1e-6
+    comparison grain used by the driver query)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for iid, data, fmt in zip(
+                b["image_id"].values, b["bytes"].values, b["fmt"].values
+            ):
+                try:
+                    px = to_gray(decode_image(bytes(data), fmt)).astype(np.uint8)
+                    c = np.bincount(px.ravel(), minlength=256).astype(np.float64)
+                    nz = c[c > 0]
+                    n = float(px.size)
+                    ent = float(np.log(n) - float(np.sum(nz * np.log(nz))) / n)
+                    rows.append(
+                        {
+                            "image_id": iid,
+                            "n_px": int(px.size),
+                            "n_distinct": int(nz.size),
+                            "entropy": ent,
+                            "err": None,
+                        }
+                    )
+                except Exception as e:  # noqa: BLE001
+                    rows.append(
+                        {
+                            "image_id": iid, "n_px": None, "n_distinct": None,
+                            "entropy": None, "err": f"{type(e).__name__}: {e}",
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in ENTROPY_SCHEMA.fields])
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        run, ENTROPY_SCHEMA
+    )
+
+
+LETTERBOX_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), True),
+        T.StructField("w", T.IntegerType(), True),
+        T.StructField("h", T.IntegerType(), True),
+        T.StructField("inner_w", T.IntegerType(), True),
+        T.StructField("inner_h", T.IntegerType(), True),
+        T.StructField("pad_left", T.IntegerType(), True),
+        T.StructField("pad_top", T.IntegerType(), True),
+        T.StructField("fmt", T.StringType(), True),
+        T.StructField("err", T.StringType(), True),
+    ]
+)
+
+
+def letterbox_geometry(
+    w: int, h: int, out_w: int, out_h: int
+) -> tuple[int, int, int, int]:
+    """Integer aspect-fit: (inner_w, inner_h, pad_left, pad_top).
+    Wide-or-equal images (w*out_h >= h*out_w) fill the full width;
+    tall images the full height — floor division, min size 1, center
+    pad — so the geometry is exactly recomputable in SQL."""
+    if w * out_h >= h * out_w:
+        nw, nh = out_w, max(1, (h * out_w) // w)
+    else:
+        nw, nh = max(1, (w * out_h) // h), out_h
+    return nw, nh, (out_w - nw) // 2, (out_h - nh) // 2
+
+
+def letterbox_images(
+    images: DataFrame,
+    out_w: int = 64,
+    out_h: int = 64,
+    fill: int = 114,
+) -> DataFrame:
+    """Aspect-preserving resize + center pad to a fixed canvas (the
+    YOLO/ViT letterbox batching transform). Geometry is pure integer
+    arithmetic (``letterbox_geometry``), sampling is the shared anchor
+    rule ``src = (dst*dim)//inner`` (same as resize_images), fill is a
+    constant — every output pixel is closed-form over the source, so
+    the full canvas is SQL-replayable. One Arrow scan, error-isolated,
+    no shuffle; at 100 TB this is the standard pre-batch transform
+    stage running entirely inside the decode pass."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for iid, data, fmt in zip(
+                b["image_id"].values, b["bytes"].values, b["fmt"].values
+            ):
+                try:
+                    px = to_gray(decode_image(bytes(data), fmt)).astype(np.uint8)
+                    h, w = px.shape
+                    nw, nh, pl, pt = letterbox_geometry(w, h, out_w, out_h)
+                    inner = block_mean_resize(px, nh, nw)
+                    canvas = np.full((out_h, out_w), fill, dtype=np.uint8)
+                    canvas[pt:pt + nh, pl:pl + nw] = inner
+                    rows.append(
+                        {
+                            "image_id": iid, "bytes": encode_png(canvas),
+                            "w": out_w, "h": out_h, "inner_w": nw,
+                            "inner_h": nh, "pad_left": pl, "pad_top": pt,
+                            "fmt": "png", "err": None,
+                        }
+                    )
+                except Exception as e:  # noqa: BLE001
+                    rows.append(
+                        {
+                            "image_id": iid, "bytes": None, "w": None,
+                            "h": None, "inner_w": None, "inner_h": None,
+                            "pad_left": None, "pad_top": None, "fmt": None,
+                            "err": f"{type(e).__name__}: {e}",
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in LETTERBOX_SCHEMA.fields]
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        run, LETTERBOX_SCHEMA
+    )

@@ -43,6 +43,43 @@ def cosine_col(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def crossmodal_gate(
+    pairs: DataFrame,
+    left_col: str = "img_emb",
+    right_col: str = "txt_emb",
+    threshold_u: int = 250_000,
+    grain: int = 1_000_000,
+) -> DataFrame:
+    """CLIP-score-style cross-modal alignment gate (the LAION-400M
+    filtering rule: keep an image/caption pair only when the cosine
+    similarity of their embeddings clears a threshold — reference
+    analog: the classification gate `rp_classify.py` applies after
+    feature extraction, lifted to the paired-embedding setting).
+
+    Adds ``score_u`` (cosine similarity in integer ``1/grain`` units,
+    half-up) and ``passed`` (``score_u >= threshold_u``). The gate
+    decision compares *integers*, never floats, so the kept set is
+    bit-identical across engines: any SQL engine that recomputes the
+    cosine to within ``0.5/grain`` reproduces it exactly (float-vector
+    dot products are exact in double; cross-engine sum-order drift is
+    ~1e-15, six orders below the default grain).
+
+    100-TB shape: pure JVM higher-order functions over the two array
+    columns — one whole-stage-codegen projection, no shuffle, no
+    Python. Pairing (the join producing ``pairs``) is the caller's;
+    this operator never moves data.
+    """
+    a = F.col(left_col).cast("array<double>")
+    b = F.col(right_col).cast("array<double>")
+    score_u = (
+        F.floor(cosine_col(a, b) * F.lit(float(grain)) + F.lit(0.5))
+        .cast("long")
+    )
+    return pairs.withColumn("score_u", score_u).withColumn(
+        "passed", (F.col("score_u") >= F.lit(int(threshold_u))).cast("int")
+    )
+
+
 def topk_similar(
     corpus: DataFrame,
     query_vec: Sequence[float],

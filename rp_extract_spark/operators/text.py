@@ -468,3 +468,87 @@ def hash_embed(
         F.transform(v, lambda x: F.lit(0.0))
     )
     return vecs.select(F.col(id_col), emb.alias("embedding"))
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 100,
+    grain: int = 1_000_000,
+) -> DataFrame:
+    """Pointwise-mutual-information collocations — the corpus-analysis
+    pass a tokenizer/phrase pipeline runs before vocabulary decisions
+    (word2vec-style phrase mining): for adjacent token pairs with
+    count >= min_count, pmi = ln(p(xy) / (p(x) p(y))) with p(xy) over
+    bigram positions and p(x) over unigram tokens.
+
+    Returns the top_k rows by (pmi_u desc, w1, w2) — ``pmi_u`` is the
+    PMI in integer 1/grain units (half-up) so the cut is decided on
+    exact integers with a total-order tiebreak. The float expression
+    is evaluated in one fixed association order,
+    ``ln((cxy*Nu*Nu) / (Nb*cx*cy))`` over exact int64 counts cast to
+    double, so any IEEE engine reproduces it to ~1 ulp (six orders
+    below the grain).
+
+    100-TB shape: tokenize + bigram expansion are JVM higher-order
+    functions (no Python); two hash aggregations (bigram counts,
+    unigram counts — both map-side combined); the two vocab joins
+    shuffle on the token key and broadcast under AQE at small scale.
+    The corpus total rows (Nu, Nb) are 1-row aggregates joined by
+    literal cross-join broadcast. Document text itself never joins or
+    shuffles — only tokens and counts do.
+    """
+    ts = nonempty_tokens_col(F.col(text_col))
+    n = F.size(ts)
+    bi = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.struct(
+                F.element_at(ts, i + 1).alias("w1"),
+                F.element_at(ts, i + 2).alias("w2"),
+            ),
+        ),
+    )
+    bigrams = (
+        df.select(F.explode(bi).alias("b"))
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    unigrams = (
+        df.select(F.explode(ts).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c_tok"))
+    )
+    nu = unigrams.agg(F.sum("c_tok").alias("__nu"))
+    nb = bigrams.agg(F.sum("c_xy").alias("__nb"))
+    j = (
+        bigrams.filter(F.col("c_xy") >= F.lit(int(min_count)))
+        .join(unigrams.select(F.col("token").alias("w1"),
+                              F.col("c_tok").alias("c_x")), "w1")
+        .join(unigrams.select(F.col("token").alias("w2"),
+                              F.col("c_tok").alias("c_y")), "w2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+    )
+    pmi = F.log(
+        (F.col("c_xy").cast("double")
+         * F.col("__nu").cast("double")
+         * F.col("__nu").cast("double"))
+        / (F.col("__nb").cast("double")
+           * F.col("c_x").cast("double")
+           * F.col("c_y").cast("double"))
+    )
+    out = j.select(
+        "w1", "w2",
+        F.col("c_xy").cast("long").alias("c_xy"),
+        F.col("c_x").cast("long").alias("c_x"),
+        F.col("c_y").cast("long").alias("c_y"),
+        F.floor(pmi * F.lit(float(grain)) + F.lit(0.5)).cast("long")
+        .alias("pmi_u"),
+    )
+    return out.orderBy(
+        F.col("pmi_u").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(int(top_k))

@@ -5013,6 +5013,170 @@ QUERIES["pq_trained_topk"] = q_pq_trained_topk
 ORACLES["pq_trained_topk"] = _pq_trained_topk_oracle_sql()
 
 
+def q_crossmodal_gate(spark, sf):
+    """CLIP-score-style cross-modal alignment gate (LAION filtering
+    rule), fully ORACLED: embeddings pair with a deterministic partner
+    ((id*7+13) mod n playing the caption embedding), cosine similarity
+    in integer 1e-6 units, gate decided on exact integers. Float-float
+    products are exact in double; cross-engine sum-order drift ~1e-15,
+    six orders below the grain — DuckDB replays the score with
+    list_cosine_similarity over DOUBLE[] casts."""
+    from ..operators.similarity import crossmodal_gate
+
+    e = _t(spark, sf, "embeddings")
+    n = e.count()  # K-row driver lookup pattern (contiguous vec_ids)
+    a = e.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("img_emb"),
+        F.pmod(F.col("vec_id") * 7 + 13, F.lit(n)).alias("pid"),
+    )
+    b = e.select(F.col("vec_id").alias("pid"), F.col("embedding").alias("txt_emb"))
+    out = crossmodal_gate(a.join(b, "pid"), "img_emb", "txt_emb",
+                          threshold_u=50_000)
+    return out.select("id", "pid", "score_u", "passed").orderBy("id")
+
+
+ORACLE_CROSSMODAL_GATE = """
+WITH pairs AS (
+  SELECT a.vec_id AS id,
+         (a.vec_id * 7 + 13) % (SELECT count(*) FROM embeddings) AS pid,
+         a.embedding AS ea
+  FROM embeddings a),
+j AS (SELECT p.id, p.pid, p.ea, b.embedding AS eb
+      FROM pairs p JOIN embeddings b ON b.vec_id = p.pid),
+s AS (SELECT id, pid,
+             floor(list_cosine_similarity(CAST(ea AS DOUBLE[]),
+                                          CAST(eb AS DOUBLE[])) * 1e6 + 0.5)
+               AS su
+      FROM j)
+SELECT id, pid, CAST(su AS BIGINT) AS score_u,
+       CAST(CASE WHEN su >= 50000 THEN 1 ELSE 0 END AS INT) AS passed
+FROM s ORDER BY id
+"""
+
+
+def q_image_entropy(spark, sf):
+    """Histogram-entropy curation signal, fully ORACLED: the per-image
+    value histogram is exact integers DuckDB regroups from the pixel
+    formula; entropy = ln(n) - sum(c*ln c)/n evaluated identically on
+    both sides (ln ulp + sum-order drift ~1e-12 at the 1e-6 grain)."""
+    from ..operators.images import image_entropy
+    from ..sources.images import formula_images_df
+
+    ent = image_entropy(formula_images_df(spark, 10))
+    return ent.select(
+        "image_id", "n_px", "n_distinct",
+        F.floor(F.col("entropy") * 1e6 + F.lit(0.5)).cast("long")
+        .alias("entropy_u"),
+    ).orderBy("image_id")
+
+
+ORACLE_IMAGE_ENTROPY = """
+WITH ids AS (SELECT unnest(range(10)) AS i),
+""" + _SQL_FORMULA_DIMS + """,
+px AS (SELECT i, (i*31 + x.g*7 + y.g*13) % 256 AS v
+       FROM dims, (SELECT unnest(range(256)) AS g) x,
+            (SELECT unnest(range(128)) AS g) y
+       WHERE x.g < w AND y.g < h),
+counts AS (SELECT i, v, count(*) AS c FROM px GROUP BY i, v),
+tot AS (SELECT i, sum(c) AS n FROM counts GROUP BY i)
+SELECT printf('img%08d', counts.i) AS image_id,
+       CAST(max(tot.n) AS BIGINT) AS n_px,
+       CAST(count(*) AS INT) AS n_distinct,
+       CAST(floor((ln(CAST(max(tot.n) AS DOUBLE))
+                   - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+                     / CAST(max(tot.n) AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+         AS entropy_u
+FROM counts JOIN tot ON tot.i = counts.i
+GROUP BY counts.i ORDER BY image_id
+"""
+
+
+def q_image_letterbox(spark, sf):
+    """Letterbox batching transform, fully ORACLED pixel-by-pixel: the
+    aspect-fit geometry is pure integer arithmetic, inner pixels are
+    the anchor-sampled formula at remapped coordinates, pad pixels the
+    constant 114 — DuckDB recomputes the entire 64x64 canvas."""
+    from ..operators.images import letterbox_images
+    from ..operators.multimodal import image_pixels
+    from ..sources.images import formula_images_df
+
+    out = letterbox_images(formula_images_df(spark, 10),
+                           out_w=64, out_h=64, fill=114)
+    return image_pixels(out).orderBy("image_id", "y", "x")
+
+
+ORACLE_IMAGE_LETTERBOX = """
+WITH ids AS (SELECT unnest(range(10)) AS i),
+""" + _SQL_FORMULA_DIMS + """,
+geo AS (SELECT i, w, h,
+         CASE WHEN w >= h THEN 64 ELSE greatest((w*64)//h, 1) END AS nw,
+         CASE WHEN w >= h THEN greatest((h*64)//w, 1) ELSE 64 END AS nh
+        FROM dims),
+geo2 AS (SELECT i, w, h, nw, nh,
+                (64 - nw) // 2 AS pl, (64 - nh) // 2 AS pt
+         FROM geo)
+SELECT printf('img%08d', k.i) AS image_id,
+       CAST(oy.g AS INT) AS y, CAST(ox.g AS INT) AS x,
+       CAST(CASE WHEN ox.g >= k.pl AND ox.g < k.pl + k.nw
+                  AND oy.g >= k.pt AND oy.g < k.pt + k.nh
+             THEN (k.i*31 + (((ox.g - k.pl) * k.w) // k.nw) * 7
+                   + (((oy.g - k.pt) * k.h) // k.nh) * 13) % 256
+             ELSE 114 END AS INT) AS val
+FROM geo2 k, (SELECT unnest(range(64)) AS g) ox,
+     (SELECT unnest(range(64)) AS g) oy
+ORDER BY image_id, y, x
+"""
+
+
+def q_pmi_collocations(spark, sf):
+    """PMI collocation mining (word2vec-style phrase pass), fully
+    ORACLED: counts are exact integers over the shared tokenizer; the
+    one float expression ln((cxy*Nu*Nu)/(Nb*cx*cy)) is evaluated in
+    the identical association order on both engines (drift ~1 ulp at
+    the 1e-6 grain); the LIMIT cut is decided on (pmi_u, w1, w2) —
+    a total order over exact values."""
+    from ..operators.text import pmi_collocations
+
+    d = _t(spark, sf, "documents")
+    return pmi_collocations(d, "text", min_count=5, top_k=100)
+
+
+ORACLE_PMI_COLLOCATIONS = r"""
+WITH arr AS (SELECT list_filter(string_split(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+               t -> t <> '') AS ts
+             FROM documents),
+bi AS (SELECT list_extract(ts, i.g) AS w1, list_extract(ts, i.g + 1) AS w2
+       FROM arr, LATERAL (SELECT unnest(range(1, len(ts))) AS g) i),
+bc AS (SELECT w1, w2, count(*) AS c_xy FROM bi GROUP BY w1, w2),
+uni AS (SELECT unnest(ts) AS token FROM arr),
+uc AS (SELECT token, count(*) AS c_tok FROM uni GROUP BY token),
+nu AS (SELECT CAST(count(*) AS DOUBLE) AS nu FROM uni),
+nb AS (SELECT CAST(count(*) AS DOUBLE) AS nb FROM bi)
+SELECT w1, w2, CAST(c_xy AS BIGINT) AS c_xy,
+       CAST(x.c_tok AS BIGINT) AS c_x, CAST(y.c_tok AS BIGINT) AS c_y,
+       CAST(floor(ln((CAST(c_xy AS DOUBLE) * nu.nu * nu.nu)
+                     / (nb.nb * CAST(x.c_tok AS DOUBLE)
+                        * CAST(y.c_tok AS DOUBLE)))
+                  * 1e6 + 0.5) AS BIGINT) AS pmi_u
+FROM bc JOIN uc x ON x.token = bc.w1
+        JOIN uc y ON y.token = bc.w2, nu, nb
+WHERE c_xy >= 5
+ORDER BY pmi_u DESC, w1 ASC, w2 ASC LIMIT 100
+"""
+
+
+QUERIES["crossmodal_gate"] = q_crossmodal_gate
+ORACLES["crossmodal_gate"] = ORACLE_CROSSMODAL_GATE
+QUERIES["image_entropy"] = q_image_entropy
+ORACLES["image_entropy"] = ORACLE_IMAGE_ENTROPY
+QUERIES["image_letterbox"] = q_image_letterbox
+ORACLES["image_letterbox"] = ORACLE_IMAGE_LETTERBOX
+QUERIES["pmi_collocations"] = q_pmi_collocations
+ORACLES["pmi_collocations"] = ORACLE_PMI_COLLOCATIONS
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #
@@ -5039,10 +5203,14 @@ _PRIORITY: list[str] = [
     "webdataset_roundtrip",
     "epoch_shuffle",
     "audio_quality_gate",
-    "image_stats",
-    "image_augment",
-    "image_tiles",
-    # round-4 additions + highest-risk round-3 operators
+    # round-5 third-wave additions (crossmodal gate, entropy signal,
+    # letterbox transform, PMI phrase mining)
+    "crossmodal_gate",
+    "image_entropy",
+    "image_letterbox",
+    "pmi_collocations",
+    # round-4 additions + highest-risk round-3 operators (image_stats/
+    # image_augment/image_tiles/image_formats demoted — see below)
     "paragraph_dedup",
     "winnow_overlap",
     "bpe_ids",
@@ -5070,7 +5238,6 @@ _PRIORITY: list[str] = [
     "pack_sequences",
     "stratified_split",
     "cms_counts",
-    "image_formats",
     "entity_features",
     # representative core. Moved past the 50-window to make room for
     # the round-5 image block, each with its family still represented
@@ -5081,6 +5248,11 @@ _PRIORITY: list[str] = [
     # bpe_encode (bpe_merges + bpe_ids stay), corpus_sample/mix_corpus
     # (stratified_split + pack_sequences carry sampling/packing),
     # hdf5_roundtrip (long-green since r3, pytest-covered).
+    # Third wave demotions: image_stats/image_augment/image_tiles
+    # (image family keeps hashes/dedup/gate/buckets/gradients/equalize/
+    # entropy/letterbox/curation inside), image_formats (decode signal
+    # carried by webdataset_roundtrip + image_letterbox's PNG roundtrip
+    # + flac_decode).
     "asof",
     "sessionize",
     "lag_lead",

@@ -18,9 +18,10 @@ HIGH_RISK = [
     "image_gradients",
     "image_equalize",
     "image_decontaminate",
-    "image_stats",
-    "image_augment",
-    "image_tiles",
+    "crossmodal_gate",
+    "image_entropy",
+    "image_letterbox",
+    "pmi_collocations",
     "ivf_topk",
     "pq_topk",
     "ivfpq_topk",

@@ -104,6 +104,11 @@ RELATIONAL = [
     "audio_quality_gate",
     "ivfpq_topk",
     "pq_trained_topk",
+    # round 5, third wave
+    "crossmodal_gate",
+    "image_entropy",
+    "image_letterbox",
+    "pmi_collocations",
 ]
 
 

@@ -109,6 +109,11 @@ RELATIONAL = [
     "image_entropy",
     "image_letterbox",
     "pmi_collocations",
+    # round 5, fourth wave (data-loader layer)
+    "corpus_pixel_stats",
+    "batch_pack",
+    "epoch_augment",
+    "mixup_pairs",
 ]
 
 

@@ -1078,3 +1078,79 @@ def epoch_shuffle(
         pos.alias("pos"),
         (pos % n_shards).cast("int").alias("shard"),
     )
+
+
+def pack_batches(
+    df: DataFrame,
+    bucket_cols: "tuple[str, ...]" = ("bucket_w", "bucket_h"),
+    id_col: str = "image_id",
+    batch_size: int = 8,
+    seed: int = 0,
+    epoch: int = 0,
+    drop_partial: bool = True,
+) -> DataFrame:
+    """Deterministic bucketed batch packing — the data-loader step
+    between aspect bucketing / sharding and the training loop: within
+    each bucket, rows are shuffled by ``md5(id:seed:epoch)`` (a new
+    permutation per epoch, identical on every engine — the
+    epoch_shuffle key) and packed into fixed-size batches of
+    ``batch_size``; the trailing partial batch per bucket is dropped
+    when ``drop_partial`` (standard trainer behavior — a short batch
+    changes the effective learning rate). Adds ``batch_idx`` (per
+    bucket, 0-based) and ``slot`` (position in the batch).
+
+    Scale path — the stratified_split two-level rank: range-partition
+    by (buckets, key) so ONE dominant bucket spreads over many
+    partitions, rank locally per (bucket, partition) fully parallel,
+    then lift with broadcast exclusive base counts (buckets x
+    partitions rows). Never a bucket-partitioned global window."""
+    bcols = [F.col(c) for c in bucket_cols]
+    key = F.md5(
+        F.concat_ws(
+            ":",
+            F.col(id_col).cast("string"),
+            F.lit(str(int(seed))),
+            F.lit(str(int(epoch))),
+        )
+    )
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    t = (
+        df.withColumn("__k", key)
+        .repartitionByRange(n_parts, *bcols, F.col("__k"), F.col(id_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()  # __pid feeds the rank window AND the base counts
+        # (leak-until-evict, the documented pack_sequences policy)
+    )
+    wl = Window.partitionBy(*bucket_cols, "__pid").orderBy("__k", id_col)
+    counts = t.groupBy(*bucket_cols, "__pid").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    wp = (
+        Window.partitionBy(*bucket_cols)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = counts.select(
+        *bucket_cols,
+        "__pid",
+        F.coalesce(F.sum("__c").over(wp), F.lit(0)).alias("__base"),
+    )
+    totals = counts.groupBy(*bucket_cols).agg(F.sum("__c").alias("__n"))
+    ranked = (
+        t.withColumn("__lrn", F.row_number().over(wl))
+        .join(F.broadcast(bases), [*bucket_cols, "__pid"])
+        .join(F.broadcast(totals), list(bucket_cols))
+        .withColumn("__rn", F.col("__base") + F.col("__lrn") - 1)
+    )
+    if drop_partial:
+        ranked = ranked.filter(
+            F.col("__rn")
+            < F.floor(F.col("__n") / F.lit(batch_size)) * F.lit(batch_size)
+        )
+    return ranked.select(
+        *[F.col(c) for c in df.columns],
+        F.floor(F.col("__rn") / F.lit(batch_size))
+        .cast("long")
+        .alias("batch_idx"),
+        (F.col("__rn") % F.lit(batch_size)).cast("int").alias("slot"),
+    )

@@ -993,3 +993,230 @@ def letterbox_images(
     return images.select("image_id", "bytes", "fmt").mapInPandas(
         run, LETTERBOX_SCHEMA
     )
+
+
+def corpus_pixel_stats(images: DataFrame) -> DataFrame:
+    """Dataset normalization constants — the corpus-level mean/std a
+    trainer bakes into its input transform (the ImageNet
+    mean=0.485... step, computed over OUR corpus instead of assumed):
+    one pass of exact int64 per-image sums (the image_stats scan),
+    map-side-combined into a single global row. Quarantined
+    (undecodable) rows are excluded, like every pixel-consuming stage.
+    Derived floats use one fixed expression order — mean = px_sum /
+    n_px, var = px_sq_sum / n_px - mean*mean, std = sqrt(var) — each
+    step correctly rounded in IEEE double, so any engine replaying the
+    same order from the same exact integers reproduces the bits.
+    Scale shape: a single partial-aggregate reduction; no shuffle of
+    anything wider than six numbers per partition."""
+    st = image_stats(images).filter(F.col("err").isNull())
+    g = st.agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum("n_px").alias("n_px"),
+        F.sum("px_sum").alias("px_sum"),
+        F.sum("px_sq_sum").alias("px_sq_sum"),
+        F.min("px_min").alias("px_min"),
+        F.max("px_max").alias("px_max"),
+    )
+    mean = F.col("px_sum") / F.col("n_px")
+    var = F.col("px_sq_sum") / F.col("n_px") - mean * mean
+    return g.select(
+        "n_images", "n_px", "px_sum", "px_sq_sum", "px_min", "px_max",
+        mean.alias("mean"), F.sqrt(var).alias("std"),
+    )
+
+
+def plan_epoch_augment(
+    images: DataFrame, seed: int = 0, epoch: int = 0
+) -> DataFrame:
+    """Per-(image, epoch) augmentation decisions, decided JVM-side from
+    md5 hex digits — reshuffle-stable, engine-independent (the
+    epoch_shuffle / hash_sample key discipline; a new draw per epoch,
+    the same draw on every run). Adds ``flip_h`` and ``rot180``
+    (0/1): hex digit 1 parity and hex digit 2 parity of
+    ``md5(image_id:seed:epoch)``. Pure projection — no shuffle, no
+    Python."""
+    key = F.md5(
+        F.concat_ws(
+            ":",
+            F.col("image_id").cast("string"),
+            F.lit(str(int(seed))),
+            F.lit(str(int(epoch))),
+        )
+    )
+
+    def hexd(i: int):
+        return F.conv(F.substring(key, i, 1), 16, 10).cast("int")
+
+    return images.withColumn("flip_h", (hexd(1) % 2).cast("int")).withColumn(
+        "rot180", (hexd(2) % 2).cast("int")
+    )
+
+
+AUGMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("flip_h", T.IntegerType(), True),
+        T.StructField("rot180", T.IntegerType(), True),
+        T.StructField("w", T.IntegerType(), True),
+        T.StructField("h", T.IntegerType(), True),
+        T.StructField("m0", T.LongType(), True),
+        T.StructField("mx", T.LongType(), True),
+        T.StructField("my", T.LongType(), True),
+        T.StructField("err", T.StringType(), True),
+    ]
+)
+
+
+def augment_moments(
+    images: DataFrame, seed: int = 0, epoch: int = 0
+) -> DataFrame:
+    """Apply the hash-decided per-epoch augmentation (flip_h then
+    rot180) and emit position-sensitive integer image moments of the
+    RESULT: m0 = sum(px), mx = sum(px*x), my = sum(px*y). m0 is
+    invariant under flip/rotate (same pixel multiset) — mx/my are
+    not, so they witness that the geometry was actually applied, not
+    just planned. Exact int64 (<= 255 * 256^3), replayable closed-form
+    by SQL via the source-coordinate map: flip XOR rot reads column
+    w-1-x, rot reads row h-1-y. One decode scan, error-isolated."""
+    planned = plan_epoch_augment(images, seed=seed, epoch=epoch)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for iid, data, fmt, fl, rt in zip(
+                b["image_id"].values, b["bytes"].values,
+                b["fmt"].values, b["flip_h"].values, b["rot180"].values,
+            ):
+                try:
+                    px = to_gray(decode_image(bytes(data), fmt)).astype(
+                        np.int64
+                    )
+                    if fl:
+                        px = px[:, ::-1]
+                    if rt:
+                        px = np.rot90(px, 2)
+                    h, w = px.shape
+                    xs = np.arange(w, dtype=np.int64)
+                    ys = np.arange(h, dtype=np.int64)
+                    rows.append(
+                        {
+                            "image_id": iid, "flip_h": int(fl),
+                            "rot180": int(rt), "w": w, "h": h,
+                            "m0": int(px.sum()),
+                            "mx": int((px.sum(axis=0) * xs).sum()),
+                            "my": int((px.sum(axis=1) * ys).sum()),
+                            "err": None,
+                        }
+                    )
+                except Exception as e:  # noqa: BLE001
+                    rows.append(
+                        {
+                            "image_id": iid, "flip_h": int(fl),
+                            "rot180": int(rt), "w": None, "h": None,
+                            "m0": None, "mx": None, "my": None,
+                            "err": f"{type(e).__name__}: {e}",
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUGMENT_SCHEMA.fields]
+            )
+
+    return planned.select(
+        "image_id", "bytes", "fmt", "flip_h", "rot180"
+    ).mapInPandas(run, AUGMENT_SCHEMA)
+
+
+MIXUP_SCHEMA = T.StructType(
+    [
+        T.StructField("a_id", T.StringType(), False),
+        T.StructField("b_id", T.StringType(), False),
+        T.StructField("w", T.IntegerType(), True),
+        T.StructField("h", T.IntegerType(), True),
+        T.StructField("m0", T.LongType(), True),
+        T.StructField("mx", T.LongType(), True),
+        T.StructField("my", T.LongType(), True),
+        T.StructField("err", T.StringType(), True),
+    ]
+)
+
+
+def mixup_images(
+    images: DataFrame, seed: int = 0, epoch: int = 0
+) -> DataFrame:
+    """Deterministic mixup pairing + integer blend — the
+    sample-mixing augmentation (Zhang et al. 2018) at its lambda=1/2
+    point, where the blend (pa + pb) // 2 stays exact integer
+    arithmetic: images pair WITHIN their (w, h) shape class (mixup
+    needs congruent tensors) via pack_batches(batch_size=2) on the
+    per-epoch md5 permutation; the odd leftover per class is dropped
+    (drop_partial). One shuffle co-locates each pair (join on the
+    shape class + batch_idx), then a single Arrow stage decodes both
+    sides and emits the blended image's integer moments (the
+    augment_moments witness columns). Requires ``w``/``h`` columns on
+    the input (every scan/source here carries them)."""
+    from .curation import pack_batches
+
+    packed = pack_batches(
+        images.select("image_id", "bytes", "fmt", "w", "h"),
+        bucket_cols=("w", "h"),
+        id_col="image_id",
+        batch_size=2,
+        seed=seed,
+        epoch=epoch,
+    )
+    a = packed.filter(F.col("slot") == 0).select(
+        "w", "h", "batch_idx",
+        F.col("image_id").alias("a_id"),
+        F.col("bytes").alias("a_bytes"),
+        F.col("fmt").alias("a_fmt"),
+    )
+    b = packed.filter(F.col("slot") == 1).select(
+        "w", "h", "batch_idx",
+        F.col("image_id").alias("b_id"),
+        F.col("bytes").alias("b_bytes"),
+        F.col("fmt").alias("b_fmt"),
+    )
+    pairs = a.join(b, ["w", "h", "batch_idx"])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for bt in batches:
+            rows = []
+            for aid, ab, af, bid, bb, bf in zip(
+                bt["a_id"].values, bt["a_bytes"].values, bt["a_fmt"].values,
+                bt["b_id"].values, bt["b_bytes"].values, bt["b_fmt"].values,
+            ):
+                try:
+                    pa = to_gray(decode_image(bytes(ab), af)).astype(np.int64)
+                    pb = to_gray(decode_image(bytes(bb), bf)).astype(np.int64)
+                    if pa.shape != pb.shape:
+                        raise ValueError(
+                            f"shape mismatch {pa.shape} vs {pb.shape}"
+                        )
+                    px = (pa + pb) // 2
+                    h, w = px.shape
+                    xs = np.arange(w, dtype=np.int64)
+                    ys = np.arange(h, dtype=np.int64)
+                    rows.append(
+                        {
+                            "a_id": aid, "b_id": bid, "w": w, "h": h,
+                            "m0": int(px.sum()),
+                            "mx": int((px.sum(axis=0) * xs).sum()),
+                            "my": int((px.sum(axis=1) * ys).sum()),
+                            "err": None,
+                        }
+                    )
+                except Exception as e:  # noqa: BLE001
+                    rows.append(
+                        {
+                            "a_id": aid, "b_id": bid, "w": None, "h": None,
+                            "m0": None, "mx": None, "my": None,
+                            "err": f"{type(e).__name__}: {e}",
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MIXUP_SCHEMA.fields]
+            )
+
+    return pairs.select(
+        "a_id", "a_bytes", "a_fmt", "b_id", "b_bytes", "b_fmt"
+    ).mapInPandas(run, MIXUP_SCHEMA)

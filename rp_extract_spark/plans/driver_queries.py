@@ -5178,6 +5178,206 @@ ORACLES["pmi_collocations"] = ORACLE_PMI_COLLOCATIONS
 
 
 # ---------------------------------------------------------------------------
+# Round-5 fourth wave: the data-loader layer between curation and the
+# training loop — corpus normalization constants, bucketed batch
+# packing, per-epoch hash-decided augmentation, deterministic mixup.
+# ---------------------------------------------------------------------------
+
+
+def q_corpus_pixel_stats(spark, sf):
+    """Corpus normalization constants (the ImageNet mean/std step,
+    computed over OUR corpus), fully ORACLED: the exact int64 corpus
+    sums compare raw; mean/std are derived in ONE fixed expression
+    order (mean = px_sum/n_px, var = px_sq_sum/n_px - mean*mean,
+    std = sqrt(var)) — every step correctly rounded in IEEE double, so
+    DuckDB replaying the identical order from identical integers
+    reproduces the bits; compared at floor(x*1e6+0.5) anyway."""
+    from ..operators.images import corpus_pixel_stats
+    from ..sources.images import formula_images_df
+
+    g = corpus_pixel_stats(formula_images_df(spark, 20))
+    return g.select(
+        "n_images", "n_px", "px_sum", "px_sq_sum", "px_min", "px_max",
+        F.floor(F.col("mean") * 1e6 + F.lit(0.5)).cast("long").alias("mean_u"),
+        F.floor(F.col("std") * 1e6 + F.lit(0.5)).cast("long").alias("std_u"),
+    )
+
+
+ORACLE_CORPUS_PIXEL_STATS = """
+WITH ids AS (SELECT unnest(range(20)) AS i),
+""" + _SQL_FORMULA_DIMS + """,
+px AS (SELECT i, (i*31 + x.g*7 + y.g*13) % 256 AS v
+       FROM dims, (SELECT unnest(range(256)) AS g) x,
+            (SELECT unnest(range(128)) AS g) y
+       WHERE x.g < w AND y.g < h),
+agg AS (SELECT CAST(count(DISTINCT i) AS BIGINT) AS n_images,
+               CAST(count(*) AS BIGINT) AS n_px,
+               CAST(sum(v) AS BIGINT) AS px_sum,
+               CAST(sum(v*v) AS BIGINT) AS px_sq_sum,
+               CAST(min(v) AS INT) AS px_min,
+               CAST(max(v) AS INT) AS px_max
+        FROM px)
+SELECT n_images, n_px, px_sum, px_sq_sum, px_min, px_max,
+       CAST(floor((CAST(px_sum AS DOUBLE) / CAST(n_px AS DOUBLE)) * 1e6
+                  + 0.5) AS BIGINT) AS mean_u,
+       CAST(floor(sqrt(CAST(px_sq_sum AS DOUBLE) / CAST(n_px AS DOUBLE)
+                       - (CAST(px_sum AS DOUBLE) / CAST(n_px AS DOUBLE))
+                         * (CAST(px_sum AS DOUBLE) / CAST(n_px AS DOUBLE)))
+                  * 1e6 + 0.5) AS BIGINT) AS std_u
+FROM agg
+"""
+
+
+def q_batch_pack(spark, sf):
+    """Bucketed batch packing over the SDXL aspect buckets, fully
+    ORACLED: within each bucket rows rank by md5(id:seed:epoch) (the
+    epoch_shuffle key — Spark's F.md5 and DuckDB's md5 agree on the
+    same concatenation), batch_idx = rank//B, slot = rank%B, trailing
+    partial batches dropped. The Spark side never runs a
+    bucket-partitioned global window — two-level rank, buckets spread
+    by range partitioning."""
+    from ..operators.curation import pack_batches
+    from ..operators.images import aspect_bucket_images
+    from ..sources.images import formula_images_df
+
+    b = aspect_bucket_images(formula_images_df(spark, 40))
+    out = pack_batches(
+        b.select("image_id", "bucket_w", "bucket_h"),
+        bucket_cols=("bucket_w", "bucket_h"),
+        id_col="image_id",
+        batch_size=4,
+        seed=3,
+        epoch=0,
+    )
+    return out.orderBy("image_id")
+
+
+ORACLE_BATCH_PACK = """
+WITH ids AS (SELECT unnest(range(40)) AS i),
+""" + _SQL_FORMULA_DIMS + """,
+bk(idx, bw, bh) AS (VALUES
+  (0, 1024, 1024), (1, 1152, 896), (2, 896, 1152), (3, 1216, 832),
+  (4, 832, 1216), (5, 1344, 768), (6, 768, 1344), (7, 1536, 640),
+  (8, 640, 1536)),
+scored AS (SELECT i, w, h, bw, bh,
+                  row_number() OVER (
+                    PARTITION BY i
+                    ORDER BY abs(w*bh - h*bw)::DOUBLE / bh, idx) AS rn
+           FROM dims, bk),
+assigned AS (SELECT printf('img%08d', i) AS image_id, bw, bh
+             FROM scored WHERE rn = 1),
+r AS (SELECT image_id, bw, bh,
+             row_number() OVER (
+               PARTITION BY bw, bh
+               ORDER BY md5(image_id || ':3:0'), image_id) - 1 AS rn,
+             count(*) OVER (PARTITION BY bw, bh) AS n
+      FROM assigned)
+SELECT image_id, CAST(bw AS INT) AS bucket_w, CAST(bh AS INT) AS bucket_h,
+       CAST(rn // 4 AS BIGINT) AS batch_idx, CAST(rn % 4 AS INT) AS slot
+FROM r WHERE rn < (n // 4) * 4 ORDER BY image_id
+"""
+
+
+def q_epoch_augment(spark, sf):
+    """Per-epoch hash-decided augmentation (flip_h then rot180),
+    fully ORACLED via position-sensitive integer moments: decisions are
+    md5 hex-digit parities (Spark F.conv(hex,16,10) == DuckDB
+    CAST('0x'||hex AS INT)); the transformed image's m0/mx/my are
+    exact int64 sums DuckDB recomputes from the source-coordinate map
+    (flip XOR rot reads column w-1-x, rot reads row h-1-y). m0 is
+    flip/rot-invariant; mx/my witness the geometry was APPLIED."""
+    from ..operators.images import augment_moments
+    from ..sources.images import formula_images_df
+
+    out = augment_moments(formula_images_df(spark, 10), seed=2, epoch=1)
+    return out.select(
+        "image_id", "flip_h", "rot180", "w", "h", "m0", "mx", "my"
+    ).orderBy("image_id")
+
+
+ORACLE_EPOCH_AUGMENT = """
+WITH ids AS (SELECT unnest(range(10)) AS i),
+""" + _SQL_FORMULA_DIMS + """,
+dec AS (SELECT i, w, h,
+          CAST('0x' || substring(md5(printf('img%08d', i) || ':2:1'), 1, 1)
+               AS INT) % 2 AS fl,
+          CAST('0x' || substring(md5(printf('img%08d', i) || ':2:1'), 2, 1)
+               AS INT) % 2 AS rt
+        FROM dims),
+cells AS (SELECT i, w, h, fl, rt, x.g AS x, y.g AS y,
+            (i*31 + (CASE WHEN fl <> rt THEN w-1-x.g ELSE x.g END)*7
+                  + (CASE WHEN rt = 1 THEN h-1-y.g ELSE y.g END)*13) % 256
+              AS v
+          FROM dec, (SELECT unnest(range(256)) AS g) x,
+               (SELECT unnest(range(128)) AS g) y
+          WHERE x.g < w AND y.g < h)
+SELECT printf('img%08d', i) AS image_id,
+       CAST(max(fl) AS INT) AS flip_h, CAST(max(rt) AS INT) AS rot180,
+       CAST(max(w) AS INT) AS w, CAST(max(h) AS INT) AS h,
+       CAST(sum(v) AS BIGINT) AS m0,
+       CAST(sum(v * x) AS BIGINT) AS mx,
+       CAST(sum(v * y) AS BIGINT) AS my
+FROM cells GROUP BY i ORDER BY image_id
+"""
+
+
+def q_mixup_pairs(spark, sf):
+    """Deterministic mixup at lambda=1/2, fully ORACLED: pairing is
+    pack_batches(batch_size=2) within each (w, h) shape class on the
+    per-epoch md5 permutation (24 formula images = 12 shape classes of
+    exactly 2 — every image pairs, none dropped); the integer blend
+    (pa+pb)//2 and its moments replay closed-form from the pixel
+    formula of BOTH parents."""
+    from ..operators.images import mixup_images
+    from ..sources.images import formula_images_df
+
+    out = mixup_images(formula_images_df(spark, 24), seed=5, epoch=1)
+    return out.select(
+        "a_id", "b_id", "w", "h", "m0", "mx", "my"
+    ).orderBy("a_id")
+
+
+ORACLE_MIXUP_PAIRS = """
+WITH ids AS (SELECT unnest(range(24)) AS i),
+""" + _SQL_FORMULA_DIMS + """,
+r AS (SELECT i, w, h, printf('img%08d', i) AS iid,
+             row_number() OVER (
+               PARTITION BY w, h
+               ORDER BY md5(printf('img%08d', i) || ':5:1'),
+                        printf('img%08d', i)) - 1 AS rn,
+             count(*) OVER (PARTITION BY w, h) AS n
+      FROM dims),
+kept AS (SELECT * FROM r WHERE rn < (n // 2) * 2),
+pairs AS (SELECT a.iid AS a_id, b.iid AS b_id, a.i AS ia, b.i AS ib,
+                 a.w AS w, a.h AS h
+          FROM kept a JOIN kept b
+            ON a.w = b.w AND a.h = b.h AND b.rn = a.rn + 1
+          WHERE a.rn % 2 = 0),
+cells AS (SELECT a_id, b_id, w, h, x.g AS x, y.g AS y,
+            ((ia*31 + x.g*7 + y.g*13) % 256
+             + (ib*31 + x.g*7 + y.g*13) % 256) // 2 AS v
+          FROM pairs, (SELECT unnest(range(256)) AS g) x,
+               (SELECT unnest(range(128)) AS g) y
+          WHERE x.g < w AND y.g < h)
+SELECT a_id, b_id, CAST(max(w) AS INT) AS w, CAST(max(h) AS INT) AS h,
+       CAST(sum(v) AS BIGINT) AS m0,
+       CAST(sum(v * x) AS BIGINT) AS mx,
+       CAST(sum(v * y) AS BIGINT) AS my
+FROM cells GROUP BY a_id, b_id ORDER BY a_id
+"""
+
+
+QUERIES["corpus_pixel_stats"] = q_corpus_pixel_stats
+ORACLES["corpus_pixel_stats"] = ORACLE_CORPUS_PIXEL_STATS
+QUERIES["batch_pack"] = q_batch_pack
+ORACLES["batch_pack"] = ORACLE_BATCH_PACK
+QUERIES["epoch_augment"] = q_epoch_augment
+ORACLES["epoch_augment"] = ORACLE_EPOCH_AUGMENT
+QUERIES["mixup_pairs"] = q_mixup_pairs
+ORACLES["mixup_pairs"] = ORACLE_MIXUP_PAIRS
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering.
 #
 # The driver's correctness gate windows the FIRST 50 registered queries
@@ -5209,6 +5409,12 @@ _PRIORITY: list[str] = [
     "image_entropy",
     "image_letterbox",
     "pmi_collocations",
+    # round-5 fourth-wave additions (data-loader layer: normalization
+    # constants, batch packing, epoch augmentation, mixup)
+    "corpus_pixel_stats",
+    "batch_pack",
+    "epoch_augment",
+    "mixup_pairs",
     # round-4 additions + highest-risk round-3 operators (image_stats/
     # image_augment/image_tiles/image_formats demoted — see below)
     "paragraph_dedup",
@@ -5253,6 +5459,11 @@ _PRIORITY: list[str] = [
     # entropy/letterbox/curation inside), image_formats (decode signal
     # carried by webdataset_roundtrip + image_letterbox's PNG roundtrip
     # + flac_decode).
+    # Fourth wave demotions: lag_lead/pricing_summary/stats7/band_agg —
+    # all four carry repeated green driver grades from rounds 1-4
+    # (they sat inside every earlier window), unlike the never-graded
+    # round-5 block; windows stay repped by sessionize + asof, the
+    # kernel feature agg by entity_features.
     "asof",
     "sessionize",
     "lag_lead",

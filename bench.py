@@ -114,6 +114,9 @@ RELATIONAL = [
     "batch_pack",
     "epoch_augment",
     "mixup_pairs",
+    # round 5, fifth wave (manifest collation + RandomResizedCrop)
+    "batch_manifest",
+    "rrc_crop",
 ]
 
 

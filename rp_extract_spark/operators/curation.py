@@ -1154,3 +1154,30 @@ def pack_batches(
         .alias("batch_idx"),
         (F.col("__rn") % F.lit(batch_size)).cast("int").alias("slot"),
     )
+
+
+def collate_manifest(
+    packed: DataFrame,
+    bucket_cols: "tuple[str, ...]" = ("bucket_w", "bucket_h"),
+    id_col: str = "image_id",
+    size_col: str | None = None,
+) -> DataFrame:
+    """Batch manifest — the loader's index artifact: one row per
+    (bucket, batch_idx) from a ``pack_batches`` output, with the
+    member ids in slot order, the batch size, and (optionally) the
+    summed ``size_col`` so a reader can budget I/O per batch. One
+    hash aggregation on the narrow (buckets, batch_idx) key;
+    ``array_sort`` over (slot, id) structs keeps the order exact
+    without a window."""
+    aggs = [
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("slot", F.col(id_col).alias("m")))
+            ),
+            lambda s: s["m"],
+        ).alias("member_ids"),
+        F.count(F.lit(1)).cast("int").alias("n_members"),
+    ]
+    if size_col is not None:
+        aggs.append(F.sum(size_col).alias(f"total_{size_col}"))
+    return packed.groupBy(*bucket_cols, "batch_idx").agg(*aggs)

@@ -30,6 +30,7 @@ same 64 bits both for Spark and for the closed-form SQL replay):
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -1126,6 +1127,75 @@ def augment_moments(
     ).mapInPandas(run, AUGMENT_SCHEMA)
 
 
+def image_moments(
+    images: DataFrame, carry_cols: "tuple[str, ...]" = ()
+) -> DataFrame:
+    """Position-sensitive integer image moments of whatever pixels the
+    upstream stage produced: m0 = sum(px), mx = sum(px*x),
+    my = sum(px*y) — exact int64, the standard witness that a geometry
+    stage APPLIED its transform (m0 alone is flip/rotate-invariant and
+    proves nothing; mx/my pin every pixel to its coordinate).
+    ``carry_cols`` pass through untouched so transform parameters
+    (crop windows, bucket keys) ride alongside their evidence. One
+    Arrow decode scan, no shuffle, error-isolated (quarantined
+    None-bytes rows yield err rows, never exceptions)."""
+    carry = tuple(carry_cols)
+    fields = [T.StructField("image_id", T.StringType(), False)]
+    in_schema = {f.name: f.dataType for f in images.schema.fields}
+    fields += [T.StructField(c, in_schema[c], True) for c in carry]
+    fields += [
+        T.StructField("w", T.IntegerType(), True),
+        T.StructField("h", T.IntegerType(), True),
+        T.StructField("m0", T.LongType(), True),
+        T.StructField("mx", T.LongType(), True),
+        T.StructField("my", T.LongType(), True),
+        T.StructField("err", T.StringType(), True),
+    ]
+    schema = T.StructType(fields)
+    names = [f.name for f in schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for t in zip(
+                b["image_id"].values, b["bytes"].values, b["fmt"].values,
+                *[b[c].values for c in carry],
+            ):
+                iid, data, fmt, cv = t[0], t[1], t[2], t[3:]
+                base = {"image_id": iid, **dict(zip(carry, cv))}
+                try:
+                    if data is None:
+                        raise ValueError("quarantined row (bytes is NULL)")
+                    px = to_gray(decode_image(bytes(data), fmt)).astype(
+                        np.int64
+                    )
+                    h, w = px.shape
+                    xs = np.arange(w, dtype=np.int64)
+                    ys = np.arange(h, dtype=np.int64)
+                    rows.append(
+                        {
+                            **base, "w": w, "h": h,
+                            "m0": int(px.sum()),
+                            "mx": int((px.sum(axis=0) * xs).sum()),
+                            "my": int((px.sum(axis=1) * ys).sum()),
+                            "err": None,
+                        }
+                    )
+                except Exception as e:  # noqa: BLE001
+                    rows.append(
+                        {
+                            **base, "w": None, "h": None, "m0": None,
+                            "mx": None, "my": None,
+                            "err": f"{type(e).__name__}: {e}",
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=names)
+
+    return images.select("image_id", "bytes", "fmt", *carry).mapInPandas(
+        run, schema
+    )
+
+
 MIXUP_SCHEMA = T.StructType(
     [
         T.StructField("a_id", T.StringType(), False),
@@ -1220,3 +1290,97 @@ def mixup_images(
     return pairs.select(
         "a_id", "a_bytes", "a_fmt", "b_id", "b_bytes", "b_fmt"
     ).mapInPandas(run, MIXUP_SCHEMA)
+
+
+def rrc_geometry(
+    w: int, h: int, d: "tuple[int, int, int, int]",
+) -> tuple[int, int, int, int]:
+    """Integer RandomResizedCrop window from four hex digits d0..d3
+    (each 0..15): crop size spans [dim//2, dim] (the torchvision
+    scale=(0.25, 1.0) area band, realized per-axis so everything stays
+    integer), position spans the valid range — all floor arithmetic,
+    exactly recomputable in SQL. Returns (x0, y0, cw, ch)."""
+    cw = (w // 2) + (d[0] * (w - w // 2)) // 15
+    ch = (h // 2) + (d[1] * (h - h // 2)) // 15
+    x0 = (d[2] * (w - cw)) // 15
+    y0 = (d[3] * (h - ch)) // 15
+    return x0, y0, cw, ch
+
+
+RRC_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), True),
+        T.StructField("w", T.IntegerType(), True),
+        T.StructField("h", T.IntegerType(), True),
+        T.StructField("x0", T.IntegerType(), True),
+        T.StructField("y0", T.IntegerType(), True),
+        T.StructField("crop_w", T.IntegerType(), True),
+        T.StructField("crop_h", T.IntegerType(), True),
+        T.StructField("fmt", T.StringType(), True),
+        T.StructField("err", T.StringType(), True),
+    ]
+)
+
+
+def random_resized_crop(
+    images: DataFrame,
+    out_w: int = 32,
+    out_h: int = 32,
+    seed: int = 0,
+    epoch: int = 0,
+) -> DataFrame:
+    """Deterministic RandomResizedCrop — the torchvision SSL staple,
+    reshuffle-stable per (image, epoch): the crop window comes from
+    four md5 hex digits of ``md5(image_id:seed:epoch)`` via
+    ``rrc_geometry`` (a new window per epoch, the same window on every
+    run/engine — no RNG state to ship to executors), then the window
+    anchor-resizes to (out_h, out_w) with the shared
+    ``src = x0 + (dst*crop)//out`` rule (resize_images / letterbox
+    sampling). Every output pixel is closed-form over the source, so
+    the full canvas is SQL-replayable. One Arrow decode scan, no
+    shuffle, error-isolated."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for iid, data, fmt in zip(
+                b["image_id"].values, b["bytes"].values, b["fmt"].values
+            ):
+                try:
+                    px = to_gray(decode_image(bytes(data), fmt)).astype(
+                        np.uint8
+                    )
+                    h, w = px.shape
+                    k = hashlib.md5(
+                        f"{iid}:{int(seed)}:{int(epoch)}".encode()
+                    ).hexdigest()
+                    d = tuple(int(c, 16) for c in k[:4])
+                    x0, y0, cw, ch = rrc_geometry(w, h, d)
+                    yi = y0 + (np.arange(out_h)[:, None] * ch) // out_h
+                    xi = x0 + (np.arange(out_w)[None, :] * cw) // out_w
+                    out = np.ascontiguousarray(px[yi, xi])
+                    rows.append(
+                        {
+                            "image_id": iid, "bytes": encode_png(out),
+                            "w": out_w, "h": out_h, "x0": x0, "y0": y0,
+                            "crop_w": cw, "crop_h": ch,
+                            "fmt": "png", "err": None,
+                        }
+                    )
+                except Exception as e:  # noqa: BLE001
+                    rows.append(
+                        {
+                            "image_id": iid, "bytes": None, "w": None,
+                            "h": None, "x0": None, "y0": None,
+                            "crop_w": None, "crop_h": None, "fmt": None,
+                            "err": f"{type(e).__name__}: {e}",
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RRC_SCHEMA.fields]
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        run, RRC_SCHEMA
+    )

@@ -5377,6 +5377,132 @@ QUERIES["mixup_pairs"] = q_mixup_pairs
 ORACLES["mixup_pairs"] = ORACLE_MIXUP_PAIRS
 
 
+def q_batch_manifest(spark, sf):
+    """Batch manifest — the loader's index artifact, fully ORACLED:
+    pack_batches output collated to one row per (bucket, batch_idx)
+    with member ids in slot order (array_sort over (slot, id) structs,
+    no window) and the summed pixel budget per batch. The member_ids
+    ARRAY column compares exactly — ids are raw strings, order pinned
+    by slot on both engines."""
+    from ..operators.curation import collate_manifest, pack_batches
+    from ..operators.images import aspect_bucket_images
+    from ..sources.images import formula_images_df
+
+    b = aspect_bucket_images(formula_images_df(spark, 40))
+    packed = pack_batches(
+        b.select(
+            "image_id", "bucket_w", "bucket_h",
+            (F.col("w") * F.col("h")).cast("long").alias("px"),
+        ),
+        bucket_cols=("bucket_w", "bucket_h"),
+        id_col="image_id",
+        batch_size=4,
+        seed=3,
+        epoch=0,
+    )
+    out = collate_manifest(
+        packed, bucket_cols=("bucket_w", "bucket_h"),
+        id_col="image_id", size_col="px",
+    )
+    return out.select(
+        "bucket_w", "bucket_h", "batch_idx", "member_ids", "n_members",
+        F.col("total_px").cast("long").alias("total_px"),
+    ).orderBy("bucket_w", "bucket_h", "batch_idx")
+
+
+ORACLE_BATCH_MANIFEST = """
+WITH ids AS (SELECT unnest(range(40)) AS i),
+""" + _SQL_FORMULA_DIMS + """,
+bk(idx, bw, bh) AS (VALUES
+  (0, 1024, 1024), (1, 1152, 896), (2, 896, 1152), (3, 1216, 832),
+  (4, 832, 1216), (5, 1344, 768), (6, 768, 1344), (7, 1536, 640),
+  (8, 640, 1536)),
+scored AS (SELECT i, w, h, bw, bh,
+                  row_number() OVER (
+                    PARTITION BY i
+                    ORDER BY abs(w*bh - h*bw)::DOUBLE / bh, idx) AS rn
+           FROM dims, bk),
+assigned AS (SELECT printf('img%08d', i) AS image_id, bw, bh, w * h AS px
+             FROM scored WHERE rn = 1),
+r AS (SELECT image_id, bw, bh, px,
+             row_number() OVER (
+               PARTITION BY bw, bh
+               ORDER BY md5(image_id || ':3:0'), image_id) - 1 AS rn,
+             count(*) OVER (PARTITION BY bw, bh) AS n
+      FROM assigned),
+packed AS (SELECT image_id, bw, bh, px, rn // 4 AS batch_idx,
+                  CAST(rn % 4 AS INT) AS slot
+           FROM r WHERE rn < (n // 4) * 4)
+SELECT CAST(bw AS INT) AS bucket_w, CAST(bh AS INT) AS bucket_h,
+       CAST(batch_idx AS BIGINT) AS batch_idx,
+       list(image_id ORDER BY slot) AS member_ids,
+       CAST(count(*) AS INT) AS n_members,
+       CAST(sum(px) AS BIGINT) AS total_px
+FROM packed GROUP BY bw, bh, batch_idx
+ORDER BY bucket_w, bucket_h, batch_idx
+"""
+
+
+def q_rrc_crop(spark, sf):
+    """Deterministic RandomResizedCrop, fully ORACLED at the pixel
+    level: the crop window comes from four md5 hex digits (integer
+    rrc_geometry — SQL replays it digit for digit), the anchor resize
+    maps every output pixel to one closed-form source coordinate
+    (sx = x0 + (dx*cw)//32), and image_moments' m0/mx/my pin each
+    output pixel to its position — DuckDB recomputes all three sums
+    from the pixel formula through the same window."""
+    from ..operators.images import image_moments, random_resized_crop
+    from ..sources.images import formula_images_df
+
+    out = random_resized_crop(
+        formula_images_df(spark, 20), out_w=32, out_h=32, seed=7, epoch=2
+    )
+    m = image_moments(out, carry_cols=("x0", "y0", "crop_w", "crop_h"))
+    return m.select(
+        "image_id", "x0", "y0", "crop_w", "crop_h", "w", "h",
+        "m0", "mx", "my",
+    ).orderBy("image_id")
+
+
+ORACLE_RRC_CROP = """
+WITH ids AS (SELECT unnest(range(20)) AS i),
+""" + _SQL_FORMULA_DIMS + """,
+dig AS (SELECT i, w, h,
+  CAST('0x' || substring(md5(printf('img%08d', i) || ':7:2'), 1, 1) AS INT) AS d0,
+  CAST('0x' || substring(md5(printf('img%08d', i) || ':7:2'), 2, 1) AS INT) AS d1,
+  CAST('0x' || substring(md5(printf('img%08d', i) || ':7:2'), 3, 1) AS INT) AS d2,
+  CAST('0x' || substring(md5(printf('img%08d', i) || ':7:2'), 4, 1) AS INT) AS d3
+  FROM dims),
+geo AS (SELECT i, w, h, d2, d3,
+         (w // 2) + (d0 * (w - w // 2)) // 15 AS cw,
+         (h // 2) + (d1 * (h - h // 2)) // 15 AS ch
+        FROM dig),
+win AS (SELECT i, cw, ch,
+         (d2 * (w - cw)) // 15 AS x0,
+         (d3 * (h - ch)) // 15 AS y0
+        FROM geo),
+cells AS (SELECT i, x0, y0, cw, ch, dx.g AS dx, dy.g AS dy,
+           (i*31 + (x0 + (dx.g*cw)//32)*7 + (y0 + (dy.g*ch)//32)*13) % 256
+             AS v
+          FROM win, (SELECT unnest(range(32)) AS g) dx,
+               (SELECT unnest(range(32)) AS g) dy)
+SELECT printf('img%08d', i) AS image_id,
+       CAST(max(x0) AS INT) AS x0, CAST(max(y0) AS INT) AS y0,
+       CAST(max(cw) AS INT) AS crop_w, CAST(max(ch) AS INT) AS crop_h,
+       CAST(32 AS INT) AS w, CAST(32 AS INT) AS h,
+       CAST(sum(v) AS BIGINT) AS m0,
+       CAST(sum(v * dx) AS BIGINT) AS mx,
+       CAST(sum(v * dy) AS BIGINT) AS my
+FROM cells GROUP BY i ORDER BY image_id
+"""
+
+
+QUERIES["batch_manifest"] = q_batch_manifest
+ORACLES["batch_manifest"] = ORACLE_BATCH_MANIFEST
+QUERIES["rrc_crop"] = q_rrc_crop
+ORACLES["rrc_crop"] = ORACLE_RRC_CROP
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #
@@ -5415,6 +5541,10 @@ _PRIORITY: list[str] = [
     "batch_pack",
     "epoch_augment",
     "mixup_pairs",
+    # round-5 fifth-wave additions (batch manifest collation, pixel-
+    # oracled RandomResizedCrop)
+    "batch_manifest",
+    "rrc_crop",
     # round-4 additions + highest-risk round-3 operators (image_stats/
     # image_augment/image_tiles/image_formats demoted — see below)
     "paragraph_dedup",
@@ -5424,7 +5554,6 @@ _PRIORITY: list[str] = [
     "flac_decode",
     "contamination_report",
     "ivf_topk",
-    "pq_topk",
     "ivfpq_topk",
     "pq_trained_topk",
     "cv_accuracy",
@@ -5439,7 +5568,6 @@ _PRIORITY: list[str] = [
     "repetition_stats",
     "redact_pii",
     "unigram_lm",
-    "decontaminate_ngram",
     "bm25_rank",
     "pack_sequences",
     "stratified_split",
@@ -5464,8 +5592,15 @@ _PRIORITY: list[str] = [
     # (they sat inside every earlier window), unlike the never-graded
     # round-5 block; windows stay repped by sessionize + asof, the
     # kernel feature agg by entity_features.
+    # Fifth wave demotions: pq_topk (the PQ family keeps ivfpq_topk —
+    # which composes the same encode/ADC-serve path behind the coarse
+    # probe — and pq_trained_topk, which also grades pq_fit) and
+    # decontaminate_ngram (contamination_report + image_decontaminate
+    # keep the decontamination family inside the window).
     "asof",
     "sessionize",
+    "pq_topk",
+    "decontaminate_ngram",
     "lag_lead",
     "pricing_summary",
     "stats7",

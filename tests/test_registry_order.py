@@ -23,7 +23,6 @@ HIGH_RISK = [
     "image_letterbox",
     "pmi_collocations",
     "ivf_topk",
-    "pq_topk",
     "ivfpq_topk",
     "pq_trained_topk",
     "cv_accuracy",
@@ -41,11 +40,16 @@ HIGH_RISK = [
     "batch_pack",
     "epoch_augment",
     "mixup_pairs",
+    "batch_manifest",
+    "rrc_crop",
 ]
 
 # lag_lead/pricing_summary/stats7/band_agg demoted past the window for
 # the fourth wave — each holds repeated green driver grades from the
 # round-1..4 windows; asof + sessionize stay as the core reps.
+# Fifth wave demotes pq_topk (ivfpq_topk composes the same encode/serve
+# path; pq_trained_topk grades pq_fit) and decontaminate_ngram
+# (contamination_report + image_decontaminate keep the family repped).
 CORE = ["asof", "sessionize"]
 
 

@@ -1,0 +1,186 @@
+"""Round-5 fifth-wave loader operators: batch manifest collation,
+generic image moments, deterministic RandomResizedCrop.
+
+Expectations are straight-line hand computations (manual md5 ranks,
+numpy fancy-index crops) — never the operator's own helpers.
+"""
+
+import hashlib
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from rp_extract_spark.codecs import decode_image, encode_png
+from rp_extract_spark.operators.curation import (
+    collate_manifest,
+    pack_batches,
+)
+from rp_extract_spark.operators.images import (
+    image_moments,
+    random_resized_crop,
+    rrc_geometry,
+)
+
+
+def _img_df(spark, arrays):
+    rows = [
+        (f"im{i:04d}", encode_png(a), a.shape[1], a.shape[0], "png")
+        for i, a in enumerate(arrays)
+    ]
+    return spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+
+
+def _md5key(iid, seed, epoch):
+    return hashlib.md5(f"{iid}:{seed}:{epoch}".encode()).hexdigest()
+
+
+# --------------------------------------------------- collate_manifest
+
+
+def test_collate_manifest_slot_order_and_size(spark):
+    df = spark.createDataFrame(
+        [(f"d{i:02d}", i % 2, 10 + i) for i in range(11)],
+        "id string, bk int, sz long",
+    )
+    packed = pack_batches(
+        df, bucket_cols=("bk",), id_col="id", batch_size=2, seed=3, epoch=1
+    )
+    out = collate_manifest(
+        packed, bucket_cols=("bk",), id_col="id", size_col="sz"
+    ).collect()
+    # manual: per bucket, rank by md5(id:3:1), pack into pairs
+    sizes = {f"d{i:02d}": 10 + i for i in range(11)}
+    expect = {}
+    for bk in (0, 1):
+        ids = sorted(
+            (f"d{i:02d}" for i in range(11) if i % 2 == bk),
+            key=lambda s: (_md5key(s, 3, 1), s),
+        )
+        keep = (len(ids) // 2) * 2
+        for b in range(keep // 2):
+            members = ids[2 * b : 2 * b + 2]
+            expect[(bk, b)] = (
+                members,
+                2,
+                sum(sizes[m] for m in members),
+            )
+    got = {
+        (r["bk"], r["batch_idx"]): (
+            list(r["member_ids"]),
+            r["n_members"],
+            r["total_sz"],
+        )
+        for r in out
+    }
+    assert got == expect
+
+
+def test_collate_manifest_without_size_col(spark):
+    df = spark.createDataFrame(
+        [(f"d{i}", 0) for i in range(4)], "id string, bk int"
+    )
+    packed = pack_batches(df, ("bk",), "id", batch_size=4, seed=0, epoch=0)
+    rows = collate_manifest(packed, ("bk",), "id").collect()
+    assert len(rows) == 1
+    assert rows[0]["n_members"] == 4
+    assert sorted(rows[0]["member_ids"]) == [f"d{i}" for i in range(4)]
+    assert "total_" not in " ".join(rows[0].asDict().keys())
+
+
+# ------------------------------------------------------ image_moments
+
+
+def test_image_moments_exact_and_carry(spark):
+    rng = np.random.default_rng(11)
+    arrays = [rng.integers(0, 256, (9, 13), dtype=np.uint8) for _ in range(3)]
+    df = _img_df(spark, arrays).withColumn("w2", F.col("w") * 2)
+    rows = {
+        r["image_id"]: r
+        for r in image_moments(df, carry_cols=("w2",)).collect()
+    }
+    for i, a in enumerate(arrays):
+        r = rows[f"im{i:04d}"]
+        px = a.astype(np.int64)
+        xs = np.arange(a.shape[1])
+        ys = np.arange(a.shape[0])
+        assert r["err"] is None
+        assert r["w2"] == a.shape[1] * 2
+        assert (r["w"], r["h"]) == (a.shape[1], a.shape[0])
+        assert r["m0"] == int(px.sum())
+        assert r["mx"] == int((px.sum(axis=0) * xs).sum())
+        assert r["my"] == int((px.sum(axis=1) * ys).sum())
+
+
+def test_image_moments_quarantined_row_isolated(spark):
+    good = np.full((4, 4), 7, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [
+            ("ok", bytearray(encode_png(good)), "png"),
+            ("bad", None, "png"),
+            ("corrupt", bytearray(b"notapng"), "png"),
+        ],
+        "image_id string, bytes binary, fmt string",
+    )
+    rows = {r["image_id"]: r for r in image_moments(df).collect()}
+    assert rows["ok"]["err"] is None and rows["ok"]["m0"] == 7 * 16
+    assert rows["bad"]["err"] is not None and rows["bad"]["m0"] is None
+    assert rows["corrupt"]["err"] is not None
+
+
+# ------------------------------------------------- random_resized_crop
+
+
+def test_rrc_geometry_window_always_valid():
+    for w, h in ((64, 48), (97, 31), (16, 16)):
+        for d0 in range(16):
+            for d2 in range(16):
+                x0, y0, cw, ch = rrc_geometry(w, h, (d0, d0, d2, d2))
+                assert w // 2 <= cw <= w
+                assert h // 2 <= ch <= h
+                assert 0 <= x0 and x0 + cw <= w
+                assert 0 <= y0 and y0 + ch <= h
+    # digit 15 spans the full image, digit 0 the minimum crop at 0,0
+    assert rrc_geometry(64, 48, (15, 15, 0, 0)) == (0, 0, 64, 48)
+    assert rrc_geometry(64, 48, (0, 0, 0, 0)) == (0, 0, 32, 24)
+
+
+def test_random_resized_crop_matches_manual(spark):
+    rng = np.random.default_rng(3)
+    arrays = [
+        rng.integers(0, 256, (40, 56), dtype=np.uint8) for _ in range(4)
+    ]
+    rows = {
+        r["image_id"]: r
+        for r in random_resized_crop(
+            _img_df(spark, arrays), out_w=16, out_h=8, seed=5, epoch=2
+        ).collect()
+    }
+    for i, a in enumerate(arrays):
+        iid = f"im{i:04d}"
+        r = rows[iid]
+        assert r["err"] is None
+        d = tuple(int(c, 16) for c in _md5key(iid, 5, 2)[:4])
+        x0, y0, cw, ch = rrc_geometry(56, 40, d)
+        assert (r["x0"], r["y0"], r["crop_w"], r["crop_h"]) == (
+            x0, y0, cw, ch,
+        )
+        yi = y0 + (np.arange(8)[:, None] * ch) // 8
+        xi = x0 + (np.arange(16)[None, :] * cw) // 16
+        got = decode_image(bytes(r["bytes"]), "png")
+        assert got.shape == (8, 16)
+        np.testing.assert_array_equal(got, a[yi, xi])
+
+
+def test_random_resized_crop_epoch_changes_window(spark):
+    a = np.arange(64 * 48, dtype=np.uint64).reshape(48, 64) % 256
+    df = _img_df(spark, [a.astype(np.uint8)])
+    w0 = random_resized_crop(df, seed=1, epoch=0).collect()[0]
+    w1 = random_resized_crop(df, seed=1, epoch=1).collect()[0]
+    k0 = (w0["x0"], w0["y0"], w0["crop_w"], w0["crop_h"])
+    k1 = (w1["x0"], w1["y0"], w1["crop_w"], w1["crop_h"])
+    assert k0 != k1
+    # same epoch is reshuffle-stable
+    w0b = random_resized_crop(df, seed=1, epoch=0).collect()[0]
+    assert k0 == (w0b["x0"], w0b["y0"], w0b["crop_w"], w0b["crop_h"])

@@ -117,6 +117,10 @@ RELATIONAL = [
     # round 5, fifth wave (manifest collation + RandomResizedCrop)
     "batch_manifest",
     "rrc_crop",
+    # round 5, sixth wave (pair augmentations + loader shards)
+    "cutmix_pairs",
+    "jitter_moments",
+    "loader_shards",
 ]
 
 

@@ -1181,3 +1181,36 @@ def collate_manifest(
     if size_col is not None:
         aggs.append(F.sum(size_col).alias(f"total_{size_col}"))
     return packed.groupBy(*bucket_cols, "batch_idx").agg(*aggs)
+
+
+def plan_loader_shards(
+    manifest: DataFrame,
+    world_size: int,
+    bucket_cols: "tuple[str, ...]" = ("bucket_w", "bucket_h"),
+    batch_col: str = "batch_idx",
+    seed: int = 0,
+) -> DataFrame:
+    """Distributed-loader shard assignment — which data-parallel rank
+    reads which batch: ``rank = md5(bucket:batch:seed) mod world_size``,
+    a stateless pure projection (no window, no shuffle — the manifest
+    can be petabyte-wide and this is still metadata-speed), balanced in
+    expectation across ranks, reshuffle-stable and engine-independent
+    (the hash_sample / epoch_shuffle key discipline: Spark
+    F.conv(15 hex chars, 16, 10) == DuckDB CAST('0x' || ... AS
+    BIGINT)). Every rank derives its own batch list independently —
+    no coordinator."""
+    if world_size < 1:
+        raise ValueError(f"world_size must be >= 1, got {world_size}")
+    key = F.md5(
+        F.concat_ws(
+            ":",
+            *[F.col(c).cast("string") for c in bucket_cols],
+            F.col(batch_col).cast("string"),
+            F.lit(str(int(seed))),
+        )
+    )
+    rank = (
+        F.conv(F.substring(key, 1, 15), 16, 10).cast("long")
+        % F.lit(int(world_size))
+    ).cast("int")
+    return manifest.withColumn("rank", rank)

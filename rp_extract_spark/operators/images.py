@@ -1210,20 +1210,15 @@ MIXUP_SCHEMA = T.StructType(
 )
 
 
-def mixup_images(
+def _pair_by_shape(
     images: DataFrame, seed: int = 0, epoch: int = 0
 ) -> DataFrame:
-    """Deterministic mixup pairing + integer blend — the
-    sample-mixing augmentation (Zhang et al. 2018) at its lambda=1/2
-    point, where the blend (pa + pb) // 2 stays exact integer
-    arithmetic: images pair WITHIN their (w, h) shape class (mixup
-    needs congruent tensors) via pack_batches(batch_size=2) on the
-    per-epoch md5 permutation; the odd leftover per class is dropped
-    (drop_partial). One shuffle co-locates each pair (join on the
-    shape class + batch_idx), then a single Arrow stage decodes both
-    sides and emits the blended image's integer moments (the
-    augment_moments witness columns). Requires ``w``/``h`` columns on
-    the input (every scan/source here carries them)."""
+    """Deterministic sample pairing WITHIN each (w, h) shape class
+    (mixup/cutmix need congruent tensors) via pack_batches(batch_size=2)
+    on the per-epoch md5 permutation; the odd leftover per class is
+    dropped (drop_partial). One shuffle co-locates each pair (join on
+    the shape class + batch_idx). Returns
+    (w, h, batch_idx, a_id, a_bytes, a_fmt, b_id, b_bytes, b_fmt)."""
     from .curation import pack_batches
 
     packed = pack_batches(
@@ -1246,7 +1241,21 @@ def mixup_images(
         F.col("bytes").alias("b_bytes"),
         F.col("fmt").alias("b_fmt"),
     )
-    pairs = a.join(b, ["w", "h", "batch_idx"])
+    return a.join(b, ["w", "h", "batch_idx"])
+
+
+def mixup_images(
+    images: DataFrame, seed: int = 0, epoch: int = 0
+) -> DataFrame:
+    """Deterministic mixup pairing + integer blend — the
+    sample-mixing augmentation (Zhang et al. 2018) at its lambda=1/2
+    point, where the blend (pa + pb) // 2 stays exact integer
+    arithmetic: pairing via ``_pair_by_shape`` (pack_batches(B=2) on
+    the per-epoch md5 permutation), then a single Arrow stage decodes
+    both sides and emits the blended image's integer moments (the
+    augment_moments witness columns). Requires ``w``/``h`` columns on
+    the input (every scan/source here carries them)."""
+    pairs = _pair_by_shape(images, seed=seed, epoch=epoch)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for bt in batches:
@@ -1383,4 +1392,188 @@ def random_resized_crop(
 
     return images.select("image_id", "bytes", "fmt").mapInPandas(
         run, RRC_SCHEMA
+    )
+
+
+def cutmix_geometry(
+    w: int, h: int, d: "tuple[int, int, int, int]",
+) -> tuple[int, int, int, int]:
+    """Integer CutMix patch window from four hex digits d0..d3 (each
+    0..15): patch size spans [dim//4, dim//4 + dim//2] (the Beta-ish
+    mid-range area band, realized per-axis so everything stays
+    integer), position spans the valid range — all floor arithmetic
+    over non-negative ints, exactly recomputable in SQL. Returns
+    (x0, y0, cw, ch)."""
+    cw = (w // 4) + (d[0] * (w // 2)) // 15
+    ch = (h // 4) + (d[1] * (h // 2)) // 15
+    x0 = (d[2] * (w - cw)) // 15
+    y0 = (d[3] * (h - ch)) // 15
+    return x0, y0, cw, ch
+
+
+CUTMIX_SCHEMA = T.StructType(
+    [
+        T.StructField("a_id", T.StringType(), False),
+        T.StructField("b_id", T.StringType(), False),
+        T.StructField("w", T.IntegerType(), True),
+        T.StructField("h", T.IntegerType(), True),
+        T.StructField("x0", T.IntegerType(), True),
+        T.StructField("y0", T.IntegerType(), True),
+        T.StructField("cut_w", T.IntegerType(), True),
+        T.StructField("cut_h", T.IntegerType(), True),
+        T.StructField("patch_area", T.LongType(), True),
+        T.StructField("m0", T.LongType(), True),
+        T.StructField("mx", T.LongType(), True),
+        T.StructField("my", T.LongType(), True),
+        T.StructField("err", T.StringType(), True),
+    ]
+)
+
+
+def cutmix_images(
+    images: DataFrame, seed: int = 0, epoch: int = 0
+) -> DataFrame:
+    """Deterministic CutMix (Yun et al. 2019): pairing via
+    ``_pair_by_shape`` (the mixup co-location), then b's pixels replace
+    a's inside a rectangular patch whose window comes from four md5
+    hex digits of ``md5(a_id:b_id:seed:epoch)`` via ``cutmix_geometry``
+    — reshuffle-stable per (pair, epoch), no RNG state shipped to
+    executors. The composite is pure pixel selection (no arithmetic on
+    values), so its m0/mx/my moments replay closed-form in SQL with one
+    CASE over the window; ``patch_area`` carries the CutMix lambda
+    (lam = 1 - patch_area/(w*h)) as exact integers. One Arrow stage,
+    error-isolated."""
+    pairs = _pair_by_shape(images, seed=seed, epoch=epoch)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for bt in batches:
+            rows = []
+            for aid, ab, af, bid, bb, bf in zip(
+                bt["a_id"].values, bt["a_bytes"].values, bt["a_fmt"].values,
+                bt["b_id"].values, bt["b_bytes"].values, bt["b_fmt"].values,
+            ):
+                try:
+                    pa = to_gray(decode_image(bytes(ab), af)).astype(np.int64)
+                    pb = to_gray(decode_image(bytes(bb), bf)).astype(np.int64)
+                    if pa.shape != pb.shape:
+                        raise ValueError(
+                            f"shape mismatch {pa.shape} vs {pb.shape}"
+                        )
+                    h, w = pa.shape
+                    k = hashlib.md5(
+                        f"{aid}:{bid}:{int(seed)}:{int(epoch)}".encode()
+                    ).hexdigest()
+                    d = tuple(int(c, 16) for c in k[:4])
+                    x0, y0, cw, ch = cutmix_geometry(w, h, d)
+                    px = pa.copy()
+                    px[y0 : y0 + ch, x0 : x0 + cw] = pb[
+                        y0 : y0 + ch, x0 : x0 + cw
+                    ]
+                    xs = np.arange(w, dtype=np.int64)
+                    ys = np.arange(h, dtype=np.int64)
+                    rows.append(
+                        {
+                            "a_id": aid, "b_id": bid, "w": w, "h": h,
+                            "x0": x0, "y0": y0, "cut_w": cw, "cut_h": ch,
+                            "patch_area": int(cw) * int(ch),
+                            "m0": int(px.sum()),
+                            "mx": int((px.sum(axis=0) * xs).sum()),
+                            "my": int((px.sum(axis=1) * ys).sum()),
+                            "err": None,
+                        }
+                    )
+                except Exception as e:  # noqa: BLE001
+                    rows.append(
+                        {
+                            "a_id": aid, "b_id": bid, "w": None, "h": None,
+                            "x0": None, "y0": None, "cut_w": None,
+                            "cut_h": None, "patch_area": None, "m0": None,
+                            "mx": None, "my": None,
+                            "err": f"{type(e).__name__}: {e}",
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in CUTMIX_SCHEMA.fields]
+            )
+
+    return pairs.select(
+        "a_id", "a_bytes", "a_fmt", "b_id", "b_bytes", "b_fmt"
+    ).mapInPandas(run, CUTMIX_SCHEMA)
+
+
+JITTER_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), True),
+        T.StructField("w", T.IntegerType(), True),
+        T.StructField("h", T.IntegerType(), True),
+        T.StructField("bright", T.IntegerType(), True),
+        T.StructField("contrast", T.IntegerType(), True),
+        T.StructField("fmt", T.StringType(), True),
+        T.StructField("err", T.StringType(), True),
+    ]
+)
+
+
+def color_jitter(
+    images: DataFrame, seed: int = 0, epoch: int = 0
+) -> DataFrame:
+    """Deterministic brightness/contrast jitter — the color-jitter
+    augmentation restricted to the two channels that exist in
+    grayscale, kept EXACTLY integer so SQL replays every pixel:
+    brightness delta ``bright = d0*4 - 30`` (-30..+30) and contrast
+    numerator ``contrast = 8 + d1`` over a fixed /16 denominator
+    (0.5x..1.4375x) come from md5 hex digits of
+    ``md5(image_id:seed:epoch)``; each pixel maps to
+    ``clamp((px*contrast)//16 + 128 - (128*contrast)//16 + bright,
+    0, 255)`` — contrast pivots about mid-gray with BOTH floor
+    divisions over non-negative ints (negative floor/truncate division
+    differs between Python and SQL engines; this form never produces
+    one). One Arrow decode scan, no shuffle, error-isolated; verify
+    downstream with ``image_moments(carry_cols=('bright','contrast'))``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for iid, data, fmt in zip(
+                b["image_id"].values, b["bytes"].values, b["fmt"].values
+            ):
+                try:
+                    px = to_gray(decode_image(bytes(data), fmt)).astype(
+                        np.int64
+                    )
+                    h, w = px.shape
+                    k = hashlib.md5(
+                        f"{iid}:{int(seed)}:{int(epoch)}".encode()
+                    ).hexdigest()
+                    bright = int(k[0], 16) * 4 - 30
+                    contrast = 8 + int(k[1], 16)
+                    out = (
+                        (px * contrast) // 16
+                        + 128
+                        - (128 * contrast) // 16
+                        + bright
+                    )
+                    out = np.clip(out, 0, 255).astype(np.uint8)
+                    rows.append(
+                        {
+                            "image_id": iid, "bytes": encode_png(out),
+                            "w": w, "h": h, "bright": bright,
+                            "contrast": contrast, "fmt": "png", "err": None,
+                        }
+                    )
+                except Exception as e:  # noqa: BLE001
+                    rows.append(
+                        {
+                            "image_id": iid, "bytes": None, "w": None,
+                            "h": None, "bright": None, "contrast": None,
+                            "fmt": None, "err": f"{type(e).__name__}: {e}",
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in JITTER_SCHEMA.fields]
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        run, JITTER_SCHEMA
     )

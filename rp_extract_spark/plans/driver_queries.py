@@ -5503,6 +5503,185 @@ QUERIES["rrc_crop"] = q_rrc_crop
 ORACLES["rrc_crop"] = ORACLE_RRC_CROP
 
 
+def q_cutmix_pairs(spark, sf):
+    """Deterministic CutMix, fully ORACLED: pairing is the mixup
+    pack_batches(B=2) permutation (24 formula images = 12 shape
+    classes of exactly 2), the patch window replays from md5 hex
+    digits of the PAIR key, and the composite is pure pixel selection
+    — one CASE over the window recomputes every output pixel from the
+    two parents' formulas, witnessed by m0/mx/my."""
+    from ..operators.images import cutmix_images
+    from ..sources.images import formula_images_df
+
+    out = cutmix_images(formula_images_df(spark, 24), seed=6, epoch=1)
+    return out.select(
+        "a_id", "b_id", "w", "h", "x0", "y0", "cut_w", "cut_h",
+        "patch_area", "m0", "mx", "my",
+    ).orderBy("a_id")
+
+
+ORACLE_CUTMIX_PAIRS = """
+WITH ids AS (SELECT unnest(range(24)) AS i),
+""" + _SQL_FORMULA_DIMS + """,
+r AS (SELECT i, w, h, printf('img%08d', i) AS iid,
+             row_number() OVER (
+               PARTITION BY w, h
+               ORDER BY md5(printf('img%08d', i) || ':6:1'),
+                        printf('img%08d', i)) - 1 AS rn,
+             count(*) OVER (PARTITION BY w, h) AS n
+      FROM dims),
+kept AS (SELECT * FROM r WHERE rn < (n // 2) * 2),
+pairs AS (SELECT a.iid AS a_id, b.iid AS b_id, a.i AS ia, b.i AS ib,
+                 a.w AS w, a.h AS h
+          FROM kept a JOIN kept b
+            ON a.w = b.w AND a.h = b.h AND b.rn = a.rn + 1
+          WHERE a.rn % 2 = 0),
+dig AS (SELECT *,
+  CAST('0x' || substring(md5(a_id || ':' || b_id || ':6:1'), 1, 1) AS INT) AS d0,
+  CAST('0x' || substring(md5(a_id || ':' || b_id || ':6:1'), 2, 1) AS INT) AS d1,
+  CAST('0x' || substring(md5(a_id || ':' || b_id || ':6:1'), 3, 1) AS INT) AS d2,
+  CAST('0x' || substring(md5(a_id || ':' || b_id || ':6:1'), 4, 1) AS INT) AS d3
+  FROM pairs),
+geo AS (SELECT *, (w // 4) + (d0 * (w // 2)) // 15 AS cw,
+               (h // 4) + (d1 * (h // 2)) // 15 AS ch
+        FROM dig),
+win AS (SELECT *, (d2 * (w - cw)) // 15 AS px0,
+               (d3 * (h - ch)) // 15 AS py0
+        FROM geo),
+cells AS (SELECT a_id, b_id, w, h, px0, py0, cw, ch, x.g AS x, y.g AS y,
+           CASE WHEN x.g >= px0 AND x.g < px0 + cw
+                 AND y.g >= py0 AND y.g < py0 + ch
+                THEN (ib*31 + x.g*7 + y.g*13) % 256
+                ELSE (ia*31 + x.g*7 + y.g*13) % 256 END AS v
+          FROM win, (SELECT unnest(range(256)) AS g) x,
+               (SELECT unnest(range(128)) AS g) y
+          WHERE x.g < w AND y.g < h)
+SELECT a_id, b_id, CAST(max(w) AS INT) AS w, CAST(max(h) AS INT) AS h,
+       CAST(max(px0) AS INT) AS x0, CAST(max(py0) AS INT) AS y0,
+       CAST(max(cw) AS INT) AS cut_w, CAST(max(ch) AS INT) AS cut_h,
+       CAST(max(cw) * max(ch) AS BIGINT) AS patch_area,
+       CAST(sum(v) AS BIGINT) AS m0,
+       CAST(sum(v * x) AS BIGINT) AS mx,
+       CAST(sum(v * y) AS BIGINT) AS my
+FROM cells GROUP BY a_id, b_id ORDER BY a_id
+"""
+
+
+def q_jitter_moments(spark, sf):
+    """Deterministic integer brightness/contrast jitter, fully
+    ORACLED pixel-exactly: bright/contrast come from md5 hex digits,
+    the pixel map is clamp((p*c)//16 + 128 - (128*c)//16 + bright) —
+    every floor division over non-negative ints (the Python-vs-SQL
+    negative-division trap never fires) — and DuckDB recomputes
+    m0/mx/my through LEAST/GREATEST from the pixel formula."""
+    from ..operators.images import color_jitter, image_moments
+    from ..sources.images import formula_images_df
+
+    out = color_jitter(formula_images_df(spark, 16), seed=4, epoch=2)
+    m = image_moments(out, carry_cols=("bright", "contrast"))
+    return m.select(
+        "image_id", "bright", "contrast", "w", "h", "m0", "mx", "my"
+    ).orderBy("image_id")
+
+
+ORACLE_JITTER_MOMENTS = """
+WITH ids AS (SELECT unnest(range(16)) AS i),
+""" + _SQL_FORMULA_DIMS + """,
+dig AS (SELECT i, w, h,
+  CAST('0x' || substring(md5(printf('img%08d', i) || ':4:2'), 1, 1) AS INT)
+    * 4 - 30 AS bright,
+  8 + CAST('0x' || substring(md5(printf('img%08d', i) || ':4:2'), 2, 1)
+           AS INT) AS contrast
+  FROM dims),
+cells AS (SELECT i, bright, contrast, w, h, x.g AS x, y.g AS y,
+           LEAST(255, GREATEST(0,
+             (((i*31 + x.g*7 + y.g*13) % 256) * contrast) // 16
+             + 128 - (128 * contrast) // 16 + bright)) AS v
+          FROM dig, (SELECT unnest(range(256)) AS g) x,
+               (SELECT unnest(range(128)) AS g) y
+          WHERE x.g < w AND y.g < h)
+SELECT printf('img%08d', i) AS image_id,
+       CAST(max(bright) AS INT) AS bright,
+       CAST(max(contrast) AS INT) AS contrast,
+       CAST(max(w) AS INT) AS w, CAST(max(h) AS INT) AS h,
+       CAST(sum(v) AS BIGINT) AS m0,
+       CAST(sum(v * x) AS BIGINT) AS mx,
+       CAST(sum(v * y) AS BIGINT) AS my
+FROM cells GROUP BY i ORDER BY image_id
+"""
+
+
+def q_loader_shards(spark, sf):
+    """Distributed-loader shard assignment over the batch manifest,
+    fully ORACLED: rank = md5(bucket:batch:seed) mod world — Spark's
+    F.conv(15 hex chars, 16, 10) equals DuckDB's CAST('0x'||hex AS
+    BIGINT) (the assign_folds/hash_sample discipline); a stateless
+    projection every rank can evaluate independently, no coordinator."""
+    from ..operators.curation import (
+        collate_manifest,
+        pack_batches,
+        plan_loader_shards,
+    )
+    from ..operators.images import aspect_bucket_images
+    from ..sources.images import formula_images_df
+
+    b = aspect_bucket_images(formula_images_df(spark, 40))
+    packed = pack_batches(
+        b.select("image_id", "bucket_w", "bucket_h"),
+        bucket_cols=("bucket_w", "bucket_h"),
+        id_col="image_id",
+        batch_size=4,
+        seed=3,
+        epoch=0,
+    )
+    m = collate_manifest(packed, ("bucket_w", "bucket_h"), "image_id")
+    out = plan_loader_shards(m, world_size=4, seed=1)
+    return out.select(
+        "bucket_w", "bucket_h", "batch_idx", "n_members", "rank"
+    ).orderBy("bucket_w", "bucket_h", "batch_idx")
+
+
+ORACLE_LOADER_SHARDS = """
+WITH ids AS (SELECT unnest(range(40)) AS i),
+""" + _SQL_FORMULA_DIMS + """,
+bk(idx, bw, bh) AS (VALUES
+  (0, 1024, 1024), (1, 1152, 896), (2, 896, 1152), (3, 1216, 832),
+  (4, 832, 1216), (5, 1344, 768), (6, 768, 1344), (7, 1536, 640),
+  (8, 640, 1536)),
+scored AS (SELECT i, w, h, bw, bh,
+                  row_number() OVER (
+                    PARTITION BY i
+                    ORDER BY abs(w*bh - h*bw)::DOUBLE / bh, idx) AS rn
+           FROM dims, bk),
+assigned AS (SELECT printf('img%08d', i) AS image_id, bw, bh
+             FROM scored WHERE rn = 1),
+r AS (SELECT image_id, bw, bh,
+             row_number() OVER (
+               PARTITION BY bw, bh
+               ORDER BY md5(image_id || ':3:0'), image_id) - 1 AS rn,
+             count(*) OVER (PARTITION BY bw, bh) AS n
+      FROM assigned),
+packed AS (SELECT image_id, bw, bh, rn // 4 AS batch_idx
+           FROM r WHERE rn < (n // 4) * 4),
+manifest AS (SELECT bw, bh, batch_idx, CAST(count(*) AS INT) AS n_members
+             FROM packed GROUP BY bw, bh, batch_idx)
+SELECT CAST(bw AS INT) AS bucket_w, CAST(bh AS INT) AS bucket_h,
+       CAST(batch_idx AS BIGINT) AS batch_idx, n_members,
+       CAST(CAST('0x' || substring(
+              md5(bw || ':' || bh || ':' || batch_idx || ':1'), 1, 15)
+            AS BIGINT) % 4 AS INT) AS rank
+FROM manifest ORDER BY bucket_w, bucket_h, batch_idx
+"""
+
+
+QUERIES["cutmix_pairs"] = q_cutmix_pairs
+ORACLES["cutmix_pairs"] = ORACLE_CUTMIX_PAIRS
+QUERIES["jitter_moments"] = q_jitter_moments
+ORACLES["jitter_moments"] = ORACLE_JITTER_MOMENTS
+QUERIES["loader_shards"] = q_loader_shards
+ORACLES["loader_shards"] = ORACLE_LOADER_SHARDS
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #
@@ -5545,6 +5724,10 @@ _PRIORITY: list[str] = [
     # oracled RandomResizedCrop)
     "batch_manifest",
     "rrc_crop",
+    # round-5 sixth-wave additions (pair augmentations + loader shards)
+    "cutmix_pairs",
+    "jitter_moments",
+    "loader_shards",
     # round-4 additions + highest-risk round-3 operators (image_stats/
     # image_augment/image_tiles/image_formats demoted — see below)
     "paragraph_dedup",
@@ -5563,15 +5746,12 @@ _PRIORITY: list[str] = [
     "svm_classify",
     "minhash_dedup",
     "simhash",
-    "embedding_dedup",
-    "bpe_merges",
     "repetition_stats",
     "redact_pii",
     "unigram_lm",
     "bm25_rank",
     "pack_sequences",
     "stratified_split",
-    "cms_counts",
     "entity_features",
     # representative core. Moved past the 50-window to make room for
     # the round-5 image block, each with its family still represented
@@ -5597,10 +5777,18 @@ _PRIORITY: list[str] = [
     # probe — and pq_trained_topk, which also grades pq_fit) and
     # decontaminate_ngram (contamination_report + image_decontaminate
     # keep the decontamination family inside the window).
+    # Sixth wave demotions: bpe_merges (bpe_ids trains the same merges
+    # and grades the id surface too), cms_counts (exact CAST-parity
+    # sketch, simplest oracle in the registry), embedding_dedup
+    # (dedup family keeps minhash_dedup/_verified + image_dedup
+    # + image_dedup_verified inside).
     "asof",
     "sessionize",
     "pq_topk",
     "decontaminate_ngram",
+    "bpe_merges",
+    "cms_counts",
+    "embedding_dedup",
     "lag_lead",
     "pricing_summary",
     "stats7",

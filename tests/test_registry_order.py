@@ -42,7 +42,10 @@ HIGH_RISK = [
     "mixup_pairs",
     "batch_manifest",
     "rrc_crop",
-]
+    "cutmix_pairs",
+    "jitter_moments",
+    "loader_shards",
+]  # noqa: E501 — every never-driver-graded operator must sit inside the window
 
 # lag_lead/pricing_summary/stats7/band_agg demoted past the window for
 # the fourth wave — each holds repeated green driver grades from the

@@ -184,3 +184,120 @@ def test_random_resized_crop_epoch_changes_window(spark):
     # same epoch is reshuffle-stable
     w0b = random_resized_crop(df, seed=1, epoch=0).collect()[0]
     assert k0 == (w0b["x0"], w0b["y0"], w0b["crop_w"], w0b["crop_h"])
+
+
+# ----------------------------------------------------- cutmix_images
+
+
+def test_cutmix_geometry_window_always_valid():
+    from rp_extract_spark.operators.images import cutmix_geometry
+
+    for w, h in ((64, 48), (97, 31), (16, 16)):
+        for d0 in range(16):
+            for d2 in range(16):
+                x0, y0, cw, ch = cutmix_geometry(w, h, (d0, d0, d2, d2))
+                assert w // 4 <= cw <= w // 4 + w // 2
+                assert h // 4 <= ch <= h // 4 + h // 2
+                assert 0 <= x0 and x0 + cw <= w
+                assert 0 <= y0 and y0 + ch <= h
+
+
+def test_cutmix_matches_manual_composite(spark):
+    from rp_extract_spark.operators.images import (
+        cutmix_geometry,
+        cutmix_images,
+    )
+
+    rng = np.random.default_rng(9)
+    arrays = [
+        rng.integers(0, 256, (24, 32), dtype=np.uint8) for _ in range(4)
+    ]
+    rows = cutmix_images(_img_df(spark, arrays), seed=2, epoch=3).collect()
+    assert len(rows) == 2  # 4 congruent images -> 2 pairs
+    by_id = {f"im{i:04d}": arrays[i] for i in range(4)}
+    # manual pairing: rank all 4 ids by md5(id:2:3), pair (0,1), (2,3)
+    order = sorted(by_id, key=lambda s: (_md5key(s, 2, 3), s))
+    expect_pairs = {(order[0], order[1]), (order[2], order[3])}
+    assert {(r["a_id"], r["b_id"]) for r in rows} == expect_pairs
+    for r in rows:
+        pa = by_id[r["a_id"]].astype(np.int64)
+        pb = by_id[r["b_id"]].astype(np.int64)
+        k = hashlib.md5(f"{r['a_id']}:{r['b_id']}:2:3".encode()).hexdigest()
+        x0, y0, cw, ch = cutmix_geometry(
+            32, 24, tuple(int(c, 16) for c in k[:4])
+        )
+        assert (r["x0"], r["y0"], r["cut_w"], r["cut_h"]) == (x0, y0, cw, ch)
+        assert r["patch_area"] == cw * ch
+        px = pa.copy()
+        px[y0 : y0 + ch, x0 : x0 + cw] = pb[y0 : y0 + ch, x0 : x0 + cw]
+        xs = np.arange(32)
+        ys = np.arange(24)
+        assert r["m0"] == int(px.sum())
+        assert r["mx"] == int((px.sum(axis=0) * xs).sum())
+        assert r["my"] == int((px.sum(axis=1) * ys).sum())
+
+
+# ------------------------------------------------------- color_jitter
+
+
+def test_color_jitter_matches_manual_map(spark):
+    from rp_extract_spark.operators.images import color_jitter
+
+    rng = np.random.default_rng(21)
+    arrays = [rng.integers(0, 256, (8, 10), dtype=np.uint8) for _ in range(3)]
+    rows = {
+        r["image_id"]: r
+        for r in color_jitter(_img_df(spark, arrays), seed=4, epoch=2)
+        .collect()
+    }
+    for i, a in enumerate(arrays):
+        iid = f"im{i:04d}"
+        r = rows[iid]
+        assert r["err"] is None
+        k = _md5key(iid, 4, 2)
+        bright = int(k[0], 16) * 4 - 30
+        contrast = 8 + int(k[1], 16)
+        assert (r["bright"], r["contrast"]) == (bright, contrast)
+        px = a.astype(np.int64)
+        want = np.clip(
+            (px * contrast) // 16 + 128 - (128 * contrast) // 16 + bright,
+            0, 255,
+        ).astype(np.uint8)
+        got = decode_image(bytes(r["bytes"]), "png")
+        np.testing.assert_array_equal(got, want)
+
+
+def test_color_jitter_error_isolated(spark):
+    from rp_extract_spark.operators.images import color_jitter
+
+    df = spark.createDataFrame(
+        [("bad", bytearray(b"nope"), "png")],
+        "image_id string, bytes binary, fmt string",
+    )
+    r = color_jitter(df).collect()[0]
+    assert r["err"] is not None and r["bytes"] is None
+
+
+# ------------------------------------------------- plan_loader_shards
+
+
+def test_plan_loader_shards_manual_and_balance(spark):
+    import pytest
+
+    from rp_extract_spark.operators.curation import plan_loader_shards
+
+    df = spark.createDataFrame(
+        [(256, 128, b) for b in range(40)],
+        "bucket_w int, bucket_h int, batch_idx long",
+    )
+    rows = plan_loader_shards(df, world_size=4, seed=1).collect()
+    for r in rows:
+        k = hashlib.md5(f"256:128:{r['batch_idx']}:1".encode()).hexdigest()
+        assert r["rank"] == int(k[:15], 16) % 4
+        assert 0 <= r["rank"] < 4
+    # every rank gets work on 40 batches
+    assert {r["rank"] for r in rows} == {0, 1, 2, 3}
+    ones = plan_loader_shards(df, world_size=1).collect()
+    assert all(r["rank"] == 0 for r in ones)
+    with pytest.raises(ValueError):
+        plan_loader_shards(df, world_size=0)

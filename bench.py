@@ -121,6 +121,7 @@ RELATIONAL = [
     "cutmix_pairs",
     "jitter_moments",
     "loader_shards",
+    "shard_packing",
 ]
 
 

@@ -1214,3 +1214,73 @@ def plan_loader_shards(
         % F.lit(int(world_size))
     ).cast("int")
     return manifest.withColumn("rank", rank)
+
+
+def plan_shard_packing(
+    df: DataFrame,
+    size_col: str = "n_chars",
+    id_col: str = "doc_id",
+    target_size: int = 1 << 30,
+    shuffle: bool = True,
+    seed: int = 0,
+) -> DataFrame:
+    """Size-budgeted shard planning — which contiguous run of samples
+    lands in which ~target-sized output shard (the webdataset / FFCV
+    "aim for ~1 GB per tar" step): rows are laid out in a deterministic
+    order (``md5(id:seed)`` when ``shuffle`` — decorrelates shard
+    boundaries from ingest order so every shard is an unbiased corpus
+    sample — else plain id order) and ``shard_id = start_offset //
+    target_size`` over the exclusive prefix sum of ``size_col``.
+    Greedy contiguous packing: a shard overshoots the target by at
+    most one sample, and every engine replaying the same cumsum gets
+    identical boundaries.
+
+    Scale path — the pack_sequences distributed prefix sum, never a
+    global window: range-partition by the order key, cumsum per
+    partition (window partitioned by __pid, fully parallel), lift with
+    broadcast exclusive per-partition totals (P rows). Returns
+    (id, size, start_offset, shard_id)."""
+    if target_size < 1:
+        raise ValueError(f"target_size must be >= 1, got {target_size}")
+    spark = df.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    order_key = (
+        F.md5(
+            F.concat_ws(
+                ":", F.col(id_col).cast("string"), F.lit(str(int(seed)))
+            )
+        )
+        if shuffle
+        else F.col(id_col).cast("string")
+    )
+    t = df.select(
+        F.col(id_col),
+        F.col(size_col).cast("long").alias("size"),
+        order_key.alias("__k"),
+    ).repartitionByRange(n_parts, F.col("__k"), F.col(id_col))
+    # persist: __pid feeds the cumsum window AND the base-total agg —
+    # both must see one partition placement (pack_sequences policy)
+    t = t.withColumn("__pid", F.spark_partition_id()).persist()
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy("__k", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = t.withColumn("__local_end", F.sum("size").over(w))
+    parts = t.groupBy("__pid").agg(F.max("__local_end").alias("__psum"))
+    # benign "No Partition Defined for Window": runs over P rows only
+    wp = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    bases = parts.select(
+        "__pid",
+        F.coalesce(F.sum("__psum").over(wp), F.lit(0)).alias("__base"),
+    )
+    return t.join(F.broadcast(bases), "__pid").select(
+        F.col(id_col),
+        "size",
+        (F.col("__base") + F.col("__local_end") - F.col("size"))
+        .alias("start_offset"),
+        F.floor(
+            (F.col("__base") + F.col("__local_end") - F.col("size"))
+            / F.lit(int(target_size))
+        ).cast("long").alias("shard_id"),
+    )

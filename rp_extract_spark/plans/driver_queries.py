@@ -5674,6 +5674,41 @@ FROM manifest ORDER BY bucket_w, bucket_h, batch_idx
 """
 
 
+def q_shard_packing(spark, sf):
+    """Size-budgeted shard planning over the documents corpus, fully
+    ORACLED: rows lay out on the md5(id:seed) permutation, the
+    exclusive prefix sum of n_chars replays as one DuckDB window
+    cumsum, and shard_id = start // target follows exactly. The Spark
+    side never runs a global window (pack_sequences two-level prefix
+    sum); the oracle's single window is fine at oracle scale."""
+    from ..operators.curation import plan_shard_packing
+
+    d = _t(spark, sf, "documents")
+    out = plan_shard_packing(
+        d, size_col="n_chars", id_col="doc_id",
+        target_size=4096, shuffle=True, seed=0,
+    )
+    return out.orderBy("doc_id")
+
+
+ORACLE_SHARD_PACKING = """
+WITH r AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS size,
+         coalesce(sum(n_chars) OVER (
+           ORDER BY md5(doc_id || ':0'), doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS start_offset
+  FROM documents)
+SELECT doc_id, size, CAST(start_offset AS BIGINT) AS start_offset,
+       CAST(start_offset // 4096 AS BIGINT) AS shard_id
+FROM r ORDER BY doc_id
+"""
+
+
+QUERIES["shard_packing"] = q_shard_packing
+ORACLES["shard_packing"] = ORACLE_SHARD_PACKING
+
+
 QUERIES["cutmix_pairs"] = q_cutmix_pairs
 ORACLES["cutmix_pairs"] = ORACLE_CUTMIX_PAIRS
 QUERIES["jitter_moments"] = q_jitter_moments
@@ -5728,6 +5763,7 @@ _PRIORITY: list[str] = [
     "cutmix_pairs",
     "jitter_moments",
     "loader_shards",
+    "shard_packing",
     # round-4 additions + highest-risk round-3 operators (image_stats/
     # image_augment/image_tiles/image_formats demoted — see below)
     "paragraph_dedup",
@@ -5750,7 +5786,6 @@ _PRIORITY: list[str] = [
     "redact_pii",
     "unigram_lm",
     "bm25_rank",
-    "pack_sequences",
     "stratified_split",
     "entity_features",
     # representative core. Moved past the 50-window to make room for
@@ -5781,7 +5816,9 @@ _PRIORITY: list[str] = [
     # and grades the id surface too), cms_counts (exact CAST-parity
     # sketch, simplest oracle in the registry), embedding_dedup
     # (dedup family keeps minhash_dedup/_verified + image_dedup
-    # + image_dedup_verified inside).
+    # + image_dedup_verified inside), pack_sequences (shard_packing
+    # grades the same two-level prefix sum; stratified_split keeps the
+    # two-level rank inside).
     "asof",
     "sessionize",
     "pq_topk",
@@ -5789,6 +5826,7 @@ _PRIORITY: list[str] = [
     "bpe_merges",
     "cms_counts",
     "embedding_dedup",
+    "pack_sequences",
     "lag_lead",
     "pricing_summary",
     "stats7",

@@ -322,3 +322,30 @@ def test_svm_scoring_is_shuffle_free_scan(spark):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+
+def test_shard_packing_window_partitioned_over_data(spark):
+    """plan_shard_packing's data-side cumsum window must be partitioned
+    (by __pid) — only the P-row base-lift window may be global. Assert
+    the physical plan shows a partitioned Window spec and that the data
+    never range-partitions to a single partition."""
+    from rp_extract_spark.operators.curation import plan_shard_packing
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = plan_shard_packing(docs, target_size=4096)
+    plan = _plan(out)
+    data_windows = [
+        ln for ln in plan.splitlines()
+        if "sum(size" in ln and "windowspecdefinition" in ln
+    ]
+    assert data_windows, "data-side cumsum window missing from plan"
+    for ln in data_windows:
+        # partition spec leads with __pid: windowspecdefinition(__pid#N, ...
+        assert "windowspecdefinition(__pid#" in ln
+    # witness values: the cumsum covers the corpus exactly, and the
+    # last sample ends in the last shard
+    rows = out.collect()
+    total = sum(r["size"] for r in rows)
+    assert max(r["start_offset"] + r["size"] for r in rows) == total
+    last_start = max(r["start_offset"] for r in rows)
+    assert max(r["shard_id"] for r in rows) == last_start // 4096

@@ -45,6 +45,7 @@ HIGH_RISK = [
     "cutmix_pairs",
     "jitter_moments",
     "loader_shards",
+    "shard_packing",
 ]  # noqa: E501 — every never-driver-graded operator must sit inside the window
 
 # lag_lead/pricing_summary/stats7/band_agg demoted past the window for

@@ -301,3 +301,50 @@ def test_plan_loader_shards_manual_and_balance(spark):
     assert all(r["rank"] == 0 for r in ones)
     with pytest.raises(ValueError):
         plan_loader_shards(df, world_size=0)
+
+
+# ------------------------------------------------- plan_shard_packing
+
+
+def test_plan_shard_packing_matches_manual_cumsum(spark):
+    from rp_extract_spark.operators.curation import plan_shard_packing
+
+    sizes = {i: 100 + 37 * (i % 7) for i in range(25)}
+    df = spark.createDataFrame(
+        [(i, sizes[i]) for i in sizes], "doc_id long, n_chars long"
+    )
+    out = plan_shard_packing(
+        df, size_col="n_chars", id_col="doc_id",
+        target_size=500, shuffle=True, seed=2,
+    ).collect()
+    order = sorted(
+        sizes, key=lambda i: (hashlib.md5(f"{i}:2".encode()).hexdigest(), i)
+    )
+    start, expect = 0, {}
+    for i in order:
+        expect[i] = (sizes[i], start, start // 500)
+        start += sizes[i]
+    got = {r["doc_id"]: (r["size"], r["start_offset"], r["shard_id"])
+           for r in out}
+    assert got == expect
+    # contiguity: shard ids are 0..max with no gaps
+    shard_ids = sorted({v[2] for v in expect.values()})
+    assert shard_ids == list(range(shard_ids[-1] + 1))
+
+
+def test_plan_shard_packing_unshuffled_and_guard(spark):
+    import pytest
+
+    from rp_extract_spark.operators.curation import plan_shard_packing
+
+    df = spark.createDataFrame(
+        [(i, 10) for i in range(9)], "doc_id long, n_chars long"
+    )
+    rows = plan_shard_packing(
+        df, target_size=30, shuffle=False
+    ).orderBy("doc_id").collect()
+    # id order (string order of 0..8 == numeric order here): 3 per shard
+    assert [r["shard_id"] for r in rows] == [i // 3 for i in range(9)]
+    assert [r["start_offset"] for r in rows] == [10 * i for i in range(9)]
+    with pytest.raises(ValueError):
+        plan_shard_packing(df, target_size=0)

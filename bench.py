@@ -122,6 +122,7 @@ RELATIONAL = [
     "jitter_moments",
     "loader_shards",
     "shard_packing",
+    "repeat_factor",
 ]
 
 

@@ -1284,3 +1284,70 @@ def plan_shard_packing(
             / F.lit(int(target_size))
         ).cast("long").alias("shard_id"),
     )
+
+
+def repeat_factor_sampling(
+    df: DataFrame,
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    threshold_num: int = 3,
+    threshold_den: int = 10,
+) -> DataFrame:
+    """Repeat-factor sampling (the LVIS class-balanced oversampling
+    rule, Gupta et al. 2019): a sample whose class frequency
+    f_c = n_c / N falls below the threshold t = num/den repeats
+    ceil(sqrt(t / f_c)) times per epoch, head classes stay at 1.
+
+    Exactness: repeats = max(1, ceil-sqrt((num*N) / (den*n_c))) where
+    the ceil-sqrt is computed EXACTLY — float sqrt seeds a candidate s
+    (within 1 ulp, so within +/-1 of truth) and two exact integer
+    square comparisons pin it: s-1 if (s-1)^2*den' >= num', s+1 if
+    s^2*den' < num', else s. No float ever decides a boundary, so any
+    SQL engine replaying the same rule lands on identical repeats.
+    (Fractional stochastic rounding is deliberately dropped — ceil is
+    the common deterministic simplification; document, don't dither.)
+
+    Scale: one K-row class-count aggregate (window-summed total over K
+    rows, broadcast back), then explode(sequence(1, repeats)) — rows
+    amplify at most ceil-sqrt(t*N/min_class) per sample, no shuffle
+    beyond the count agg. Returns (id, label, repeats, copy_idx)."""
+    if threshold_num < 0 or threshold_den < 1:
+        raise ValueError(
+            f"bad threshold {threshold_num}/{threshold_den}"
+        )
+    counts = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("__n"))
+    # corpus total via an unpartitioned window over the K-row class
+    # table (benign: K classes, never data; the pack_sequences policy).
+    # NB the total column must NOT be a case-variant of "__n" — Spark
+    # resolves column names case-insensitively, so withColumn("__N")
+    # silently REPLACES "__n".
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    scored = counts.withColumn("__tot", F.sum("__n").over(wt)).select(
+        label_col,
+        (F.lit(int(threshold_num)) * F.col("__tot")).alias("__num"),
+        (F.lit(int(threshold_den)) * F.col("__n")).alias("__den"),
+    )
+    s = F.ceil(F.sqrt(F.col("__num").cast("double") / F.col("__den")))
+    k = (
+        F.when((s - 1) * (s - 1) * F.col("__den") >= F.col("__num"), s - 1)
+        .when(s * s * F.col("__den") < F.col("__num"), s + 1)
+        .otherwise(s)
+    )
+    repeats = scored.select(
+        label_col,
+        F.greatest(F.lit(1), k).cast("int").alias("repeats"),
+    )
+    return (
+        df.select(id_col, label_col)
+        .join(F.broadcast(repeats), label_col)
+        .select(
+            id_col,
+            label_col,
+            "repeats",
+            F.explode(F.sequence(F.lit(1), F.col("repeats"))).alias(
+                "copy_idx"
+            ),
+        )
+    )

@@ -5709,6 +5709,50 @@ QUERIES["shard_packing"] = q_shard_packing
 ORACLES["shard_packing"] = ORACLE_SHARD_PACKING
 
 
+def q_repeat_factor(spark, sf):
+    """LVIS repeat-factor class-balanced oversampling, fully ORACLED:
+    repeats = max(1, ceil-sqrt(t*N / n_class)) with the ceil-sqrt
+    decided by exact integer square comparisons (float sqrt only seeds
+    the candidate), expansion via explode(sequence(1, repeats)) vs
+    DuckDB unnest(range(...)). Run on the documents lang classes —
+    naturally imbalanced."""
+    from ..operators.curation import repeat_factor_sampling
+
+    d = _t(spark, sf, "documents")
+    out = repeat_factor_sampling(
+        d, label_col="lang", id_col="doc_id",
+        threshold_num=3, threshold_den=10,
+    )
+    return out.select(
+        "doc_id", "lang", "repeats",
+        F.col("copy_idx").cast("int").alias("copy_idx"),
+    ).orderBy("doc_id", "copy_idx")
+
+
+ORACLE_REPEAT_FACTOR = """
+WITH c AS (SELECT lang, count(*) AS n_cls FROM documents GROUP BY lang),
+tot AS (SELECT sum(n_cls) AS n_total FROM c),
+r AS (SELECT lang, 3 * n_total AS num, 10 * n_cls AS den,
+             CAST(ceil(sqrt((3 * n_total)::DOUBLE / (10 * n_cls)))
+                  AS BIGINT) AS s
+      FROM c, tot),
+k AS (SELECT lang,
+             CAST(GREATEST(1,
+               CASE WHEN (s-1)*(s-1)*den >= num THEN s-1
+                    WHEN s*s*den < num THEN s+1
+                    ELSE s END) AS INT) AS repeats
+      FROM r)
+SELECT d.doc_id, d.lang, k.repeats,
+       CAST(unnest(range(1, k.repeats + 1)) AS INT) AS copy_idx
+FROM documents d JOIN k USING (lang)
+ORDER BY doc_id, copy_idx
+"""
+
+
+QUERIES["repeat_factor"] = q_repeat_factor
+ORACLES["repeat_factor"] = ORACLE_REPEAT_FACTOR
+
+
 QUERIES["cutmix_pairs"] = q_cutmix_pairs
 ORACLES["cutmix_pairs"] = ORACLE_CUTMIX_PAIRS
 QUERIES["jitter_moments"] = q_jitter_moments
@@ -5764,6 +5808,7 @@ _PRIORITY: list[str] = [
     "jitter_moments",
     "loader_shards",
     "shard_packing",
+    "repeat_factor",
     # round-4 additions + highest-risk round-3 operators (image_stats/
     # image_augment/image_tiles/image_formats demoted — see below)
     "paragraph_dedup",
@@ -5787,7 +5832,6 @@ _PRIORITY: list[str] = [
     "unigram_lm",
     "bm25_rank",
     "stratified_split",
-    "entity_features",
     # representative core. Moved past the 50-window to make room for
     # the round-5 image block, each with its family still represented
     # inside the window: asof_merge/asof_forward/asof_tolerance/ffill/
@@ -5818,7 +5862,9 @@ _PRIORITY: list[str] = [
     # (dedup family keeps minhash_dedup/_verified + image_dedup
     # + image_dedup_verified inside), pack_sequences (shard_packing
     # grades the same two-level prefix sum; stratified_split keeps the
-    # two-level rank inside).
+    # two-level rank inside), entity_features (driver-graded green in
+    # CORRECTNESS_r04; the kernel feature agg signal it carried is the
+    # one family rep allowed to rest on a hard grade).
     "asof",
     "sessionize",
     "pq_topk",
@@ -5827,6 +5873,7 @@ _PRIORITY: list[str] = [
     "cms_counts",
     "embedding_dedup",
     "pack_sequences",
+    "entity_features",
     "lag_lead",
     "pricing_summary",
     "stats7",

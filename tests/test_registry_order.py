@@ -46,6 +46,7 @@ HIGH_RISK = [
     "jitter_moments",
     "loader_shards",
     "shard_packing",
+    "repeat_factor",
 ]  # noqa: E501 — every never-driver-graded operator must sit inside the window
 
 # lag_lead/pricing_summary/stats7/band_agg demoted past the window for

@@ -348,3 +348,67 @@ def test_plan_shard_packing_unshuffled_and_guard(spark):
     assert [r["start_offset"] for r in rows] == [10 * i for i in range(9)]
     with pytest.raises(ValueError):
         plan_shard_packing(df, target_size=0)
+
+
+# --------------------------------------------- repeat_factor_sampling
+
+
+def test_repeat_factor_exact_ceil_sqrt(spark):
+    import math
+
+    from rp_extract_spark.operators.curation import repeat_factor_sampling
+
+    # 3 classes: head 60, mid 30, tail 10 (N=100), t = 0.3
+    rows = [(i, "head") for i in range(60)]
+    rows += [(100 + i, "mid") for i in range(30)]
+    rows += [(200 + i, "tail") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = repeat_factor_sampling(
+        df, label_col="lang", id_col="doc_id",
+        threshold_num=3, threshold_den=10,
+    ).collect()
+
+    def ceil_sqrt_ratio(num, den):
+        k = 1
+        while k * k * den < num:
+            k += 1
+        return k
+
+    expect_rep = {
+        lab: max(1, ceil_sqrt_ratio(3 * 100, 10 * n))
+        for lab, n in (("head", 60), ("mid", 30), ("tail", 10))
+    }
+    assert expect_rep == {"head": 1, "mid": 1, "tail": 2}
+    byid = {}
+    for r in out:
+        byid.setdefault(r["doc_id"], []).append(r)
+    for did, rs in byid.items():
+        lab = rs[0]["lang"]
+        assert len(rs) == expect_rep[lab]
+        assert sorted(x["copy_idx"] for x in rs) == list(
+            range(1, expect_rep[lab] + 1)
+        )
+        assert all(x["repeats"] == expect_rep[lab] for x in rs)
+    assert len(byid) == 100
+    # sanity vs float formula on a boundary-free case
+    for lab, n in (("head", 60), ("mid", 30), ("tail", 10)):
+        assert expect_rep[lab] == max(1, math.ceil(math.sqrt(0.3 * 100 / n)))
+
+
+def test_repeat_factor_boundary_is_integer_decided(spark):
+    from rp_extract_spark.operators.curation import repeat_factor_sampling
+
+    # exact-square boundary: t*N/n = 4 -> repeats exactly 2 (ceil(2)=2),
+    # NOT 3 (a float sqrt(4) = 2.0000000000000004 would ceil to 3)
+    rows = [(i, "a") for i in range(10)] + [(100 + i, "b") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = repeat_factor_sampling(
+        df, label_col="lang", id_col="doc_id",
+        threshold_num=1, threshold_den=1,
+    )
+    reps = {
+        r["lang"]: r["repeats"]
+        for r in out.select("lang", "repeats").distinct().collect()
+    }
+    assert reps["a"] == 2  # 40/10 = 4, ceil-sqrt = 2 exactly
+    assert reps["b"] == 2  # 40/30 = 1.33, ceil-sqrt = 2

@@ -18,6 +18,11 @@ from pyspark.sql.window import Window
 
 from .text import fingerprint, token_count
 
+# below this many input partitions, pack_batches skips the two-level
+# rank machinery (see its docstring) — a partition is the skew unit,
+# so a narrow input cannot have a bucket wider than one partition
+_PACK_SMALL_PARTS = 4
+
 
 def pack_sequences(
     df: DataFrame,
@@ -1088,6 +1093,7 @@ def pack_batches(
     seed: int = 0,
     epoch: int = 0,
     drop_partial: bool = True,
+    two_level: bool | None = None,
 ) -> DataFrame:
     """Deterministic bucketed batch packing — the data-loader step
     between aspect bucketing / sharding and the training loop: within
@@ -1103,7 +1109,17 @@ def pack_batches(
     by (buckets, key) so ONE dominant bucket spreads over many
     partitions, rank locally per (bucket, partition) fully parallel,
     then lift with broadcast exclusive base counts (buckets x
-    partitions rows). Never a bucket-partitioned global window."""
+    partitions rows). Never a bucket-partitioned global window at
+    scale.
+
+    ``two_level=None`` auto-selects: inputs narrower than
+    ``_PACK_SMALL_PARTS`` partitions take the plain bucket-partitioned
+    window instead (identical results — same order key, same rank —
+    but one window stage instead of repartition+persist+2 windows+2
+    broadcast joins; the adaptive-edge-caching lesson: pinned
+    partition machinery on toy inputs costs 3-5 s of pure stage
+    overhead). Skew only matters when a bucket exceeds one partition,
+    which a <= ``_PACK_SMALL_PARTS``-partition input cannot."""
     bcols = [F.col(c) for c in bucket_cols]
     key = F.md5(
         F.concat_ws(
@@ -1113,35 +1129,48 @@ def pack_batches(
             F.lit(str(int(epoch))),
         )
     )
-    n_parts = df.sparkSession.sparkContext.defaultParallelism
-    t = (
-        df.withColumn("__k", key)
-        .repartitionByRange(n_parts, *bcols, F.col("__k"), F.col(id_col))
-        .withColumn("__pid", F.spark_partition_id())
-        .persist()  # __pid feeds the rank window AND the base counts
-        # (leak-until-evict, the documented pack_sequences policy)
-    )
-    wl = Window.partitionBy(*bucket_cols, "__pid").orderBy("__k", id_col)
-    counts = t.groupBy(*bucket_cols, "__pid").agg(
-        F.count(F.lit(1)).alias("__c")
-    )
-    wp = (
-        Window.partitionBy(*bucket_cols)
-        .orderBy("__pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    bases = counts.select(
-        *bucket_cols,
-        "__pid",
-        F.coalesce(F.sum("__c").over(wp), F.lit(0)).alias("__base"),
-    )
-    totals = counts.groupBy(*bucket_cols).agg(F.sum("__c").alias("__n"))
-    ranked = (
-        t.withColumn("__lrn", F.row_number().over(wl))
-        .join(F.broadcast(bases), [*bucket_cols, "__pid"])
-        .join(F.broadcast(totals), list(bucket_cols))
-        .withColumn("__rn", F.col("__base") + F.col("__lrn") - 1)
-    )
+    if two_level is None:
+        two_level = df.rdd.getNumPartitions() > _PACK_SMALL_PARTS
+    if not two_level:
+        wl1 = Window.partitionBy(*bucket_cols).orderBy("__k", id_col)
+        wn = Window.partitionBy(*bucket_cols)
+        ranked = (
+            df.withColumn("__k", key)
+            .withColumn("__rn", F.row_number().over(wl1) - 1)
+            .withColumn("__n", F.count(F.lit(1)).over(wn))
+        )
+    else:
+        n_parts = df.sparkSession.sparkContext.defaultParallelism
+        t = (
+            df.withColumn("__k", key)
+            .repartitionByRange(
+                n_parts, *bcols, F.col("__k"), F.col(id_col)
+            )
+            .withColumn("__pid", F.spark_partition_id())
+            .persist()  # __pid feeds the rank window AND the base counts
+            # (leak-until-evict, the documented pack_sequences policy)
+        )
+        wl = Window.partitionBy(*bucket_cols, "__pid").orderBy("__k", id_col)
+        counts = t.groupBy(*bucket_cols, "__pid").agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        wp = (
+            Window.partitionBy(*bucket_cols)
+            .orderBy("__pid")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        bases = counts.select(
+            *bucket_cols,
+            "__pid",
+            F.coalesce(F.sum("__c").over(wp), F.lit(0)).alias("__base"),
+        )
+        totals = counts.groupBy(*bucket_cols).agg(F.sum("__c").alias("__n"))
+        ranked = (
+            t.withColumn("__lrn", F.row_number().over(wl))
+            .join(F.broadcast(bases), [*bucket_cols, "__pid"])
+            .join(F.broadcast(totals), list(bucket_cols))
+            .withColumn("__rn", F.col("__base") + F.col("__lrn") - 1)
+        )
     if drop_partial:
         ranked = ranked.filter(
             F.col("__rn")

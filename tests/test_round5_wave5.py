@@ -412,3 +412,20 @@ def test_repeat_factor_boundary_is_integer_decided(spark):
     }
     assert reps["a"] == 2  # 40/10 = 4, ceil-sqrt = 2 exactly
     assert reps["b"] == 2  # 40/30 = 1.33, ceil-sqrt = 2
+
+
+def test_pack_batches_small_path_equals_two_level(spark):
+    df = spark.createDataFrame(
+        [(f"d{i:02d}", i % 3) for i in range(23)], "id string, bk int"
+    )
+    fast = pack_batches(
+        df, ("bk",), "id", batch_size=4, seed=9, epoch=2, two_level=False
+    ).collect()
+    full = pack_batches(
+        df, ("bk",), "id", batch_size=4, seed=9, epoch=2, two_level=True
+    ).collect()
+    key = lambda r: (r["id"], r["bk"], r["batch_idx"], r["slot"])  # noqa: E731
+    assert sorted(map(key, fast)) == sorted(map(key, full))
+    # auto mode picks SOMETHING correct on a toy input
+    auto = pack_batches(df, ("bk",), "id", batch_size=4, seed=9, epoch=2)
+    assert sorted(map(key, auto.collect())) == sorted(map(key, full))

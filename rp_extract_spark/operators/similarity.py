@@ -16,6 +16,7 @@ DataFrame-native operators:
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Sequence
 
 import numpy as np
@@ -23,6 +24,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
+
+logger = logging.getLogger(__name__)
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -792,3 +795,116 @@ def ivfpq_topk(
     pruned = lists.filter(F.col("list_id").isin(probe))
     codes = pq_encode(pruned, model, vec_col=vec_col, id_col=id_col)
     return pq_topk(codes, model, q, k=k, id_col=id_col)
+
+
+def semdedup(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold_u: int = 950_000,
+    grain: int = 1_000_000,
+    max_cluster_size: int = 4096,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    deduplication over an embedding column: cluster with a K-row coarse
+    quantizer, then inside each cluster drop a member when another
+    member is cosine-similar above the threshold AND is the preferred
+    keeper. The paper's keep rule: among semantic duplicates, KEEP the
+    example with the LOWEST similarity to its cluster centroid (the
+    most "atypical" one carries the most marginal information); ties
+    break to the smaller id. Reference analog: the query-by-example
+    similarity notebook (RP_extract_Tutorial.v4.ipynb cells 89-127)
+    lifted from retrieval to corpus curation.
+
+    Scale shape — the embedding_cosine_dedup discipline with the
+    quantizer as the bucketer: the K-row centroid model is broadcast
+    (one arg-min per row, no shuffle of vectors for assignment beyond
+    the cluster-key exchange), the pairwise step is per-cluster only
+    (never corpus x corpus), and all-pairs membership per cluster is
+    capped at ``max_cluster_size`` lowest ids: overflow rows are KEPT
+    unverified (conservative for a drop decision) and counted in a
+    warning, never silently processed as a quadratic task.
+
+    Every gate decision is taken on INTEGERS: cosines are floored to
+    ``1/grain`` units half-up (the crossmodal_gate discipline), so the
+    kept set is bit-identical across engines — cross-engine sum-order
+    drift (~1e-15 for dim-64 dots) sits ten orders below the grain.
+
+    Returns one row per input row: (id, cluster, cent_u, kept).
+    """
+    from .classify import predict_centroids
+
+    v = F.col(vec_col).cast("array<double>")
+    base = df.select(F.col(id_col), v.alias("__v"))
+    assigned = predict_centroids(base, centroids, vec_col="__v",
+                                 id_col=id_col)
+    cent = centroids.select(
+        F.col("centroid_label").cast("string").alias("cluster"),
+        F.col("centroid").cast("array<double>").alias("__c"),
+    )
+    m = (
+        base.join(assigned.select(
+            id_col, F.col("predicted_label").alias("cluster")), id_col)
+        .join(F.broadcast(cent), "cluster")
+        .withColumn(
+            "cent_u",
+            F.floor(cosine_col(F.col("__v"), F.col("__c")) * grain
+                    + F.lit(0.5)).cast("long"),
+        )
+        .drop("__c")
+    )
+    ranked = m.withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy("cluster").orderBy(F.col(id_col).asc())
+        ),
+    ).persist()  # feeds the overflow count and both sides of the pair
+    # join; a cache guarantees one assignment pass under every
+    # exchange-reuse config
+    try:
+        n_over = ranked.filter(F.col("__rn") > max_cluster_size).count()
+        if n_over:
+            logger.warning(
+                "semdedup: %d rows beyond max_cluster_size=%d kept "
+                "UNVERIFIED (hot cluster(s); raise k to split them)",
+                n_over, max_cluster_size,
+            )
+        capped = ranked.filter(F.col("__rn") <= max_cluster_size)
+        left = capped.select(
+            F.col(id_col).alias("__ida"), F.col("__v").alias("__va"),
+            F.col("cent_u").alias("__cua"), "cluster",
+        )
+        right = capped.select(
+            F.col(id_col).alias("__idb"), F.col("__v").alias("__vb"),
+            F.col("cent_u").alias("__cub"), "cluster",
+        )
+        pair_u = F.floor(
+            cosine_col(F.col("__va"), F.col("__vb")) * grain + F.lit(0.5)
+        ).cast("long")
+        drops = (
+            left.join(right, "cluster")
+            .filter(F.col("__idb") != F.col("__ida"))
+            .filter(
+                (F.col("__cub") < F.col("__cua"))
+                | ((F.col("__cub") == F.col("__cua"))
+                   & (F.col("__idb") < F.col("__ida")))
+            )
+            .filter(pair_u >= F.lit(int(threshold_u)))
+            .select(F.col("__ida").alias(id_col))
+            .distinct()
+            .withColumn("__dropped", F.lit(True))
+        )
+        # materialize the drop set while the ranked cache is hot —
+        # ids only (narrow), the minhash-rep-table discipline — so the
+        # returned plan no longer references the cache when we release
+        # it (the consumer would otherwise recompute the pair join)
+        drops = drops.persist()
+        drops.count()
+        return (
+            m.join(drops, id_col, "left")
+            .withColumn("kept", F.col("__dropped").isNull())
+            .select(id_col, "cluster", "cent_u", "kept")
+        )
+    finally:
+        ranked.unpersist(blocking=False)

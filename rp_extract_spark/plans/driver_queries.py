@@ -5761,6 +5761,56 @@ QUERIES["loader_shards"] = q_loader_shards
 ORACLES["loader_shards"] = ORACLE_LOADER_SHARDS
 
 
+def q_semdedup(spark, sf):
+    """SemDeDup (Abbas et al. 2023) semantic dedup, fully ORACLED: the
+    coarse quantizer is FIXED table rows (vec_id < 6 — the ivf_topk
+    discipline) so assignment, per-member centroid-cosine and every
+    within-cluster pair cosine are closed-form in DuckDB. All gate
+    decisions compare integers (cosines floored to 1e-6 units half-up;
+    fixture grain margins >= 1.9e-5 vs ~1e-15 cross-engine drift); the
+    keep rule — among duplicates keep the member FARTHEST from its
+    centroid, ties to the smaller id — replays as one EXISTS."""
+    from ..operators.similarity import semdedup
+
+    e = _t(spark, sf, "embeddings")
+    cent = e.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").cast("string").alias("centroid_label"),
+        F.col("embedding").cast("array<double>").alias("centroid"),
+    )
+    out = semdedup(e, cent, threshold_u=320_000)
+    return out.select(
+        "vec_id", "cluster", "cent_u", F.col("kept").cast("int").alias("kept")
+    ).orderBy("vec_id")
+
+
+ORACLE_SEMDEDUP = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT CAST(vec_id AS VARCHAR) AS lab, v AS cv FROM e WHERE vec_id < 6),
+a AS (SELECT e.vec_id, e.v,
+        (SELECT lab FROM c
+         ORDER BY list_distance(c.cv, e.v) ASC, lab ASC LIMIT 1) AS cluster
+      FROM e),
+m AS (SELECT a.vec_id, a.v, a.cluster,
+        CAST(floor(list_cosine_similarity(a.v, c.cv) * 1e6 + 0.5) AS BIGINT)
+          AS cent_u
+      FROM a JOIN c ON c.lab = a.cluster),
+drops AS (SELECT DISTINCT x.vec_id FROM m x JOIN m y
+            ON y.cluster = x.cluster AND y.vec_id <> x.vec_id
+          WHERE CAST(floor(list_cosine_similarity(x.v, y.v) * 1e6 + 0.5)
+                     AS BIGINT) >= 320000
+            AND (y.cent_u < x.cent_u
+                 OR (y.cent_u = x.cent_u AND y.vec_id < x.vec_id)))
+SELECT m.vec_id, m.cluster, m.cent_u,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+FROM m LEFT JOIN drops d ON d.vec_id = m.vec_id
+ORDER BY m.vec_id
+"""
+
+
+QUERIES["semdedup"] = q_semdedup
+ORACLES["semdedup"] = ORACLE_SEMDEDUP
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #
@@ -5809,6 +5859,8 @@ _PRIORITY: list[str] = [
     "loader_shards",
     "shard_packing",
     "repeat_factor",
+    # round-5 seventh-wave additions (semantic dedup)
+    "semdedup",
     # round-4 additions + highest-risk round-3 operators (image_stats/
     # image_augment/image_tiles/image_formats demoted — see below)
     "paragraph_dedup",
@@ -5826,7 +5878,6 @@ _PRIORITY: list[str] = [
     "pca_project",
     "svm_classify",
     "minhash_dedup",
-    "simhash",
     "repetition_stats",
     "redact_pii",
     "unigram_lm",
@@ -5856,6 +5907,10 @@ _PRIORITY: list[str] = [
     # probe — and pq_trained_topk, which also grades pq_fit) and
     # decontaminate_ngram (contamination_report + image_decontaminate
     # keep the decontamination family inside the window).
+    # Seventh wave demotions: simhash (driver-graded GREEN oracled in
+    # CORRECTNESS_r04; hamming64 near-dup family keeps image_dedup/
+    # image_dedup_verified inside, signature SQL-recompute kept by
+    # minhash_dedup) — makes room for semdedup.
     # Sixth wave demotions: bpe_merges (bpe_ids trains the same merges
     # and grades the id surface too), cms_counts (exact CAST-parity
     # sketch, simplest oracle in the registry), embedding_dedup

@@ -47,6 +47,7 @@ HIGH_RISK = [
     "loader_shards",
     "shard_packing",
     "repeat_factor",
+    "semdedup",
 ]  # noqa: E501 — every never-driver-graded operator must sit inside the window
 
 # lag_lead/pricing_summary/stats7/band_agg demoted past the window for
@@ -55,6 +56,8 @@ HIGH_RISK = [
 # Fifth wave demotes pq_topk (ivfpq_topk composes the same encode/serve
 # path; pq_trained_topk grades pq_fit) and decontaminate_ngram
 # (contamination_report + image_decontaminate keep the family repped).
+# Seventh wave demotes simhash (green oracled driver grade in r04) to
+# admit semdedup.
 CORE = ["asof", "sessionize"]
 
 

@@ -1,0 +1,69 @@
+"""Round-5 seventh-wave operators: SemDeDup semantic dedup (plus the
+wave's later additions). Expectations are hand computations — never the
+operator's own helpers."""
+
+from pyspark.sql import functions as F
+
+from rp_extract_spark.operators.similarity import semdedup
+
+
+def _cent(spark, rows):
+    return spark.createDataFrame(
+        rows, schema="centroid_label string, centroid array<double>"
+    )
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(
+        rows, schema="vec_id bigint, embedding array<double>"
+    )
+
+
+def test_semdedup_keeps_farthest_from_centroid(spark):
+    cent = _cent(spark, [("0", [1.0, 0.0, 0.0]), ("1", [0.0, 1.0, 0.0])])
+    df = _vecs(spark, [
+        # cluster 0: ids 1 and 2 are near-dups; 1 sits ON the centroid
+        # (cent cos = 1.0), 2 is tilted away -> the keep rule keeps 2
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),   # cos(1,2) = 0.9/0.90554 ~ 0.9939
+        # cluster 1: a lone member, trivially kept
+        (3, [0.0, 1.0, 0.0]),
+    ])
+    out = {r.vec_id: r for r in semdedup(
+        df, cent, threshold_u=950_000).collect()}
+    assert out[1].cluster == "0" and not out[1].kept
+    assert out[2].cluster == "0" and out[2].kept
+    assert out[3].cluster == "1" and out[3].kept
+    assert out[1].cent_u == 1_000_000
+    assert out[2].cent_u < 1_000_000
+
+
+def test_semdedup_identical_pair_ties_to_smaller_id(spark):
+    cent = _cent(spark, [("0", [1.0, 0.0])])
+    df = _vecs(spark, [(10, [0.6, 0.8]), (11, [0.6, 0.8])])
+    out = {r.vec_id: r.kept for r in semdedup(
+        df, cent, threshold_u=950_000).collect()}
+    assert out == {10: True, 11: False}
+
+
+def test_semdedup_below_threshold_keeps_all(spark):
+    cent = _cent(spark, [("0", [1.0, 0.0])])
+    df = _vecs(spark, [(1, [1.0, 0.0]), (2, [0.8, 0.6])])  # cos = 0.8
+    out = semdedup(df, cent, threshold_u=950_000)
+    assert all(r.kept for r in out.collect())
+
+
+def test_semdedup_overflow_rows_kept_unverified(spark, caplog):
+    # 3 identical members but max_cluster_size=2: the overflow member
+    # (highest id) is never pair-verified -> conservatively KEPT, and
+    # the overflow is logged, never silent
+    cent = _cent(spark, [("0", [1.0, 0.0])])
+    df = _vecs(spark, [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [1.0, 0.0])])
+    import logging
+
+    with caplog.at_level(logging.WARNING,
+                         logger="rp_extract_spark.operators.similarity"):
+        out = {r.vec_id: r.kept for r in semdedup(
+            df, cent, threshold_u=950_000, max_cluster_size=2).collect()}
+    assert out == {1: True, 2: False, 3: True}
+    assert any("UNVERIFIED" in r.message for r in caplog.records)

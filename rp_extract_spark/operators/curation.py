@@ -80,6 +80,48 @@ def pack_sequences(
     return out
 
 
+def group_split(
+    df: DataFrame,
+    group_col: str,
+    fractions: "tuple[tuple[str, float], ...]" = (
+        ("train", 0.8), ("test", 0.2),
+    ),
+    seed: int = 7,
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/test assignment by GROUP: every row whose
+    ``group_col`` value matches lands in the SAME split, so composing
+    with a near-duplicate component label (``phash_dedup``/``semdedup``
+    rep ids) guarantees no duplicate pair ever straddles train and test
+    — the CIFAR/ImageNet test-set-contamination failure mode a row-wise
+    split cannot prevent. Reference analog: the train/test split the
+    classification tutorial performs before the SVM
+    (RP_extract_Tutorial.v4.ipynb), made duplicate-aware.
+
+    Assignment is the hash_sample discipline: md5(group || ':' || seed)
+    first 8 hex chars against cumulative fraction thresholds —
+    fixed-width lexicographic compare == numeric compare, reproducible
+    across runs, engines, partition layouts and cluster sizes, and a
+    stateless zero-shuffle projection (no RNG, no coordinator).
+    Changing ``seed`` draws an independent split."""
+    fracs = [float(f) for _, f in fractions]
+    if any(f < 0 for f in fracs) or abs(sum(fracs) - 1.0) > 1e-9:
+        raise ValueError("fractions must be non-negative and sum to 1")
+    h = F.substring(
+        F.md5(F.concat(F.col(group_col).cast("string"),
+                       F.lit(f":{seed}"))), 1, 8)
+    expr = None
+    cum = 0.0
+    for name, frac in fractions[:-1]:
+        cum += frac
+        thr = format(int(cum * 16 ** 8), "08x")
+        cond = h < F.lit(thr)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    split = (F.lit(fractions[-1][0]) if expr is None
+             else expr.otherwise(fractions[-1][0]))
+    return df.withColumn(split_col, split)
+
+
 def stratified_split(
     df: DataFrame,
     label_col: str = "label",

@@ -5811,6 +5811,54 @@ QUERIES["semdedup"] = q_semdedup
 ORACLES["semdedup"] = ORACLE_SEMDEDUP
 
 
+def q_leakage_split(spark, sf):
+    """Duplicate-leakage-safe train/test split, fully ORACLED: the
+    dHash near-dup components (the image_dedup chain — formula pixels,
+    band candidates, bit_count verify, recursive-CTE components) become
+    the SPLIT UNIT, then group_split hashes each component's rep id so
+    a near-dup pair can never straddle train and test. DuckDB replays
+    the whole chain plus the md5-prefix threshold (the hash_sample
+    fixed-width-hex discipline)."""
+    from ..operators.curation import group_split
+    from ..operators.images import phash_dedup
+    from ..sources.images import near_dup_images_df
+
+    out = phash_dedup(
+        near_dup_images_df(spark, 18), hash_type="dhash", max_hamming=2
+    )
+    out = group_split(out, "rep_id",
+                      fractions=(("train", 0.6), ("test", 0.4)), seed=11)
+    return out.select("image_id", "rep_id", "split").orderBy("image_id")
+
+
+ORACLE_LEAKAGE_SPLIT = """
+WITH RECURSIVE """ + _SQL_NEAR_DUP_HASHES + """,
+bands AS (SELECT i, bnd.g AS band, substr(bits, 1 + 16*bnd.g, 16) AS val, bits
+          FROM hashes, (SELECT unnest(range(4)) AS g) bnd),
+pairs AS (SELECT DISTINCT a.i AS id_a, b.i AS id_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.val = b.val
+                                    AND b.i < a.i
+          WHERE bit_count(xor(a.bits::BIT, b.bits::BIT)) <= 2),
+sym AS (SELECT id_a AS s, id_b AS d FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach(a, r) AS (
+  SELECT i, i FROM ids
+  UNION
+  SELECT sym.s, reach.r FROM sym JOIN reach ON reach.a = sym.d),
+comp AS (SELECT a AS i, min(r) AS rep FROM reach GROUP BY a)
+SELECT printf('img%08d', comp.i) AS image_id,
+       printf('img%08d', comp.rep) AS rep_id,
+       CASE WHEN substr(md5(printf('img%08d', comp.rep) || ':11'), 1, 8)
+                 < '99999999'
+            THEN 'train' ELSE 'test' END AS split
+FROM comp ORDER BY image_id
+"""
+
+
+QUERIES["leakage_split"] = q_leakage_split
+ORACLES["leakage_split"] = ORACLE_LEAKAGE_SPLIT
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #
@@ -5859,8 +5907,10 @@ _PRIORITY: list[str] = [
     "loader_shards",
     "shard_packing",
     "repeat_factor",
-    # round-5 seventh-wave additions (semantic dedup)
+    # round-5 seventh-wave additions (semantic dedup + duplicate-aware
+    # group split)
     "semdedup",
+    "leakage_split",
     # round-4 additions + highest-risk round-3 operators (image_stats/
     # image_augment/image_tiles/image_formats demoted — see below)
     "paragraph_dedup",
@@ -5921,7 +5971,9 @@ _PRIORITY: list[str] = [
     # CORRECTNESS_r04; the kernel feature agg signal it carried is the
     # one family rep allowed to rest on a hard grade).
     "asof",
-    "sessionize",
+    "sessionize",  # demoted 7th wave: green oracled grades r1-r4 every
+    # round; asof stays as the windows/temporal core rep (the north-rule
+    # flagship join); ffill/rolling equally long-green already sit out
     "pq_topk",
     "decontaminate_ngram",
     "bpe_merges",

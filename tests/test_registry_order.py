@@ -48,6 +48,7 @@ HIGH_RISK = [
     "shard_packing",
     "repeat_factor",
     "semdedup",
+    "leakage_split",
 ]  # noqa: E501 — every never-driver-graded operator must sit inside the window
 
 # lag_lead/pricing_summary/stats7/band_agg demoted past the window for
@@ -56,9 +57,11 @@ HIGH_RISK = [
 # Fifth wave demotes pq_topk (ivfpq_topk composes the same encode/serve
 # path; pq_trained_topk grades pq_fit) and decontaminate_ngram
 # (contamination_report + image_decontaminate keep the family repped).
-# Seventh wave demotes simhash (green oracled driver grade in r04) to
-# admit semdedup.
-CORE = ["asof", "sessionize"]
+# Seventh wave demotes simhash and sessionize (both green oracled
+# driver grades in r04; sessionize graded green every round it sat in a
+# window) to admit semdedup + leakage_split; asof stays as the
+# windows/temporal core rep.
+CORE = ["asof"]
 
 
 def test_priority_names_resolve():

@@ -67,3 +67,68 @@ def test_semdedup_overflow_rows_kept_unverified(spark, caplog):
             df, cent, threshold_u=950_000, max_cluster_size=2).collect()}
     assert out == {1: True, 2: False, 3: True}
     assert any("UNVERIFIED" in r.message for r in caplog.records)
+
+
+def test_group_split_groups_are_atomic(spark):
+    from rp_extract_spark.operators.curation import group_split
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 7}") for i in range(100)], "id bigint, grp string"
+    )
+    out = group_split(df, "grp", fractions=(("train", 0.5), ("test", 0.5)),
+                      seed=3)
+    per_group = {}
+    for r in out.collect():
+        per_group.setdefault(r.grp, set()).add(r.split)
+    assert all(len(s) == 1 for s in per_group.values())
+    # both splits are non-empty over 7 groups at 50/50
+    assert {s for ss in per_group.values() for s in ss} == {"train", "test"}
+
+
+def test_group_split_matches_manual_md5_rule(spark):
+    import hashlib
+
+    from rp_extract_spark.operators.curation import group_split
+
+    df = spark.createDataFrame([(i, f"g{i}") for i in range(40)],
+                               "id bigint, grp string")
+    out = {r.grp: r.split for r in group_split(
+        df, "grp", fractions=(("train", 0.6), ("test", 0.4)), seed=11
+    ).collect()}
+    thr = format(int(0.6 * 16 ** 8), "08x")
+    for i in range(40):
+        g = f"g{i}"
+        expect = ("train" if hashlib.md5(f"{g}:11".encode()).hexdigest()[:8]
+                  < thr else "test")
+        assert out[g] == expect, g
+
+
+def test_group_split_rejects_bad_fractions(spark):
+    import pytest
+
+    from rp_extract_spark.operators.curation import group_split
+
+    df = spark.createDataFrame([(1, "a")], "id bigint, grp string")
+    with pytest.raises(ValueError):
+        group_split(df, "grp", fractions=(("train", 0.5), ("test", 0.4)))
+
+
+def test_group_split_near_dups_never_straddle(spark):
+    """The leakage property end-to-end: every near-duplicate pair found
+    by the hash dedup lands in one split when splitting by rep_id."""
+    from rp_extract_spark.operators.curation import group_split
+    from rp_extract_spark.operators.images import phash_dedup
+    from rp_extract_spark.sources.images import near_dup_images_df
+
+    out = group_split(
+        phash_dedup(near_dup_images_df(spark, 18), hash_type="dhash",
+                    max_hamming=2),
+        "rep_id", fractions=(("train", 0.6), ("test", 0.4)), seed=11,
+    ).collect()
+    split_of = {r.image_id: r.split for r in out}
+    rep_of = {r.image_id: r.rep_id for r in out}
+    # fixture: images i, i+1, i+2 within each group of 3 are near-dups
+    for g in range(6):
+        trio = [f"img{3 * g + v:08d}" for v in range(3)]
+        assert len({rep_of[t] for t in trio}) == 1
+        assert len({split_of[t] for t in trio}) == 1

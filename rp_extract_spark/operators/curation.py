@@ -80,6 +80,91 @@ def pack_sequences(
     return out
 
 
+def exact_order_stats(
+    df: DataFrame,
+    value_col: str,
+    ps: "tuple[float, ...]" = (0.25, 0.5, 0.9, 0.99),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT percentiles of a column without a global sort — the gate
+    threshold calibration step ("keep the top decile by quality score",
+    "cap length at p99") done exactly, where approx_percentile's error
+    bound would move the cut. Lower/disc definition: the value at
+    1-indexed rank ``k = floor(p*(n-1)) + 1`` in (value, id) order —
+    deterministic under ties, replayable as one SQL row_number.
+
+    Scale shape — the stratified_split two-level rank: range-partition
+    by (value, id) so the sort is per-partition (the terasort shape,
+    never one reducer), collect the P-row partition-count table to
+    compute exclusive base offsets driver-side, and — since each target
+    rank lands in exactly ONE partition — prune the rank window to just
+    the partitions that contain a target before sorting anything.
+    Returns one row per requested p: (p, k, value)."""
+    if not ps:
+        raise ValueError("ps must be non-empty")
+    if any(not 0.0 <= p <= 1.0 for p in ps):
+        raise ValueError("percentiles must be in [0, 1]")
+    spark = df.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    t = df.select(
+        F.col(id_col), F.col(value_col).alias("__val")
+    ).repartitionByRange(
+        n_parts, F.col("__val"), F.col(id_col)
+    ).withColumn("__pid", F.spark_partition_id()).persist()
+    try:
+        crows = sorted(
+            (r["__pid"], r["__c"])
+            for r in t.groupBy("__pid").agg(
+                F.count(F.lit(1)).alias("__c")).collect()
+        )
+        n = sum(c for _, c in crows)
+        if n == 0:
+            return spark.createDataFrame(
+                [], schema=f"p double, k bigint, value {df.schema[value_col].dataType.simpleString()}")
+        targets = sorted({float(p): int(p * (n - 1)) + 1 for p in ps}.items())
+        base = 0
+        pid_base: dict[int, int] = {}
+        for pid, c in crows:
+            pid_base[pid] = base
+            base += c
+        # each rank k lives in the partition whose [base, base+count)
+        # spans it — prune to those partitions BEFORE the sort
+        needed_pids = set()
+        for _, k in targets:
+            for pid, c in crows:
+                if pid_base[pid] < k <= pid_base[pid] + c:
+                    needed_pids.add(pid)
+                    break
+        pruned = t.filter(F.col("__pid").isin(sorted(needed_pids)))
+        wl = Window.partitionBy("__pid").orderBy(
+            F.col("__val").asc(), F.col(id_col).asc())
+        base_df = spark.createDataFrame(
+            [(pid, pid_base[pid]) for pid in sorted(needed_pids)],
+            schema="__pid int, __base bigint",
+        )
+        tgt_df = spark.createDataFrame(
+            [(p, k) for p, k in targets], schema="p double, k bigint")
+        ranked = (
+            pruned.withColumn("__lrn", F.row_number().over(wl))
+            .join(F.broadcast(base_df), "__pid")
+            .withColumn("__rn", F.col("__base") + F.col("__lrn"))
+        )
+        picked = ranked.join(
+            F.broadcast(tgt_df), F.col("__rn") == F.col("k")
+        ).select("p", "k", F.col("__val").alias("value"))
+        # materialize the <=len(ps)-row result while the cache is hot:
+        # the base offsets were computed against THIS partition
+        # placement, and re-executing the range exchange after an
+        # unpersist is not guaranteed to reproduce it (the
+        # stratified_split placement-consistency rule)
+        rows = picked.collect()
+        vt = df.schema[value_col].dataType.simpleString()
+        return spark.createDataFrame(
+            rows, schema=f"p double, k bigint, value {vt}")
+    finally:
+        t.unpersist(blocking=False)
+
+
 def group_split(
     df: DataFrame,
     group_col: str,

@@ -5859,6 +5859,40 @@ QUERIES["leakage_split"] = q_leakage_split
 ORACLES["leakage_split"] = ORACLE_LEAKAGE_SPLIT
 
 
+def q_order_stats(spark, sf):
+    """Exact distributed percentiles (two-level rank, partition-pruned
+    to the target ranks), ORACLED against one SQL row_number: the
+    lower/disc definition k = floor(p*(n-1)) + 1 in (value, id) order
+    is engine-exact — p*(n-1) is the same double product on both
+    sides and everything after it is integer."""
+    from ..operators.curation import exact_order_stats
+
+    d = _t(spark, sf, "documents")
+    out = exact_order_stats(
+        d, "n_chars", ps=(0.25, 0.5, 0.9, 0.99), id_col="doc_id")
+    return out.select(
+        "p", "k", F.col("value").cast("long").alias("value")
+    ).orderBy("p")
+
+
+ORACLE_ORDER_STATS = """
+WITH r AS (SELECT n_chars AS value,
+                  row_number() OVER (ORDER BY n_chars, doc_id) AS rn
+           FROM documents),
+n AS (SELECT count(*) AS n FROM documents),
+ks AS (SELECT CAST(v.p AS DOUBLE) AS p,
+              CAST(floor(CAST(v.p AS DOUBLE) * (n.n - 1)) + 1 AS BIGINT) AS k
+       FROM n, (VALUES (0.25), (0.5), (0.9), (0.99)) AS v(p))
+SELECT ks.p, ks.k, CAST(r.value AS BIGINT) AS value
+FROM ks JOIN r ON r.rn = ks.k
+ORDER BY ks.p
+"""
+
+
+QUERIES["order_stats"] = q_order_stats
+ORACLES["order_stats"] = ORACLE_ORDER_STATS
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #
@@ -5911,6 +5945,7 @@ _PRIORITY: list[str] = [
     # group split)
     "semdedup",
     "leakage_split",
+    "order_stats",
     # round-4 additions + highest-risk round-3 operators (image_stats/
     # image_augment/image_tiles/image_formats demoted — see below)
     "paragraph_dedup",
@@ -5970,7 +6005,10 @@ _PRIORITY: list[str] = [
     # two-level rank inside), entity_features (driver-graded green in
     # CORRECTNESS_r04; the kernel feature agg signal it carried is the
     # one family rep allowed to rest on a hard grade).
-    "asof",
+    "asof",  # demoted 7th wave with sessionize: both hold green oracled
+    # grades in EVERY round-1..4 window (the entity_features rest-on-a-
+    # hard-grade precedent); the as-of family's pytest + skew/leakage
+    # property tests keep covering the flagship path
     "sessionize",  # demoted 7th wave: green oracled grades r1-r4 every
     # round; asof stays as the windows/temporal core rep (the north-rule
     # flagship join); ffill/rolling equally long-green already sit out

@@ -49,6 +49,7 @@ HIGH_RISK = [
     "repeat_factor",
     "semdedup",
     "leakage_split",
+    "order_stats",
 ]  # noqa: E501 — every never-driver-graded operator must sit inside the window
 
 # lag_lead/pricing_summary/stats7/band_agg demoted past the window for
@@ -57,11 +58,14 @@ HIGH_RISK = [
 # Fifth wave demotes pq_topk (ivfpq_topk composes the same encode/serve
 # path; pq_trained_topk grades pq_fit) and decontaminate_ngram
 # (contamination_report + image_decontaminate keep the family repped).
-# Seventh wave demotes simhash and sessionize (both green oracled
-# driver grades in r04; sessionize graded green every round it sat in a
-# window) to admit semdedup + leakage_split; asof stays as the
-# windows/temporal core rep.
-CORE = ["asof"]
+# Seventh wave demotes simhash, sessionize and asof — each holds green
+# oracled driver grades in every round-1..4 window it sat in (the
+# entity_features rest-on-a-hard-grade precedent) — to admit
+# semdedup + leakage_split + order_stats. The window now holds ONLY
+# never-driver-graded queries; family coverage inside it is asserted by
+# HIGH_RISK membership, and the long-green core rests on its grades +
+# pytest.
+CORE: list[str] = []
 
 
 def test_priority_names_resolve():

@@ -132,3 +132,32 @@ def test_group_split_near_dups_never_straddle(spark):
         trio = [f"img{3 * g + v:08d}" for v in range(3)]
         assert len({rep_of[t] for t in trio}) == 1
         assert len({split_of[t] for t in trio}) == 1
+
+
+def test_exact_order_stats_matches_sorted_ranks(spark):
+    from rp_extract_spark.operators.curation import exact_order_stats
+
+    vals = [(i, (i * 37) % 11) for i in range(101)]  # heavy ties
+    df = spark.createDataFrame(vals, "doc_id bigint, v bigint")
+    ps = (0.0, 0.25, 0.5, 0.9, 1.0)
+    out = {r.p: (r.k, r.value) for r in exact_order_stats(
+        df, "v", ps=ps, id_col="doc_id").collect()}
+    ordered = [v for _, v in sorted(vals, key=lambda t: (t[1], t[0]))]
+    n = len(vals)
+    for p in ps:
+        k = int(p * (n - 1)) + 1
+        assert out[p] == (k, ordered[k - 1]), p
+
+
+def test_exact_order_stats_empty_and_validation(spark):
+    import pytest
+
+    from rp_extract_spark.operators.curation import exact_order_stats
+
+    empty = spark.createDataFrame([], "doc_id bigint, v bigint")
+    assert exact_order_stats(empty, "v").count() == 0
+    df = spark.createDataFrame([(1, 2)], "doc_id bigint, v bigint")
+    with pytest.raises(ValueError):
+        exact_order_stats(df, "v", ps=())
+    with pytest.raises(ValueError):
+        exact_order_stats(df, "v", ps=(1.5,))

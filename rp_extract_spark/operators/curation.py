@@ -80,6 +80,40 @@ def pack_sequences(
     return out
 
 
+def corpus_report(
+    df: DataFrame,
+    dims: "tuple[str, ...]" = ("lang", "source"),
+    size_col: str = "n_chars",
+    all_sentinel: str = "<all>",
+) -> DataFrame:
+    """Dataset-card summary: counts and size stats at EVERY grouping
+    level of ``dims`` at once (per-dim marginals, the full cross, and
+    the grand total) — the corpus composition table a data card / mix
+    audit needs. One ``cube``: Spark expands the 2^d grouping sets
+    map-side and aggregates them in a single shuffle with partial
+    (map-side combine) aggregation — d passes over a 100-TB corpus
+    collapse to one. Rollup-level keys are labeled with
+    ``all_sentinel`` via GROUPING() (never by coalescing, which would
+    alias a real NULL dim value). All metrics are exact integers."""
+    # GROUPING() is an aggregate-scope expression: evaluate the flags
+    # inside the agg, label in the projection after
+    aggs = [
+        *[F.grouping(d).alias(f"__g_{d}") for d in dims],
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col(size_col)).cast("long").alias("total_size"),
+        F.min(F.col(size_col)).cast("long").alias("min_size"),
+        F.max(F.col(size_col)).cast("long").alias("max_size"),
+    ]
+    out = df.cube(*[F.col(d) for d in dims]).agg(*aggs)
+    labeled = [
+        F.when(F.col(f"__g_{d}") == 1, F.lit(all_sentinel))
+        .otherwise(F.col(d).cast("string")).alias(d)
+        for d in dims
+    ]
+    return out.select(*labeled, "n_rows", "total_size", "min_size",
+                      "max_size")
+
+
 def exact_order_stats(
     df: DataFrame,
     value_col: str,

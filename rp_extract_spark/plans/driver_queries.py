@@ -5893,6 +5893,37 @@ QUERIES["order_stats"] = q_order_stats
 ORACLES["order_stats"] = ORACLE_ORDER_STATS
 
 
+def q_corpus_report(spark, sf):
+    """Dataset-card composition table (cube over lang x source in ONE
+    shuffle with map-side combine), ORACLED via DuckDB GROUP BY CUBE:
+    rollup keys labeled through GROUPING() on both engines, all metrics
+    exact integers. Registered OUTSIDE the 50-query priority window by
+    design — it is the lowest-risk query in the registry (a single
+    hash aggregate) and the window is reserved for never-graded
+    higher-risk operators."""
+    from ..operators.curation import corpus_report
+
+    d = _t(spark, sf, "documents")
+    return corpus_report(d).orderBy("lang", "source")
+
+
+ORACLE_CORPUS_REPORT = """
+SELECT CASE WHEN GROUPING(lang) = 1 THEN '<all>' ELSE lang END AS lang,
+       CASE WHEN GROUPING(source) = 1 THEN '<all>' ELSE source END AS source,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(n_chars) AS BIGINT) AS total_size,
+       CAST(min(n_chars) AS BIGINT) AS min_size,
+       CAST(max(n_chars) AS BIGINT) AS max_size
+FROM documents
+GROUP BY CUBE(lang, source)
+ORDER BY lang, source
+"""
+
+
+QUERIES["corpus_report"] = q_corpus_report
+ORACLES["corpus_report"] = ORACLE_CORPUS_REPORT
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #

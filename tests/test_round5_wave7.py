@@ -161,3 +161,25 @@ def test_exact_order_stats_empty_and_validation(spark):
         exact_order_stats(df, "v", ps=())
     with pytest.raises(ValueError):
         exact_order_stats(df, "v", ps=(1.5,))
+
+
+def test_corpus_report_levels_and_null_dim(spark):
+    from rp_extract_spark.operators.curation import corpus_report
+
+    df = spark.createDataFrame(
+        [("a", "en", "web", 10), ("b", "en", "book", 20),
+         ("c", None, "web", 5)],
+        "doc_id string, lang string, source string, n_chars bigint",
+    )
+    rows = corpus_report(df).collect()
+    by_key = {(r.lang, r.source): r for r in rows}
+    # grand total
+    g = by_key[("<all>", "<all>")]
+    assert (g.n_rows, g.total_size, g.min_size, g.max_size) == (3, 35, 5, 20)
+    # per-lang marginal
+    assert by_key[("en", "<all>")].n_rows == 2
+    # a REAL NULL dim value stays NULL — never aliased to the sentinel
+    assert by_key[(None, "<all>")].n_rows == 1
+    assert by_key[(None, "web")].total_size == 5
+    # full cross present
+    assert by_key[("en", "book")].total_size == 20

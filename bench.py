@@ -123,6 +123,12 @@ RELATIONAL = [
     "loader_shards",
     "shard_packing",
     "repeat_factor",
+    # round 5, seventh wave (semantic dedup, leakage-safe split,
+    # exact percentiles, dataset-card cube)
+    "semdedup",
+    "leakage_split",
+    "order_stats",
+    "corpus_report",
 ]
 
 

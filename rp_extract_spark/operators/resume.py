@@ -198,3 +198,53 @@ def read_snapshot(
     return spark.read.option(
         "basePath", os.path.join(out_dir, "data")
     ).parquet(*files)
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    out_dir: str,
+    from_id: str,
+    to_id: str | None = None,
+) -> DataFrame:
+    """Incremental (CDC-style) read: ONLY the rows appended strictly
+    after snapshot ``from_id``, up to ``to_id`` (default: latest) — the
+    Iceberg incremental-scan analog over the plain-parquet layout.
+    The downstream consumer (index refresh, rollup update, export)
+    processes the delta instead of re-reading the table: at 100 TB the
+    difference between a full rescan and a files-added-since scan is
+    the whole job.
+
+    Manifests pin cumulative file lists, so the delta is a set
+    difference of pinned files — no data is read to compute it, and
+    the scan touches ONLY the new files (partition pruning by
+    manifest, not by predicate). Raises if an ``overwrite`` snapshot
+    intervened between the two ids: a rewrite breaks append lineage,
+    so the delta is no longer expressible as added files."""
+    snaps = list_snapshots(out_dir, include_invalidated=True)
+    by_id = {m["snapshot_id"]: i for i, m in enumerate(snaps)}
+    if from_id not in by_id:
+        raise ValueError(f"unknown snapshot {from_id!r}")
+    if to_id is None:
+        if not snaps:
+            raise ValueError(f"no snapshots under {out_dir}")
+        to_id = snaps[-1]["snapshot_id"]
+    if to_id not in by_id:
+        raise ValueError(f"unknown snapshot {to_id!r}")
+    i_from, i_to = by_id[from_id], by_id[to_id]
+    if i_from > i_to:
+        raise ValueError(
+            f"snapshot {from_id!r} is newer than {to_id!r}")
+    for m in snaps[i_from + 1: i_to + 1]:
+        if m.get("mode") == "overwrite":
+            raise ValueError(
+                f"snapshot {m['snapshot_id']!r} rewrote the table between "
+                f"{from_id!r} and {to_id!r}; the delta is not an append set "
+                "— read_snapshot the endpoints instead")
+    old = set(snaps[i_from].get("files") or [])
+    new_files = [f for f in (snaps[i_to].get("files") or [])
+                 if f not in old]
+    base = spark.read.option("basePath", os.path.join(out_dir, "data"))
+    if not new_files:
+        # empty delta with the to-snapshot's schema
+        return base.parquet(*snaps[i_to]["files"]).limit(0)
+    return base.parquet(*new_files)

@@ -111,3 +111,39 @@ def test_snapshot_time_travel_partitioned(spark, tmp_path):
     back = read_snapshot(spark, out, m["snapshot_id"])
     assert set(back.columns) == {"image_id", "grp"}
     assert {(r.image_id, r.grp) for r in back.collect()} == {(1, "a"), (2, "b"), (3, "a")}
+
+
+def test_snapshot_diff_incremental_read(spark, tmp_path):
+    """snapshot_diff returns ONLY the rows appended between two
+    snapshots; empty delta keeps the schema; an intervening overwrite
+    refuses (append lineage broken)."""
+    import pytest as _pytest
+
+    from rp_extract_spark.operators.resume import snapshot_diff, write_snapshot
+
+    out = str(tmp_path / "cdc")
+    m1 = write_snapshot(
+        spark.createDataFrame([(1,), (2,)], "image_id long"), out,
+        ts_col=None)
+    m2 = write_snapshot(
+        spark.createDataFrame([(3,)], "image_id long"), out, ts_col=None)
+    m3 = write_snapshot(
+        spark.createDataFrame([(4,), (5,)], "image_id long"), out,
+        ts_col=None)
+    d12 = snapshot_diff(spark, out, m1["snapshot_id"], m2["snapshot_id"])
+    assert {r.image_id for r in d12.collect()} == {3}
+    # default to_id = latest
+    d1 = snapshot_diff(spark, out, m1["snapshot_id"])
+    assert {r.image_id for r in d1.collect()} == {3, 4, 5}
+    # self-diff: empty with schema
+    d22 = snapshot_diff(spark, out, m2["snapshot_id"], m2["snapshot_id"])
+    assert d22.count() == 0 and d22.columns == ["image_id"]
+    # reversed order refuses
+    with _pytest.raises(ValueError):
+        snapshot_diff(spark, out, m3["snapshot_id"], m1["snapshot_id"])
+    # overwrite in between refuses
+    write_snapshot(
+        spark.createDataFrame([(9,)], "image_id long"), out,
+        mode="overwrite", ts_col=None)
+    with _pytest.raises(ValueError):
+        snapshot_diff(spark, out, m1["snapshot_id"])

@@ -129,6 +129,7 @@ RELATIONAL = [
     "leakage_split",
     "order_stats",
     "corpus_report",
+    "kmv_distinct",
 ]
 
 

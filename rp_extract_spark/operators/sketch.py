@@ -87,3 +87,65 @@ def cms_estimate(
         .groupBy("key")
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
     )
+
+
+# 16^15 — the KMV hash space: 15 hex chars of md5 as an integer, the
+# exact F.conv(...,16,10) == CAST('0x'||... AS BIGINT) identity the
+# assign_folds/hash_sample oracles established (60 bits, sign-safe)
+_KMV_SPACE = 16 ** 15
+
+
+def kmv_distinct(
+    df: DataFrame,
+    key_col: str,
+    k: int = 64,
+    salt: str = "kmv",
+) -> DataFrame:
+    """K-minimum-values distinct-cardinality sketch (Bar-Yossef et al.
+    2002): hash every key into [0, 16^15), keep the k smallest DISTINCT
+    hash values; the k-th smallest h_k estimates the cardinality as
+    ``(k-1) * SPACE // h_k`` (uniform order statistics). Fewer than k
+    distinct hashes means the sketch holds the whole distinct set and
+    the count is EXACT. Complements count_min_sketch (frequency) with
+    the "how many unique captions / phashes / entities" question at
+    fixed memory, and — unlike HyperLogLog — is deterministic and
+    engine-exact: the same md5 rule and integer division replay in SQL.
+
+    Scale shape: one distinct aggregate (map-side partial dedup — the
+    exchange carries unique 8-byte hashes, never keys) feeding a
+    TakeOrdered k; the k-row tail is collected and the estimate is
+    computed in exact Python big-int ((k-1)*2^60 overflows int64 —
+    the oracle side uses HUGEINT). At extreme cardinalities add a
+    per-partition k-smallest pre-reduction in front of the distinct;
+    the sketch itself is mergeable (union two tails, re-take k).
+
+    Returns ONE row: (k_used, n_seen, kth_hash, est_distinct) where
+    n_seen = min(k, distinct hashes) and k_used = k."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    spark = df.sparkSession
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(key_col).cast("string"),
+                           F.lit(f"\x1e{salt}"))), 1, 15),
+        16, 10,
+    ).cast("long")
+    tail = (
+        df.filter(F.col(key_col).isNotNull())  # NULL keys hash to NULL
+        # and would sort NULLS-FIRST in Spark vs NULLS-LAST in SQL —
+        # a cardinality sketch has no meaningful NULL key anyway
+        .select(h.alias("__h")).distinct()
+        .orderBy(F.col("__h").asc()).limit(k).collect()
+    )
+    n_seen = len(tail)
+    if n_seen == 0:
+        kth, est = 0, 0
+    elif n_seen < k:
+        kth, est = int(tail[-1]["__h"]), n_seen
+    else:
+        kth = int(tail[-1]["__h"])
+        est = (k - 1) * _KMV_SPACE // kth
+    return spark.createDataFrame(
+        [(k, n_seen, kth, est)],
+        schema="k_used int, n_seen int, kth_hash long, est_distinct long",
+    )

@@ -5924,6 +5924,43 @@ QUERIES["corpus_report"] = q_corpus_report
 ORACLES["corpus_report"] = ORACLE_CORPUS_REPORT
 
 
+def q_kmv_distinct(spark, sf):
+    """KMV distinct-cardinality sketch, fully ORACLED: the k-smallest
+    distinct 15-hex md5 hashes and the (k-1)*2^60 // h_k estimate
+    replay exactly in DuckDB (HUGEINT for the product — it overflows
+    int64, which is why the Spark side computes it in Python big-int
+    over the collected k-row tail). Outside the 50-query priority
+    window by design (single distinct agg + TakeOrdered, lowest-risk
+    tier with corpus_report)."""
+    from ..operators.sketch import kmv_distinct
+
+    d = _t(spark, sf, "documents")
+    return kmv_distinct(d, "text", k=64)
+
+
+ORACLE_KMV_DISTINCT = """
+WITH h AS (SELECT DISTINCT
+             CAST('0x' || substr(md5(text || chr(30) || 'kmv'), 1, 15)
+                  AS BIGINT) AS hv
+           FROM documents WHERE text IS NOT NULL),
+o AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM h),
+n AS (SELECT count(*) AS c FROM h)
+SELECT CAST(64 AS INT) AS k_used,
+       CAST(LEAST(n.c, 64) AS INT) AS n_seen,
+       CASE WHEN n.c = 0 THEN 0
+            ELSE (SELECT hv FROM o WHERE rn = LEAST(n.c, 64)) END AS kth_hash,
+       CASE WHEN n.c >= 64 THEN CAST(
+              CAST(63 AS HUGEINT) * 1152921504606846976
+                // (SELECT hv FROM o WHERE rn = 64) AS BIGINT)
+            ELSE CAST(n.c AS BIGINT) END AS est_distinct
+FROM n
+"""
+
+
+QUERIES["kmv_distinct"] = q_kmv_distinct
+ORACLES["kmv_distinct"] = ORACLE_KMV_DISTINCT
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #

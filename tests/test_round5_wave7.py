@@ -183,3 +183,44 @@ def test_corpus_report_levels_and_null_dim(spark):
     assert by_key[(None, "web")].total_size == 5
     # full cross present
     assert by_key[("en", "book")].total_size == 20
+
+
+def test_kmv_distinct_exact_below_k(spark):
+    from rp_extract_spark.operators.sketch import kmv_distinct
+
+    df = spark.createDataFrame(
+        [(f"v{i % 10}",) for i in range(100)], "key string")
+    r = kmv_distinct(df, "key", k=64).first()
+    assert (r.k_used, r.n_seen, r.est_distinct) == (64, 10, 10)
+
+
+def test_kmv_distinct_matches_manual_rule_and_is_close(spark):
+    import hashlib
+
+    from rp_extract_spark.operators.sketch import kmv_distinct
+
+    n, k = 2000, 128
+    keys = [f"key{i}" for i in range(n)]
+    df = spark.createDataFrame([(s,) for s in keys], "key string")
+    r = kmv_distinct(df, "key", k=k).first()
+    hs = sorted(
+        int(hashlib.md5(f"{s}\x1ekmv".encode()).hexdigest()[:15], 16)
+        for s in set(keys)
+    )
+    assert r.kth_hash == hs[k - 1]
+    assert r.est_distinct == (k - 1) * 16 ** 15 // hs[k - 1]
+    # order-statistics estimator: ~1/sqrt(k) relative error regime
+    assert abs(r.est_distinct - n) / n < 0.3
+
+
+def test_kmv_distinct_ignores_nulls_and_validates_k(spark):
+    import pytest
+
+    from rp_extract_spark.operators.sketch import kmv_distinct
+
+    df = spark.createDataFrame(
+        [("a",), (None,), ("b",), (None,)], "key string")
+    r = kmv_distinct(df, "key", k=8).first()
+    assert r.n_seen == 2 and r.est_distinct == 2
+    with pytest.raises(ValueError):
+        kmv_distinct(df, "key", k=1)

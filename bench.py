@@ -130,6 +130,7 @@ RELATIONAL = [
     "order_stats",
     "corpus_report",
     "kmv_distinct",
+    "interval_join",
 ]
 
 

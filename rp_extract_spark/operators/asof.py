@@ -262,3 +262,55 @@ def asof_join_merge(
         .cogroup(right.groupBy(on))
         .applyInPandas(merge, out_schema)
     )
+
+
+def interval_join(
+    left: DataFrame,
+    intervals: DataFrame,
+    on: Sequence[str] = (),
+    left_ts: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bin_seconds: int | None = None,
+) -> DataFrame:
+    """Range (interval) join: every left row whose timestamp falls
+    inside a right-side ``[start, end]`` interval with matching keys —
+    the "events within the incident window", "frames inside the shot
+    boundary" query. Spark plans a naive ``l.ts BETWEEN r.start AND
+    r.end`` join as a broadcast-nested-loop (a corpus x intervals scan
+    at 100 TB); this operator makes it an EQUI join Catalyst can hash:
+    each interval explodes into the fixed-width time bins it covers,
+    each left row computes its single bin, the join key becomes
+    ``(on..., bin)``, and one exact BETWEEN filter finishes. A left
+    row's bin is unique, so each qualifying (row, interval) pair joins
+    exactly once — no dedup stage.
+
+    ``bin_seconds=None`` sizes bins from the data: one tiny aggregate
+    takes the longest interval so the explode factor is <= 2 rows per
+    interval. Pass it explicitly when intervals are known-short or the
+    agg pass must be avoided. DuckDB oracle: the literal BETWEEN join.
+    Reference analog: none (the reference's loop has no temporal
+    algebra); this rounds out the asof/window family the north rule
+    centers on."""
+    ssec = F.col(start_col).cast("timestamp").cast("long")
+    esec = F.col(end_col).cast("timestamp").cast("long")
+    lsec = F.col(left_ts).cast("timestamp").cast("long")
+    ivals = intervals.filter(F.col(end_col) >= F.col(start_col))
+    if bin_seconds is None:
+        row = ivals.agg(F.max(esec - ssec).alias("m")).first()
+        bin_seconds = max(1, int(row["m"]) + 1 if row["m"] is not None else 1)
+    if bin_seconds < 1:
+        raise ValueError("bin_seconds must be >= 1")
+    exploded = ivals.withColumn(
+        "__bin",
+        F.explode(F.sequence(F.floor(ssec / bin_seconds),
+                             F.floor(esec / bin_seconds))),
+    )
+    l2 = left.withColumn("__bin", F.floor(lsec / bin_seconds))
+    keys = [*on, "__bin"]
+    return (
+        l2.join(exploded, keys)
+        .filter((F.col(left_ts) >= F.col(start_col))
+                & (F.col(left_ts) <= F.col(end_col)))
+        .drop("__bin")
+    )

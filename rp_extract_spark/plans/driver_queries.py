@@ -5961,6 +5961,42 @@ QUERIES["kmv_distinct"] = q_kmv_distinct
 ORACLES["kmv_distinct"] = ORACLE_KMV_DISTINCT
 
 
+def q_interval_join(spark, sf):
+    """Range (interval) join via time-bin equi-join, ORACLED against
+    the literal BETWEEN join: per-user events inside the 60-minute
+    window opened by each error event. The bin trick turns Spark's
+    nested-loop inequality join into a hash join on (user_id, bin);
+    the BETWEEN filter restores exactness, and a row's single bin
+    means no dedup stage. Timestamp arithmetic (+ INTERVAL) and the
+    boundary compares are exact on both engines."""
+    from ..operators.asof import interval_join
+
+    e = _t(spark, sf, "events")
+    w = e.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 60 MINUTES")).alias("end"),
+    )
+    out = interval_join(e, w, on=["user_id"], left_ts="ts",
+                        bin_seconds=3600)
+    return out.select("window_id", "event_id", "event_type").orderBy(
+        "window_id", "event_id")
+
+
+ORACLE_INTERVAL_JOIN = """
+SELECT w.event_id AS window_id, e.event_id AS event_id, e.event_type
+FROM events e JOIN events w
+  ON e.user_id = w.user_id AND w.event_type = 'error'
+ AND e.ts >= w.ts AND e.ts <= w.ts + INTERVAL 60 MINUTE
+ORDER BY window_id, e.event_id
+"""
+
+
+QUERIES["interval_join"] = q_interval_join
+ORACLES["interval_join"] = ORACLE_INTERVAL_JOIN
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #

@@ -224,3 +224,71 @@ def test_kmv_distinct_ignores_nulls_and_validates_k(spark):
     assert r.n_seen == 2 and r.est_distinct == 2
     with pytest.raises(ValueError):
         kmv_distinct(df, "key", k=1)
+
+
+def _mk_ts(s):
+    import datetime
+
+    return datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s)
+
+
+def test_interval_join_boundaries_keys_and_spanning(spark):
+    from rp_extract_spark.operators.asof import interval_join
+
+    left = spark.createDataFrame(
+        [("u1", 1, _mk_ts(0)), ("u1", 2, _mk_ts(100)),
+         ("u1", 3, _mk_ts(200)), ("u2", 4, _mk_ts(100)),
+         ("u1", 5, _mk_ts(9000))],
+        "user string, eid bigint, ts timestamp",
+    )
+    # w1 spans [100, 200] inclusive both ends; with bin_seconds=60 it
+    # covers multiple bins; u2's row at 100 must NOT match u1's window
+    ivals = spark.createDataFrame(
+        [("u1", 10, _mk_ts(100), _mk_ts(200)),
+         ("u2", 20, _mk_ts(0), _mk_ts(50))],
+        "user string, wid bigint, start timestamp, end timestamp",
+    )
+    got = {(r.wid, r.eid) for r in interval_join(
+        left, ivals, on=["user"], left_ts="ts", bin_seconds=60).collect()}
+    assert got == {(10, 2), (10, 3)}
+    # auto bin sizing gives identical matches
+    auto = {(r.wid, r.eid) for r in interval_join(
+        left, ivals, on=["user"], left_ts="ts").collect()}
+    assert auto == got
+
+
+def test_interval_join_plans_as_equi_join(spark):
+    """The whole point: the inequality predicate must NOT plan as a
+    nested-loop/cartesian — the bin key makes it a hashable equi join."""
+    import io
+    from contextlib import redirect_stdout
+
+    from rp_extract_spark.operators.asof import interval_join
+
+    left = spark.createDataFrame(
+        [("u1", 1, _mk_ts(0))], "user string, eid bigint, ts timestamp")
+    ivals = spark.createDataFrame(
+        [("u1", 10, _mk_ts(0), _mk_ts(50))],
+        "user string, wid bigint, start timestamp, end timestamp",
+    )
+    out = interval_join(left, ivals, on=["user"], left_ts="ts",
+                        bin_seconds=60)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_join_drops_inverted_intervals(spark):
+    from rp_extract_spark.operators.asof import interval_join
+
+    left = spark.createDataFrame(
+        [("u1", 1, _mk_ts(10))], "user string, eid bigint, ts timestamp")
+    ivals = spark.createDataFrame(
+        [("u1", 10, _mk_ts(50), _mk_ts(0))],
+        "user string, wid bigint, start timestamp, end timestamp",
+    )
+    assert interval_join(left, ivals, on=["user"], left_ts="ts",
+                         bin_seconds=60).count() == 0

@@ -131,6 +131,7 @@ RELATIONAL = [
     "corpus_report",
     "kmv_distinct",
     "interval_join",
+    "psi_drift",
 ]
 
 

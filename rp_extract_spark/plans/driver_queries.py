@@ -5997,6 +5997,64 @@ QUERIES["interval_join"] = q_interval_join
 ORACLES["interval_join"] = ORACLE_INTERVAL_JOIN
 
 
+def q_psi_drift(spark, sf):
+    """PSI distribution-drift monitor, fully ORACLED: exact-quantile
+    bin edges (the order_stats row_number rule), deterministic bucket
+    CASE, integer bucket counts, and the PSI term replayed with the
+    SAME float expression order — the only cross-engine wobble is
+    ln() (<= 1 ulp), vs fixture grain margins >= 0.06 at the 1e-6
+    floor. Ref = even-numbered sources, cur = odd."""
+    from ..operators.curation import psi_drift
+
+    d = _t(spark, sf, "documents")
+    par = F.substring("source", 4, 10).cast("int") % 2
+    out = psi_drift(d.filter(par == 0), d.filter(par == 1),
+                    "n_chars", n_bins=8)
+    return out.orderBy("bin")
+
+
+ORACLE_PSI_DRIFT = """
+WITH ref AS (SELECT doc_id, n_chars AS v FROM documents
+             WHERE CAST(substr(source, 4, 10) AS INT) % 2 = 0),
+cur AS (SELECT doc_id, n_chars AS v FROM documents
+        WHERE CAST(substr(source, 4, 10) AS INT) % 2 = 1),
+r AS (SELECT v, row_number() OVER (ORDER BY v, doc_id) AS rn FROM ref),
+nref AS (SELECT count(*) AS c FROM ref),
+edges AS (SELECT t.i,
+            (SELECT r.v FROM r, nref
+             WHERE r.rn = CAST(floor((t.i / 8.0) * (nref.c - 1)) + 1
+                               AS BIGINT)) AS ev
+          FROM (VALUES (1),(2),(3),(4),(5),(6),(7)) t(i)),
+ra AS (SELECT COALESCE((SELECT min(e.i) - 1 FROM edges e
+                        WHERE ref.v <= e.ev), 7) AS bin FROM ref),
+rb AS (SELECT COALESCE((SELECT min(e.i) - 1 FROM edges e
+                        WHERE cur.v <= e.ev), 7) AS bin FROM cur),
+spine AS (SELECT unnest(range(8)) AS bin),
+ca AS (SELECT spine.bin, count(ra.bin) AS n
+       FROM spine LEFT JOIN ra ON ra.bin = spine.bin GROUP BY spine.bin),
+cb AS (SELECT spine.bin, count(rb.bin) AS n
+       FROM spine LEFT JOIN rb ON rb.bin = spine.bin GROUP BY spine.bin),
+tot AS (SELECT (SELECT sum(n) FROM ca) + 8 AS na,
+               (SELECT sum(n) FROM cb) + 8 AS nb)
+SELECT CAST(ca.bin AS INT) AS bin,
+       CAST((SELECT ev FROM edges WHERE i = ca.bin + 1) AS DOUBLE) AS upper,
+       CAST(ca.n AS BIGINT) AS ref_n,
+       CAST(cb.n AS BIGINT) AS cur_n,
+       CAST(floor(
+         ((ca.n + 1) / CAST(tot.na AS DOUBLE)
+            - (cb.n + 1) / CAST(tot.nb AS DOUBLE))
+         * ln(((ca.n + 1) / CAST(tot.na AS DOUBLE))
+              / ((cb.n + 1) / CAST(tot.nb AS DOUBLE)))
+         * 1000000 + 0.5) AS BIGINT) AS psi_u
+FROM ca JOIN cb ON cb.bin = ca.bin, tot
+ORDER BY bin
+"""
+
+
+QUERIES["psi_drift"] = q_psi_drift
+ORACLES["psi_drift"] = ORACLE_PSI_DRIFT
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #

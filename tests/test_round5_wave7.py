@@ -292,3 +292,49 @@ def test_interval_join_drops_inverted_intervals(spark):
     )
     assert interval_join(left, ivals, on=["user"], left_ts="ts",
                          bin_seconds=60).count() == 0
+
+
+def test_psi_drift_identical_corpora_near_zero(spark):
+    from rp_extract_spark.operators.curation import psi_drift
+
+    df = spark.createDataFrame(
+        [(i, (i * 13) % 97) for i in range(200)], "doc_id bigint, v bigint")
+    out = psi_drift(df, df, "v", n_bins=4).collect()
+    assert len(out) == 4
+    assert sum(r.psi_u for r in out) == 0  # identical -> every term 0
+    assert sum(r.ref_n for r in out) == 200
+    assert all(r.psi_u >= 0 for r in out)
+
+
+def test_psi_drift_detects_shift_and_matches_manual(spark):
+    import math
+
+    from rp_extract_spark.operators.curation import psi_drift
+
+    ref_rows = [(i, i % 100) for i in range(400)]
+    cur_rows = [(i, 50 + (i % 50)) for i in range(400)]  # upper half only
+    ref = spark.createDataFrame(ref_rows, "doc_id bigint, v bigint")
+    cur = spark.createDataFrame(cur_rows, "doc_id bigint, v bigint")
+    out = {r.bin: r for r in psi_drift(ref, cur, "v", n_bins=4).collect()}
+    # manual replay
+    vals = sorted((v, i) for i, v in ref_rows)
+    n = len(vals)
+    edges = [vals[int((i / 4) * (n - 1))][0] for i in range(1, 4)]
+    def bucket(v):
+        for i, e in enumerate(edges):
+            if v <= e:
+                return i
+        return 3
+    from collections import Counter
+
+    a = Counter(bucket(v) for _, v in ref_rows)
+    b = Counter(bucket(v) for _, v in cur_rows)
+    na, nb = 400 + 4, 400 + 4
+    total = 0
+    for i in range(4):
+        pa, pb = (a[i] + 1) / na, (b[i] + 1) / nb
+        t = (pa - pb) * math.log(pa / pb)
+        assert out[i].psi_u == int(math.floor(t * 1e6 + 0.5)), i
+        assert (out[i].ref_n, out[i].cur_n) == (a[i], b[i])
+        total += t
+    assert total > 0.25  # a gutted lower half must read as real drift

@@ -132,6 +132,7 @@ RELATIONAL = [
     "kmv_distinct",
     "interval_join",
     "psi_drift",
+    "temperature_resample",
 ]
 
 

@@ -1543,6 +1543,96 @@ def plan_shard_packing(
     )
 
 
+def temperature_resample(
+    df: DataFrame,
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 7,
+) -> DataFrame:
+    """Temperature-based corpus rebalancing at alpha = 1/2 (the
+    multilingual sampling rule of mBERT/XLM-R/mT5: effective class
+    size ~ n_c^alpha, normalized so the head class is unchanged):
+    target t_c = floor-isqrt(n_max * n_c) — the geometric mean of the
+    class size and the head size, n_c <= t_c <= n_max. Each class is
+    upsampled to EXACTLY t_c rows: every row repeats t_c // n_c times
+    and the first t_c %% n_c rows of the class's deterministic md5
+    permutation get one extra copy — no RNG, no expectation-only
+    targets, reproducible across engines and cluster sizes.
+
+    Exactness: the isqrt is seeded by float sqrt (IEEE-correctly
+    rounded, so within +/-1) and pinned by two integer square compares
+    — the repeat_factor_sampling discipline; no float decides a
+    boundary. Scale: a K-row class table (window over K rows,
+    broadcast back) + the stratified_split two-level rank on
+    (label, md5) so one dominant class never lands on one reducer.
+    Returns (id, label, target, repeats, copy_idx)."""
+    spark = df.sparkSession
+    counts = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("__n"))
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    x = F.col("__nmax") * F.col("__n")
+    s = F.floor(F.sqrt(x.cast("double"))).cast("long")
+    tgt = (
+        F.when((s + 1) * (s + 1) <= x, s + 1)
+        .when(s * s > x, s - 1)
+        .otherwise(s)
+    )
+    targets = (
+        counts.withColumn("__nmax", F.max("__n").over(wt))
+        .select(
+            label_col, "__n",
+            tgt.alias("__t"),
+        )
+        .select(
+            label_col, "__n", F.col("__t").alias("target"),
+            # integer division (div), never double-divide-then-cast:
+            # a 2^53-scale target would round before the cast floors
+            F.expr("__t div __n").alias("__full"),
+            (F.col("__t") % F.col("__n")).alias("__rem"),
+        )
+    )
+    n_parts = spark.sparkContext.defaultParallelism
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
+    t = (
+        df.select(F.col(id_col), F.col(label_col))
+        .withColumn("__h", h)
+        .repartitionByRange(n_parts, F.col(label_col), F.col("__h"),
+                            F.col(id_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()  # __pid feeds the rank window AND the base counts
+    )
+    wl = Window.partitionBy(label_col, "__pid").orderBy(
+        F.col("__h").asc(), F.col(id_col).asc())
+    pc = t.groupBy(label_col, "__pid").agg(F.count(F.lit(1)).alias("__c"))
+    wp = (Window.partitionBy(label_col).orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    bases = pc.select(
+        label_col, "__pid",
+        F.coalesce(F.sum("__c").over(wp), F.lit(0)).alias("__base"))
+    ranked = (
+        t.withColumn("__lrn", F.row_number().over(wl))
+        .join(F.broadcast(bases), [label_col, "__pid"])
+        .withColumn("__rn", F.col("__base") + F.col("__lrn"))
+    )
+    out = (
+        ranked.join(F.broadcast(targets), label_col)
+        .withColumn(
+            "repeats",
+            (F.col("__full")
+             + F.when(F.col("__rn") <= F.col("__rem"), 1).otherwise(0))
+            .cast("int"),
+        )
+        .select(
+            id_col, label_col, "target", "repeats",
+            F.explode(
+                F.sequence(F.lit(1), F.col("repeats"))
+            ).alias("copy_idx"),
+        )
+        .withColumn("copy_idx", F.col("copy_idx").cast("int"))
+    )
+    return out
+
+
 def repeat_factor_sampling(
     df: DataFrame,
     label_col: str = "lang",

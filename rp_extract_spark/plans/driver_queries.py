@@ -6055,6 +6055,49 @@ QUERIES["psi_drift"] = q_psi_drift
 ORACLES["psi_drift"] = ORACLE_PSI_DRIFT
 
 
+def q_temperature_resample(spark, sf):
+    """Temperature (alpha=1/2) corpus rebalancing, fully ORACLED: the
+    per-class target isqrt(n_max*n_c) is pinned by integer square
+    compares (float sqrt only seeds — the repeat_factor discipline),
+    the extra-copy set is the first t%%n rows of the class's md5
+    permutation (row_number replay), and the expansion is
+    unnest(range). Exact class sizes, not expectation-only."""
+    from ..operators.curation import temperature_resample
+
+    d = _t(spark, sf, "documents")
+    out = temperature_resample(d, "lang", "doc_id", seed=7)
+    return out.orderBy("doc_id", "copy_idx")
+
+
+ORACLE_TEMPERATURE_RESAMPLE = """
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+m AS (SELECT max(n) AS nmax FROM c),
+t AS (SELECT lang, n, (SELECT nmax FROM m) * n AS x FROM c),
+s0 AS (SELECT lang, n, x,
+              CAST(floor(sqrt(CAST(x AS DOUBLE))) AS BIGINT) AS s FROM t),
+tg AS (SELECT lang, n,
+              CASE WHEN (s+1)*(s+1) <= x THEN s+1
+                   WHEN s*s > x THEN s-1
+                   ELSE s END AS tgt
+       FROM s0),
+r AS (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(doc_id || ':7'), doc_id) AS rn
+      FROM documents),
+j AS (SELECT r.doc_id, r.lang, tg.tgt AS target,
+             (tg.tgt // tg.n)
+               + CASE WHEN r.rn <= tg.tgt % tg.n THEN 1 ELSE 0 END AS reps
+      FROM r JOIN tg USING (lang))
+SELECT doc_id, lang, target, CAST(reps AS INT) AS repeats,
+       CAST(unnest(range(1, reps + 1)) AS INT) AS copy_idx
+FROM j ORDER BY doc_id, copy_idx
+"""
+
+
+QUERIES["temperature_resample"] = q_temperature_resample
+ORACLES["temperature_resample"] = ORACLE_TEMPERATURE_RESAMPLE
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #

@@ -338,3 +338,50 @@ def test_psi_drift_detects_shift_and_matches_manual(spark):
         assert (out[i].ref_n, out[i].cur_n) == (a[i], b[i])
         total += t
     assert total > 0.25  # a gutted lower half must read as real drift
+
+
+def test_temperature_resample_exact_targets(spark):
+    import math
+
+    from rp_extract_spark.operators.curation import temperature_resample
+
+    rows = ([(i, "big") for i in range(100)]
+            + [(1000 + i, "small") for i in range(9)])
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    out = temperature_resample(df, "lang", "doc_id", seed=3).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    # head class unchanged: target = n_max, one copy per row
+    assert len(by_lang["big"]) == 100
+    assert all(r.repeats == 1 for r in by_lang["big"])
+    # small class upsampled to exactly isqrt(100 * 9) = 30
+    assert len(by_lang["small"]) == math.isqrt(100 * 9) == 30
+    assert all(r.target == 30 for r in by_lang["small"])
+    # 30 = 3*9 + 3: every row has >= 3 copies, exactly 3 rows have 4
+    per_doc = {}
+    for r in by_lang["small"]:
+        per_doc.setdefault(r.doc_id, set()).add(r.copy_idx)
+    assert sorted(len(v) for v in per_doc.values()) == [3] * 6 + [4] * 3
+    # copy_idx is 1..repeats dense per doc
+    for d, v in per_doc.items():
+        assert v == set(range(1, len(v) + 1))
+
+
+def test_temperature_resample_deterministic_and_seeded(spark):
+    from rp_extract_spark.operators.curation import temperature_resample
+
+    # b: target = isqrt(20*6) = 10 = 1*6 + 4 -> a 4-row extra-copy set
+    # that the md5 permutation (hence the seed) actually selects
+    rows = ([(i, "a") for i in range(20)] + [(100 + i, "b") for i in range(6)])
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    one = sorted((r.doc_id, r.copy_idx) for r in
+                 temperature_resample(df, "lang", "doc_id", seed=3).collect())
+    two = sorted((r.doc_id, r.copy_idx) for r in
+                 temperature_resample(df, "lang", "doc_id", seed=3).collect())
+    assert one == two
+    other = sorted((r.doc_id, r.copy_idx) for r in
+                   temperature_resample(df, "lang", "doc_id", seed=4).collect())
+    # same multiset of class sizes, but a different extra-copy set
+    assert len(other) == len(one)
+    assert other != one

@@ -133,6 +133,7 @@ RELATIONAL = [
     "interval_join",
     "psi_drift",
     "temperature_resample",
+    "skew_report",
 ]
 
 

@@ -199,6 +199,46 @@ def exact_order_stats(
         t.unpersist(blocking=False)
 
 
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 5,
+) -> DataFrame:
+    """Join/aggregation skew diagnostics for a key column — the
+    measurement that decides whether the asof salting path (or an AQE
+    skew-join hint) is worth its cost BEFORE a 100-TB shuffle
+    stragglers: per-key row counts reduced to exact p50/p99/max order
+    statistics plus the top-N hot keys. One key-count aggregate (the
+    exchange carries distinct keys + a long), then exact_order_stats
+    over the count table (range-partitioned, partition-pruned) and a
+    TakeOrdered top-N; the per-key table never collects.
+
+    Returns top_n rows: (rank, key, n, n_keys, total_rows, p50_n,
+    p99_n, max_n) — the global stats repeated per row so the result is
+    one flat frame. All values exact integers."""
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("n"))
+    counts = counts.persist()  # three consumers: order stats, totals,
+    # hot keys — one aggregation pass under every config
+    try:
+        stats = {float(r["p"]): int(r["value"]) for r in exact_order_stats(
+            counts, "n", ps=(0.5, 0.99, 1.0), id_col="key").collect()}
+        tot = counts.agg(
+            F.count(F.lit(1)).alias("k"), F.sum("n").alias("r")).first()
+        hot = (counts.orderBy(F.col("n").desc(), F.col("key").asc())
+               .limit(top_n).collect())
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [(i + 1, r["key"], int(r["n"]), int(tot["k"]), int(tot["r"]),
+              stats[0.5], stats[0.99], stats[1.0])
+             for i, r in enumerate(hot)],
+            schema=("rank int, key string, n long, n_keys long, "
+                    "total_rows long, p50_n long, p99_n long, max_n long"),
+        )
+    finally:
+        counts.unpersist(blocking=False)
+
+
 def psi_drift(
     ref: DataFrame,
     cur: DataFrame,

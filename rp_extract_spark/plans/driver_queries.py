@@ -6098,6 +6098,43 @@ QUERIES["temperature_resample"] = q_temperature_resample
 ORACLES["temperature_resample"] = ORACLE_TEMPERATURE_RESAMPLE
 
 
+def q_skew_report(spark, sf):
+    """Key-skew diagnostics (hot keys + exact p50/p99/max of per-key
+    counts), ORACLED: the count table, its order statistics (the
+    order_stats rule) and the TakeOrdered hot-key head replay as plain
+    SQL — all integers."""
+    from ..operators.curation import skew_report
+
+    e = _t(spark, sf, "events")
+    return skew_report(e, "user_id", top_n=5).orderBy("rank")
+
+
+ORACLE_SKEW_REPORT = """
+WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n
+           FROM events GROUP BY 1),
+o AS (SELECT n, row_number() OVER (ORDER BY n, key) AS rn FROM c),
+k AS (SELECT count(*) AS nk, sum(n) AS tr FROM c),
+st AS (SELECT
+  (SELECT n FROM o, k
+   WHERE rn = CAST(floor(0.5 * (k.nk - 1)) + 1 AS BIGINT)) AS p50,
+  (SELECT n FROM o, k
+   WHERE rn = CAST(floor(0.99 * (k.nk - 1)) + 1 AS BIGINT)) AS p99,
+  (SELECT n FROM o, k WHERE rn = k.nk) AS mx),
+hot AS (SELECT key, n,
+               row_number() OVER (ORDER BY n DESC, key ASC) AS rank
+        FROM c)
+SELECT CAST(rank AS INT) AS rank, key, CAST(n AS BIGINT) AS n,
+       CAST(k.nk AS BIGINT) AS n_keys, CAST(k.tr AS BIGINT) AS total_rows,
+       CAST(st.p50 AS BIGINT) AS p50_n, CAST(st.p99 AS BIGINT) AS p99_n,
+       CAST(st.mx AS BIGINT) AS max_n
+FROM hot, k, st WHERE rank <= 5 ORDER BY rank
+"""
+
+
+QUERIES["skew_report"] = q_skew_report
+ORACLES["skew_report"] = ORACLE_SKEW_REPORT
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #

@@ -385,3 +385,22 @@ def test_temperature_resample_deterministic_and_seeded(spark):
     # same multiset of class sizes, but a different extra-copy set
     assert len(other) == len(one)
     assert other != one
+
+
+def test_skew_report_hot_keys_and_stats(spark):
+    from rp_extract_spark.operators.curation import skew_report
+
+    # key 'hog' holds 50 of 62 rows; 12 singleton keys
+    rows = ([(i, "hog") for i in range(50)]
+            + [(100 + i, f"k{i:02d}") for i in range(12)])
+    df = spark.createDataFrame(rows, "id bigint, key string")
+    out = skew_report(df, "key", top_n=3).collect()
+    assert [r.rank for r in out] == [1, 2, 3]
+    assert out[0].key == "hog" and out[0].n == 50
+    assert out[1].n == 1 and out[1].key == "k00"  # count ties -> key asc
+    first = out[0]
+    assert (first.n_keys, first.total_rows) == (13, 62)
+    assert (first.p50_n, first.max_n) == (1, 50)
+    # all rows carry the same globals
+    assert len({(r.n_keys, r.total_rows, r.p50_n, r.p99_n, r.max_n)
+                for r in out}) == 1

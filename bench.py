@@ -134,6 +134,7 @@ RELATIONAL = [
     "psi_drift",
     "temperature_resample",
     "skew_report",
+    "mosaic_quads",
 ]
 
 

@@ -1577,3 +1577,127 @@ def color_jitter(
     return images.select("image_id", "bytes", "fmt").mapInPandas(
         run, JITTER_SCHEMA
     )
+
+
+def _quad_by_shape(
+    images: DataFrame, seed: int = 0, epoch: int = 0
+) -> DataFrame:
+    """Deterministic 4-sample grouping WITHIN each (w, h) shape class —
+    ``_pair_by_shape`` at batch_size=4 (mosaic needs four congruent
+    tensors); trailing partials per class are dropped. One shuffle
+    co-locates each quad."""
+    from .curation import pack_batches
+
+    packed = pack_batches(
+        images.select("image_id", "bytes", "fmt", "w", "h"),
+        bucket_cols=("w", "h"),
+        id_col="image_id",
+        batch_size=4,
+        seed=seed,
+        epoch=epoch,
+    )
+    out = None
+    for slot, tag in enumerate("abcd"):
+        side = packed.filter(F.col("slot") == slot).select(
+            "w", "h", "batch_idx",
+            F.col("image_id").alias(f"{tag}_id"),
+            F.col("bytes").alias(f"{tag}_bytes"),
+            F.col("fmt").alias(f"{tag}_fmt"),
+        )
+        out = side if out is None else out.join(
+            side, ["w", "h", "batch_idx"])
+    return out
+
+
+def mosaic_geometry(w: int, h: int, d0: int, d1: int) -> tuple[int, int]:
+    """Integer mosaic center from two md5 hex digits: each axis spans
+    the middle half of the canvas ([dim//4, dim//4 + dim//2], the YOLO
+    mosaic center jitter band), all floor arithmetic over non-negative
+    ints — exactly recomputable in SQL."""
+    cx = (w // 4) + (d0 * (w // 2)) // 15
+    cy = (h // 4) + (d1 * (h // 2)) // 15
+    return cx, cy
+
+
+MOSAIC_SCHEMA = T.StructType(
+    [
+        T.StructField("a_id", T.StringType(), False),
+        T.StructField("b_id", T.StringType(), False),
+        T.StructField("c_id", T.StringType(), False),
+        T.StructField("d_id", T.StringType(), False),
+        T.StructField("w", T.IntegerType(), True),
+        T.StructField("h", T.IntegerType(), True),
+        T.StructField("cx", T.IntegerType(), True),
+        T.StructField("cy", T.IntegerType(), True),
+        T.StructField("m0", T.LongType(), True),
+        T.StructField("mx", T.LongType(), True),
+        T.StructField("my", T.LongType(), True),
+        T.StructField("err", T.StringType(), True),
+    ]
+)
+
+
+def mosaic_images(
+    images: DataFrame, seed: int = 0, epoch: int = 0
+) -> DataFrame:
+    """Deterministic 4-image mosaic (the YOLOv4 augmentation,
+    Bochkovskiy et al. 2020): quads co-located by ``_quad_by_shape``,
+    the canvas split at a center drawn from two md5 hex digits of the
+    QUAD key ``md5(a:b:c:d:seed:epoch)`` via ``mosaic_geometry``, and
+    each quadrant takes its parent's pixels verbatim — pure pixel
+    selection, so one SQL CASE over (x < cx, y < cy) replays every
+    output pixel; m0/mx/my witness the applied geometry (m0 alone
+    would not distinguish parents; the position moments do). One
+    Arrow stage, error-isolated."""
+    quads = _quad_by_shape(images, seed=seed, epoch=epoch)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for bt in batches:
+            rows = []
+            for (aid, ab, af, bid, bb, bf, cid, cb, cf, did, db, dfm) in zip(
+                bt["a_id"].values, bt["a_bytes"].values, bt["a_fmt"].values,
+                bt["b_id"].values, bt["b_bytes"].values, bt["b_fmt"].values,
+                bt["c_id"].values, bt["c_bytes"].values, bt["c_fmt"].values,
+                bt["d_id"].values, bt["d_bytes"].values, bt["d_fmt"].values,
+            ):
+                try:
+                    ims = [
+                        to_gray(decode_image(bytes(x), f)).astype(np.int64)
+                        for x, f in ((ab, af), (bb, bf), (cb, cf), (db, dfm))
+                    ]
+                    if len({im.shape for im in ims}) != 1:
+                        raise ValueError("shape mismatch inside quad")
+                    h, w = ims[0].shape
+                    k = hashlib.md5(
+                        f"{aid}:{bid}:{cid}:{did}:{int(seed)}:{int(epoch)}"
+                        .encode()).hexdigest()
+                    cx, cy = mosaic_geometry(
+                        w, h, int(k[0], 16), int(k[1], 16))
+                    px = ims[3].copy()
+                    px[:cy, :cx] = ims[0][:cy, :cx]
+                    px[:cy, cx:] = ims[1][:cy, cx:]
+                    px[cy:, :cx] = ims[2][cy:, :cx]
+                    xs = np.arange(w, dtype=np.int64)
+                    ys = np.arange(h, dtype=np.int64)
+                    rows.append({
+                        "a_id": aid, "b_id": bid, "c_id": cid, "d_id": did,
+                        "w": w, "h": h, "cx": cx, "cy": cy,
+                        "m0": int(px.sum()),
+                        "mx": int((px.sum(axis=0) * xs).sum()),
+                        "my": int((px.sum(axis=1) * ys).sum()),
+                        "err": None,
+                    })
+                except Exception as e:  # noqa: BLE001
+                    rows.append({
+                        "a_id": aid, "b_id": bid, "c_id": cid, "d_id": did,
+                        "w": None, "h": None, "cx": None, "cy": None,
+                        "m0": None, "mx": None, "my": None,
+                        "err": f"{type(e).__name__}: {e}",
+                    })
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MOSAIC_SCHEMA.fields])
+
+    return quads.select(
+        "a_id", "a_bytes", "a_fmt", "b_id", "b_bytes", "b_fmt",
+        "c_id", "c_bytes", "c_fmt", "d_id", "d_bytes", "d_fmt",
+    ).mapInPandas(run, MOSAIC_SCHEMA)

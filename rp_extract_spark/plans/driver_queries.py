@@ -6135,6 +6135,83 @@ QUERIES["skew_report"] = q_skew_report
 ORACLES["skew_report"] = ORACLE_SKEW_REPORT
 
 
+def q_mosaic_quads(spark, sf):
+    """Deterministic 4-image mosaic, fully ORACLED: quad grouping is
+    pack_batches(B=4) on the md5 permutation (48 formula images = 12
+    shape classes of exactly 4 — no partials drop), the center replays
+    from two md5 hex digits of the QUAD key, and the composite is pure
+    pixel selection — one CASE over (x < cx, y < cy) recomputes every
+    output pixel from the four parents' formulas, witnessed by
+    m0/mx/my."""
+    from ..operators.images import mosaic_images
+    from ..sources.images import formula_images_df
+
+    out = mosaic_images(formula_images_df(spark, 48), seed=5, epoch=2)
+    return out.select(
+        "a_id", "b_id", "c_id", "d_id", "w", "h", "cx", "cy",
+        "m0", "mx", "my",
+    ).orderBy("a_id")
+
+
+ORACLE_MOSAIC_QUADS = """
+WITH ids AS (SELECT unnest(range(48)) AS i),
+""" + _SQL_FORMULA_DIMS + """,
+r AS (SELECT i, w, h, printf('img%08d', i) AS iid,
+             row_number() OVER (
+               PARTITION BY w, h
+               ORDER BY md5(printf('img%08d', i) || ':5:2'),
+                        printf('img%08d', i)) - 1 AS rn,
+             count(*) OVER (PARTITION BY w, h) AS n
+      FROM dims),
+kept AS (SELECT * FROM r WHERE rn < (n // 4) * 4),
+q AS (SELECT w, h, rn // 4 AS b,
+             max(CASE WHEN rn % 4 = 0 THEN iid END) AS a_id,
+             max(CASE WHEN rn % 4 = 0 THEN i END) AS ia,
+             max(CASE WHEN rn % 4 = 1 THEN iid END) AS b_id,
+             max(CASE WHEN rn % 4 = 1 THEN i END) AS ib,
+             max(CASE WHEN rn % 4 = 2 THEN iid END) AS c_id,
+             max(CASE WHEN rn % 4 = 2 THEN i END) AS ic,
+             max(CASE WHEN rn % 4 = 3 THEN iid END) AS d_id,
+             max(CASE WHEN rn % 4 = 3 THEN i END) AS idd
+      FROM kept GROUP BY w, h, rn // 4),
+dig AS (SELECT *,
+  CAST('0x' || substring(
+    md5(a_id || ':' || b_id || ':' || c_id || ':' || d_id || ':5:2'),
+    1, 1) AS INT) AS d0,
+  CAST('0x' || substring(
+    md5(a_id || ':' || b_id || ':' || c_id || ':' || d_id || ':5:2'),
+    2, 1) AS INT) AS d1
+  FROM q),
+geo AS (SELECT *, (w // 4) + (d0 * (w // 2)) // 15 AS cx,
+               (h // 4) + (d1 * (h // 2)) // 15 AS cy
+        FROM dig),
+px AS (SELECT g.a_id, g.b_id, g.c_id, g.d_id, g.w, g.h, g.cx, g.cy,
+              x.g AS x, y.g AS y,
+              CASE WHEN x.g < g.cx AND y.g < g.cy
+                     THEN (g.ia * 31 + x.g * 7 + y.g * 13) % 256
+                   WHEN x.g >= g.cx AND y.g < g.cy
+                     THEN (g.ib * 31 + x.g * 7 + y.g * 13) % 256
+                   WHEN x.g < g.cx AND y.g >= g.cy
+                     THEN (g.ic * 31 + x.g * 7 + y.g * 13) % 256
+                   ELSE (g.idd * 31 + x.g * 7 + y.g * 13) % 256
+              END AS v
+       FROM geo g, (SELECT unnest(range(256)) AS g) x,
+            (SELECT unnest(range(128)) AS g) y
+       WHERE x.g < g.w AND y.g < g.h)
+SELECT a_id, b_id, c_id, d_id, CAST(w AS INT) AS w, CAST(h AS INT) AS h,
+       CAST(cx AS INT) AS cx, CAST(cy AS INT) AS cy,
+       CAST(sum(v) AS BIGINT) AS m0,
+       CAST(sum(v * x) AS BIGINT) AS mx,
+       CAST(sum(v * y) AS BIGINT) AS my
+FROM px GROUP BY a_id, b_id, c_id, d_id, w, h, cx, cy
+ORDER BY a_id
+"""
+
+
+QUERIES["mosaic_quads"] = q_mosaic_quads
+ORACLES["mosaic_quads"] = ORACLE_MOSAIC_QUADS
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #

@@ -404,3 +404,38 @@ def test_skew_report_hot_keys_and_stats(spark):
     # all rows carry the same globals
     assert len({(r.n_keys, r.total_rows, r.p50_n, r.p99_n, r.max_n)
                 for r in out}) == 1
+
+
+def test_mosaic_images_quadrant_selection(spark):
+    import hashlib
+
+    import numpy as np
+
+    from rp_extract_spark.codecs import encode_png
+    from rp_extract_spark.operators.images import (
+        mosaic_geometry,
+        mosaic_images,
+    )
+
+    # four congruent constant images (values 10,20,30,40) + one odd
+    # leftover in a second shape class that must drop
+    arrays = [np.full((8, 12), v, dtype=np.uint8) for v in (10, 20, 30, 40)]
+    rows = [(f"im{i}", encode_png(a), 12, 8, "png")
+            for i, a in enumerate(arrays)]
+    rows.append(("odd", encode_png(np.zeros((4, 4), np.uint8)), 4, 4, "png"))
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string")
+    out = mosaic_images(df, seed=5, epoch=2).collect()
+    assert len(out) == 1  # one quad; the odd class has no full quad
+    r = out[0]
+    assert r.err is None
+    ids = [r.a_id, r.b_id, r.c_id, r.d_id]
+    assert sorted(ids) == ["im0", "im1", "im2", "im3"]
+    k = hashlib.md5(":".join(ids + ["5", "2"]).encode()).hexdigest()
+    cx, cy = mosaic_geometry(12, 8, int(k[0], 16), int(k[1], 16))
+    assert (r.cx, r.cy) == (cx, cy)
+    vals = {f"im{i}": v for i, v in enumerate((10, 20, 30, 40))}
+    va, vb, vc, vd = (vals[x] for x in ids)
+    m0 = (va * cx * cy + vb * (12 - cx) * cy
+          + vc * cx * (8 - cy) + vd * (12 - cx) * (8 - cy))
+    assert r.m0 == m0

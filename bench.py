@@ -135,6 +135,7 @@ RELATIONAL = [
     "temperature_resample",
     "skew_report",
     "mosaic_quads",
+    "mae_mask",
 ]
 
 

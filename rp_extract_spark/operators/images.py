@@ -1701,3 +1701,84 @@ def mosaic_images(
         "a_id", "a_bytes", "a_fmt", "b_id", "b_bytes", "b_fmt",
         "c_id", "c_bytes", "c_fmt", "d_id", "d_bytes", "d_fmt",
     ).mapInPandas(run, MOSAIC_SCHEMA)
+
+
+MAE_MASK_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("n_patches", T.IntegerType(), True),
+        T.StructField("n_masked", T.IntegerType(), True),
+        T.StructField("visible_sum", T.LongType(), True),
+        T.StructField("masked_sum", T.LongType(), True),
+        T.StructField("err", T.StringType(), True),
+    ]
+)
+
+
+def mae_mask(
+    images: DataFrame,
+    patch: int = 16,
+    mask_num: int = 3,
+    mask_den: int = 4,
+    seed: int = 0,
+    epoch: int = 0,
+) -> DataFrame:
+    """Deterministic MAE patch masking (He et al. 2022): tile each
+    image into ``patch x patch`` full patches (ragged remainders drop,
+    the tile_images rule), rank patches by
+    ``md5(image_id:seed:epoch:patch_idx)`` and mask EXACTLY
+    ``(n_patches * mask_num) // mask_den`` of them — the first in rank
+    order — per (image, epoch). Exact-count realization (never
+    expectation-only), reshuffle-stable, no RNG state on executors:
+    the loader can recompute any epoch's mask set independently on any
+    rank. The visible/masked pixel sums witness the exact mask set
+    (position-sensitive: a swapped patch changes both sums). One Arrow
+    decode stage, error-isolated."""
+    if not 0 <= mask_num <= mask_den or mask_den < 1:
+        raise ValueError(f"bad mask ratio {mask_num}/{mask_den}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for bt in batches:
+            rows = []
+            for iid, data, fmt in zip(
+                bt["image_id"].values, bt["bytes"].values, bt["fmt"].values
+            ):
+                try:
+                    px = to_gray(decode_image(bytes(data), fmt)).astype(
+                        np.int64)
+                    h, w = px.shape
+                    gy, gx = h // patch, w // patch
+                    n = gy * gx
+                    if n == 0:
+                        raise ValueError("image smaller than one patch")
+                    sums = (
+                        px[: gy * patch, : gx * patch]
+                        .reshape(gy, patch, gx, patch)
+                        .sum(axis=(1, 3))
+                        .reshape(-1)
+                    )
+                    order = sorted(
+                        range(n),
+                        key=lambda j: (hashlib.md5(
+                            f"{iid}:{int(seed)}:{int(epoch)}:{j}".encode()
+                        ).hexdigest(), j),
+                    )
+                    m = (n * mask_num) // mask_den
+                    masked = set(order[:m])
+                    msum = int(sum(int(sums[j]) for j in masked))
+                    rows.append({
+                        "image_id": iid, "n_patches": n, "n_masked": m,
+                        "visible_sum": int(sums.sum()) - msum,
+                        "masked_sum": msum, "err": None,
+                    })
+                except Exception as e:  # noqa: BLE001
+                    rows.append({
+                        "image_id": iid, "n_patches": None, "n_masked": None,
+                        "visible_sum": None, "masked_sum": None,
+                        "err": f"{type(e).__name__}: {e}",
+                    })
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MAE_MASK_SCHEMA.fields])
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        run, MAE_MASK_SCHEMA)

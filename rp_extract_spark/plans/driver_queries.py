@@ -6212,6 +6212,56 @@ QUERIES["mosaic_quads"] = q_mosaic_quads
 ORACLES["mosaic_quads"] = ORACLE_MOSAIC_QUADS
 
 
+def q_mae_mask(spark, sf):
+    """MAE patch masking, fully ORACLED: 16x16 patch sums over the
+    formula grid, the per-image md5 patch permutation replayed with
+    row_number, EXACTLY (n*3)//4 patches masked; visible/masked pixel
+    sums witness the precise mask set."""
+    from ..operators.images import mae_mask
+    from ..sources.images import formula_images_df
+
+    out = mae_mask(formula_images_df(spark, 10), patch=16,
+                   mask_num=3, mask_den=4, seed=5, epoch=1)
+    return out.select(
+        "image_id", "n_patches", "n_masked", "visible_sum", "masked_sum"
+    ).orderBy("image_id")
+
+
+ORACLE_MAE_MASK = """
+WITH ids AS (SELECT unnest(range(10)) AS i),
+""" + _SQL_FORMULA_DIMS + """,
+ps AS (SELECT i, w, h,
+              (y.g // 16) * (w // 16) + (x.g // 16) AS pidx,
+              sum((i * 31 + x.g * 7 + y.g * 13) % 256) AS s
+       FROM dims, (SELECT unnest(range(256)) AS g) x,
+            (SELECT unnest(range(128)) AS g) y
+       WHERE x.g < (w // 16) * 16 AND y.g < (h // 16) * 16
+       GROUP BY i, w, h, (y.g // 16) * (w // 16) + (x.g // 16)),
+cnt AS (SELECT i, count(*) AS n FROM ps GROUP BY i),
+rk AS (SELECT ps.i, ps.pidx, ps.s,
+              row_number() OVER (
+                PARTITION BY ps.i
+                ORDER BY md5(printf('img%08d', ps.i) || ':5:1:' || ps.pidx),
+                         ps.pidx) AS r
+       FROM ps),
+m AS (SELECT i, n, (n * 3) // 4 AS nm FROM cnt)
+SELECT printf('img%08d', rk.i) AS image_id,
+       CAST(m.n AS INT) AS n_patches,
+       CAST(m.nm AS INT) AS n_masked,
+       CAST(sum(CASE WHEN rk.r > m.nm THEN rk.s ELSE 0 END) AS BIGINT)
+         AS visible_sum,
+       CAST(sum(CASE WHEN rk.r <= m.nm THEN rk.s ELSE 0 END) AS BIGINT)
+         AS masked_sum
+FROM rk JOIN m ON m.i = rk.i
+GROUP BY rk.i, m.n, m.nm
+ORDER BY image_id
+"""
+
+
+QUERIES["mae_mask"] = q_mae_mask
+ORACLES["mae_mask"] = ORACLE_MAE_MASK
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #

@@ -439,3 +439,45 @@ def test_mosaic_images_quadrant_selection(spark):
     m0 = (va * cx * cy + vb * (12 - cx) * cy
           + vc * cx * (8 - cy) + vd * (12 - cx) * (8 - cy))
     assert r.m0 == m0
+
+
+def test_mae_mask_exact_count_and_witness(spark):
+    import hashlib
+
+    import numpy as np
+
+    from rp_extract_spark.codecs import encode_png
+    from rp_extract_spark.operators.images import mae_mask
+
+    # 32x48 -> 2x3 = 6 patches of 16x16; distinct constant per patch
+    a = np.zeros((32, 48), dtype=np.uint8)
+    for py in range(2):
+        for px_ in range(3):
+            a[py * 16:(py + 1) * 16, px_ * 16:(px_ + 1) * 16] = (
+                10 + py * 3 + px_)
+    df = spark.createDataFrame(
+        [("im0", encode_png(a), 48, 32, "png")],
+        "image_id string, bytes binary, w int, h int, fmt string")
+    r = mae_mask(df, patch=16, mask_num=3, mask_den=4, seed=2,
+                 epoch=0).first()
+    assert (r.n_patches, r.n_masked) == (6, 4)
+    sums = [(10 + j) * 256 for j in range(6)]  # pidx = py*3+px
+    order = sorted(range(6), key=lambda j: (
+        hashlib.md5(f"im0:2:0:{j}".encode()).hexdigest(), j))
+    masked = set(order[:4])
+    assert r.masked_sum == sum(sums[j] for j in masked)
+    assert r.visible_sum == sum(sums[j] for j in range(6) if j not in masked)
+    assert r.err is None
+
+
+def test_mae_mask_small_image_quarantines(spark):
+    import numpy as np
+
+    from rp_extract_spark.codecs import encode_png
+    from rp_extract_spark.operators.images import mae_mask
+
+    df = spark.createDataFrame(
+        [("tiny", encode_png(np.zeros((8, 8), np.uint8)), 8, 8, "png")],
+        "image_id string, bytes binary, w int, h int, fmt string")
+    r = mae_mask(df, patch=16).first()
+    assert r.err is not None and r.n_patches is None

@@ -136,6 +136,7 @@ RELATIONAL = [
     "skew_report",
     "mosaic_quads",
     "mae_mask",
+    "incremental_dedup",
 ]
 
 

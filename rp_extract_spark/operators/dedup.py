@@ -1072,3 +1072,74 @@ def _embedding_dedup_from_ranked(ranked, b, id_col, threshold,
         )
     )
     return propagate_min_ids(edges, id_col, "__bk", max_iters=max_iters)
+
+
+def hamming64_dedup_incremental(
+    new: DataFrame,
+    index: DataFrame,
+    hash_col: str,
+    id_col: str,
+    max_hamming: int = 2,
+    max_iters: int = 10,
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING hash index — the daily
+    production shape: never re-dedup the historical corpus, match the
+    increment's 64-bit hashes against the index's band table, then
+    dedup the unmatched residue within the batch. Composes with
+    resume.snapshot_diff (the increment) and a persisted/banded index
+    table (write it partitioned by band value and matching becomes a
+    co-located join).
+
+    Semantics: index matching is ONE hop (a new row whose hash is
+    within ``max_hamming`` of ANY index row takes the SMALLEST matching
+    index id as its rep — deterministic); rows that match nothing in
+    the index merge transitively among THEMSELVES (hamming64_dedup).
+    A chain new2 ~ new1 ~ index where new2 itself misses the index
+    keeps new2 in the batch component, not the index group — the
+    documented one-hop trade, mirroring the capped-bucket discipline
+    (an index rep's neighborhood is a lookup, not a graph walk).
+
+    Returns (id, hash, rep_id, status) with status in
+    'dup_of_index' | 'fresh_rep' | 'dup_in_batch'."""
+    if not 1 <= max_hamming <= 3:
+        raise ValueError("4 bands guarantee recall only up to max_hamming=3")
+
+    def _bands(df: DataFrame, idn: str, hn: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(idn),
+            F.col(hash_col).alias(hn),
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftrightunsigned(hash_col, 16 * i)
+                    .bitwiseAND(F.lit(0xFFFF)).alias("val"),
+                )
+                for i in range(4)
+            ])).alias("b"),
+        ).select(idn, hn, F.col("b.band").alias("band"),
+                 F.col("b.val").alias("val"))
+
+    nb = _bands(new, "__nid", "__nh")
+    ib = _bands(index, "__iid", "__ih")
+    matched = (
+        nb.join(ib, ["band", "val"])
+        .filter(F.bit_count(F.col("__nh").bitwiseXOR(F.col("__ih")))
+                <= max_hamming)
+        .groupBy("__nid", "__nh")
+        .agg(F.min("__iid").alias("rep_id"))
+        .select(
+            F.col("__nid").alias(id_col), F.col("__nh").alias(hash_col),
+            "rep_id", F.lit("dup_of_index").alias("status"),
+        )
+    )
+    resid = new.join(
+        matched.select(F.col(id_col).alias("__mid")),
+        new[id_col] == F.col("__mid"), "left_anti",
+    ).select(id_col, hash_col)
+    batch = hamming64_dedup(resid, hash_col, id_col, max_hamming, max_iters)
+    batch = batch.select(
+        id_col, hash_col, "rep_id",
+        F.when(F.col("rep_id") == F.col(id_col), "fresh_rep")
+        .otherwise("dup_in_batch").alias("status"),
+    )
+    return matched.unionByName(batch)

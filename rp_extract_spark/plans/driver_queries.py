@@ -6262,6 +6262,75 @@ QUERIES["mae_mask"] = q_mae_mask
 ORACLES["mae_mask"] = ORACLE_MAE_MASK
 
 
+def q_incremental_dedup(spark, sf):
+    """Increment-vs-index near-dup dedup, fully ORACLED over the
+    near-dup fixture: the index holds groups 0-2's base images, the
+    batch holds those groups' variants (one-hop index matches, min
+    index id) plus groups 3-5's full trios (no index hit — transitive
+    batch components). DuckDB replays hash bits, the cross band join,
+    the min-rep pick and the recursive-CTE residue components."""
+    from ..operators.dedup import hamming64_dedup_incremental
+    from ..operators.images import image_hashes
+    from ..sources.images import near_dup_images_df
+
+    hashed = image_hashes(near_dup_images_df(spark, 18)).filter(
+        F.col("err").isNull()).select("image_id", "dhash")
+    i = F.substring("image_id", 4, 8).cast("int")
+    idx = hashed.filter((i % 3 == 0) & (i < 9))
+    new = hashed.filter(~((i % 3 == 0) & (i < 9)))
+    out = hamming64_dedup_incremental(new, idx, "dhash", "image_id",
+                                      max_hamming=2)
+    return out.select(
+        "image_id",
+        F.lpad(F.bin(F.col("dhash")), 64, "0").alias("dhash_bits"),
+        "rep_id", "status",
+    ).orderBy("image_id")
+
+
+ORACLE_INCREMENTAL_DEDUP = """
+WITH RECURSIVE """ + _SQL_NEAR_DUP_HASHES + """,
+idx AS (SELECT i, bits FROM hashes WHERE i % 3 = 0 AND i < 9),
+newt AS (SELECT i, bits FROM hashes WHERE NOT (i % 3 = 0 AND i < 9)),
+bnd AS (SELECT unnest(range(4)) AS g),
+nb AS (SELECT i, bits, bnd.g AS band, substr(bits, 1 + 16*bnd.g, 16) AS val
+       FROM newt, bnd),
+ib AS (SELECT i, bits, bnd.g AS band, substr(bits, 1 + 16*bnd.g, 16) AS val
+       FROM idx, bnd),
+m AS (SELECT nb.i, nb.bits, min(ib.i) AS rep
+      FROM nb JOIN ib ON ib.band = nb.band AND ib.val = nb.val
+      WHERE bit_count(xor(nb.bits::BIT, ib.bits::BIT)) <= 2
+      GROUP BY nb.i, nb.bits),
+res AS (SELECT * FROM newt WHERE i NOT IN (SELECT i FROM m)),
+rb AS (SELECT i, bits, bnd.g AS band, substr(bits, 1 + 16*bnd.g, 16) AS val
+       FROM res, bnd),
+pairs AS (SELECT DISTINCT a.i AS id_a, b.i AS id_b
+          FROM rb a JOIN rb b ON a.band = b.band AND a.val = b.val
+                              AND b.i < a.i
+          WHERE bit_count(xor(a.bits::BIT, b.bits::BIT)) <= 2),
+sym AS (SELECT id_a AS s, id_b AS d FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach(a, r) AS (
+  SELECT i, i FROM res
+  UNION
+  SELECT sym.s, reach.r FROM sym JOIN reach ON reach.a = sym.d),
+comp AS (SELECT a AS i, min(r) AS rep FROM reach GROUP BY a),
+unioned AS (
+  SELECT i, bits, rep, 'dup_of_index' AS status FROM m
+  UNION ALL
+  SELECT res.i, res.bits, comp.rep,
+         CASE WHEN comp.rep = res.i THEN 'fresh_rep'
+              ELSE 'dup_in_batch' END AS status
+  FROM res JOIN comp ON comp.i = res.i)
+SELECT printf('img%08d', i) AS image_id, bits AS dhash_bits,
+       printf('img%08d', rep) AS rep_id, status
+FROM unioned ORDER BY image_id
+"""
+
+
+QUERIES["incremental_dedup"] = q_incremental_dedup
+ORACLES["incremental_dedup"] = ORACLE_INCREMENTAL_DEDUP
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #

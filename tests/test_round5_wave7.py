@@ -481,3 +481,40 @@ def test_mae_mask_small_image_quarantines(spark):
         "image_id string, bytes binary, w int, h int, fmt string")
     r = mae_mask(df, patch=16).first()
     assert r.err is not None and r.n_patches is None
+
+
+def test_incremental_dedup_both_paths(spark):
+    from rp_extract_spark.operators.dedup import hamming64_dedup_incremental
+
+    # index: two reps far apart; batch: one near-dup of idx0 (1 bit),
+    # one exact dup of idx1, one fresh pair (mutual dups, no index hit)
+    idx = spark.createDataFrame(
+        [("i0", 0), ("i1", 0x7FFF0000FFFF0000)], "id string, h long")
+    new = spark.createDataFrame(
+        [("n0", 1),                      # hamming 1 from i0
+         ("n1", 0x7FFF0000FFFF0000),     # exact i1
+         ("n2", 0x0F0F0F0F0F0F0F0F),    # fresh pair with n3
+         ("n3", 0x0F0F0F0F0F0F0F0E)],
+        "id string, h long")
+    out = {r.id: (r.rep_id, r.status) for r in
+           hamming64_dedup_incremental(new, idx, "h", "id", 2).collect()}
+    assert out["n0"] == ("i0", "dup_of_index")
+    assert out["n1"] == ("i1", "dup_of_index")
+    assert out["n2"] == ("n2", "fresh_rep")
+    assert out["n3"] == ("n2", "dup_in_batch")
+
+
+def test_incremental_dedup_one_hop_semantics(spark):
+    """A chain new2 ~ new1 ~ index where new2 misses the index keeps
+    new2 in the batch component — the documented one-hop trade."""
+    from rp_extract_spark.operators.dedup import hamming64_dedup_incremental
+
+    idx = spark.createDataFrame([("i0", 0)], "id string, h long")
+    new = spark.createDataFrame(
+        [("n1", 3),    # hamming 2 from i0 -> matches index
+         ("n2", 15)],  # hamming 2 from n1, hamming 4 from i0
+        "id string, h long")
+    out = {r.id: (r.rep_id, r.status) for r in
+           hamming64_dedup_incremental(new, idx, "h", "id", 2).collect()}
+    assert out["n1"] == ("i0", "dup_of_index")
+    assert out["n2"] == ("n2", "fresh_rep")

@@ -137,6 +137,7 @@ RELATIONAL = [
     "mosaic_quads",
     "mae_mask",
     "incremental_dedup",
+    "span_corruption",
 ]
 
 

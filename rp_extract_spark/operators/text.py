@@ -552,3 +552,65 @@ def pmi_collocations(
     return out.orderBy(
         F.col("pmi_u").desc(), F.col("w1").asc(), F.col("w2").asc()
     ).limit(int(top_k))
+
+
+def span_corruption_plan(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span: int = 3,
+    mask_num: int = 15,
+    mask_den: int = 100,
+    seed: int = 9,
+) -> DataFrame:
+    """Deterministic T5-style span-corruption PLAN (Raffel et al.
+    2020): tokens partition into fixed ``span``-token blocks, and
+    EXACTLY ``(n_blocks * mask_num) // mask_den`` blocks per document
+    are masked — the first in the document's md5 block permutation.
+    Exact-count realization (never expectation-only), reshuffle-stable,
+    recomputable by any worker or engine; the trainer consumes the
+    plan, this operator never rewrites text. Docs with zero tokens
+    produce no row (nothing to corrupt).
+
+    Scale shape: one posexplode (row-local), a (doc, block) aggregate,
+    a per-doc block window (blocks per doc are bounded by document
+    length — never corpus-wide), one group-back. The masked/visible
+    char sums witness the exact mask set. Returns (id, n_tokens,
+    n_blocks, n_masked_blocks, masked_chars, visible_chars)."""
+    if span < 1 or not 0 <= mask_num <= mask_den or mask_den < 1:
+        raise ValueError("bad span/mask parameters")
+    from pyspark.sql.window import Window
+
+    tok = df.select(
+        F.col(id_col),
+        F.posexplode(nonempty_tokens_col(F.col(text_col)))
+        .alias("pos", "w"),
+    )
+    blk = tok.groupBy(
+        id_col, F.expr(f"pos div {int(span)}").alias("__b")
+    ).agg(
+        F.sum(F.length("w")).alias("__chars"),
+        F.count(F.lit(1)).alias("__nt"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":"),
+                       F.col("__b").cast("string"), F.lit(f":{seed}"))),
+        F.col("__b"),
+    )
+    wc = Window.partitionBy(id_col)
+    ranked = (
+        blk.withColumn("__r", F.row_number().over(w))
+        .withColumn("__nb", F.count(F.lit(1)).over(wc))
+        .withColumn(
+            "__nm",
+            F.expr(f"(__nb * {int(mask_num)}) div {int(mask_den)}"))
+    )
+    return ranked.groupBy(id_col).agg(
+        F.sum("__nt").cast("long").alias("n_tokens"),
+        F.max("__nb").cast("long").alias("n_blocks"),
+        F.max("__nm").cast("long").alias("n_masked_blocks"),
+        F.sum(F.when(F.col("__r") <= F.col("__nm"), F.col("__chars"))
+              .otherwise(0)).cast("long").alias("masked_chars"),
+        F.sum(F.when(F.col("__r") > F.col("__nm"), F.col("__chars"))
+              .otherwise(0)).cast("long").alias("visible_chars"),
+    )

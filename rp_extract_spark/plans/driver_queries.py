@@ -6331,6 +6331,55 @@ QUERIES["incremental_dedup"] = q_incremental_dedup
 ORACLES["incremental_dedup"] = ORACLE_INCREMENTAL_DEDUP
 
 
+def q_span_corruption(spark, sf):
+    """T5 span-corruption plan, fully ORACLED: the shared whitespace
+    tokenizer (the decontaminate_ngram parity), 3-token blocks,
+    EXACTLY (n_blocks*15)//100 blocks masked per doc via the md5 block
+    permutation (row_number replay); masked/visible char sums witness
+    the exact mask set."""
+    from ..operators.text import span_corruption_plan
+
+    d = _t(spark, sf, "documents")
+    return span_corruption_plan(d, "text", "doc_id", span=3,
+                                mask_num=15, mask_den=100,
+                                seed=9).orderBy("doc_id")
+
+
+ORACLE_SPAN_CORRUPTION = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(trim(text)),
+                                                 '\s+', ' ', 'g'), ' '),
+                     x -> x <> '') AS t
+  FROM documents),
+tok AS (SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS w
+        FROM toks WHERE len(t) > 0),
+blk AS (SELECT doc_id, pos // 3 AS b, sum(length(w)) AS chars,
+               count(*) AS nt
+        FROM tok GROUP BY doc_id, pos // 3),
+rk AS (SELECT blk.*,
+              row_number() OVER (
+                PARTITION BY doc_id
+                ORDER BY md5(doc_id || ':' || b || ':9'), b) AS r,
+              count(*) OVER (PARTITION BY doc_id) AS nb
+       FROM blk),
+m AS (SELECT rk.*, (nb * 15) // 100 AS nm FROM rk)
+SELECT doc_id,
+       CAST(sum(nt) AS BIGINT) AS n_tokens,
+       CAST(max(nb) AS BIGINT) AS n_blocks,
+       CAST(max(nm) AS BIGINT) AS n_masked_blocks,
+       CAST(sum(CASE WHEN r <= nm THEN chars ELSE 0 END) AS BIGINT)
+         AS masked_chars,
+       CAST(sum(CASE WHEN r > nm THEN chars ELSE 0 END) AS BIGINT)
+         AS visible_chars
+FROM m GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+QUERIES["span_corruption"] = q_span_corruption
+ORACLES["span_corruption"] = ORACLE_SPAN_CORRUPTION
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #

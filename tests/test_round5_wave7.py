@@ -518,3 +518,27 @@ def test_incremental_dedup_one_hop_semantics(spark):
            hamming64_dedup_incremental(new, idx, "h", "id", 2).collect()}
     assert out["n1"] == ("i0", "dup_of_index")
     assert out["n2"] == ("n2", "fresh_rep")
+
+
+def test_span_corruption_exact_counts_and_witness(spark):
+    import hashlib
+
+    from rp_extract_spark.operators.text import span_corruption_plan
+
+    # 21 tokens -> 7 blocks of 3; (7*15)//100 = 1 masked block
+    words = [f"w{j:02d}" + "x" * (j % 4) for j in range(21)]
+    df = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "   ")],  # doc 2: zero tokens, no row
+        "doc_id bigint, text string")
+    out = span_corruption_plan(df, "text", "doc_id", span=3,
+                               mask_num=15, mask_den=100, seed=9).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_tokens, r.n_blocks, r.n_masked_blocks) == (21, 7, 1)
+    blocks = [words[3 * b:3 * b + 3] for b in range(7)]
+    order = sorted(range(7), key=lambda b: (
+        hashlib.md5(f"1:{b}:9".encode()).hexdigest(), b))
+    masked = order[0]
+    mchars = sum(len(w) for w in blocks[masked])
+    assert r.masked_chars == mchars
+    assert r.visible_chars == sum(len(w) for w in words) - mchars

@@ -138,6 +138,7 @@ RELATIONAL = [
     "mae_mask",
     "incremental_dedup",
     "span_corruption",
+    "bloom_probe",
 ]
 
 

@@ -149,3 +149,71 @@ def kmv_distinct(
         [(k, n_seen, kth, est)],
         schema="k_used int, n_seen int, kth_hash long, est_distinct long",
     )
+
+
+def _bloom_pos(key: Column, j: int, m_bits: int, salt: str) -> Column:
+    h = F.md5(F.concat(key.cast("string"), F.lit(f"\x1e{salt}{j}")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+            % F.lit(m_bits))
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = 8192,
+    k: int = 4,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Bloom filter over a key column, represented as the TABLE of set
+    bit positions (at most ``m_bits`` rows — sparse, mergeable across
+    partitions/days by union+distinct, broadcastable at probe time):
+    the membership sketch completing the family next to
+    count_min_sketch (frequency) and kmv_distinct (cardinality). The
+    100-TB use: ship a few-KB benchmark/blocklist filter to every
+    executor and pre-screen a corpus without joining the real set.
+
+    Same engine-portable hashing as the CMS (first 8 hex chars of
+    salted md5 mod m_bits), so build AND probe replay exactly in SQL —
+    including which non-members false-positive. Classic guarantees:
+    no false negatives; FP rate ~ (1 - e^(-kn/m))^k."""
+    if m_bits < 1 or k < 1:
+        raise ValueError("m_bits and k must be >= 1")
+    pos = None
+    for j in range(k):
+        pj = df.select(
+            _bloom_pos(F.col(key_col), j, m_bits, salt).alias("pos"))
+        pos = pj if pos is None else pos.unionByName(pj)
+    return pos.distinct()
+
+
+def bloom_probe(
+    df: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    id_col: str,
+    m_bits: int = 8192,
+    k: int = 4,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Probe: a row is a MAYBE-member iff all ``k`` of its bit
+    positions are set. The filter table is broadcast (<= m_bits rows);
+    the probe is k row-local position computations + one broadcast
+    semi-count — the corpus never shuffles. Adds ``maybe_member``
+    (0/1). Parameters must match the build."""
+    probe = df.select(
+        F.col(id_col),
+        F.array(*[
+            _bloom_pos(F.col(key_col), j, m_bits, salt) for j in range(k)
+        ]).alias("__pos"),
+    ).select(id_col, F.explode("__pos").alias("pos"))
+    hits = (
+        probe.join(F.broadcast(bloom), "pos")
+        .groupBy(id_col).agg(F.count(F.lit(1)).alias("__hits"))
+    )
+    return (
+        df.join(hits, id_col, "left")
+        .withColumn(
+            "maybe_member",
+            (F.coalesce(F.col("__hits"), F.lit(0)) == k).cast("int"))
+        .drop("__hits")
+    )

@@ -6380,6 +6380,59 @@ QUERIES["span_corruption"] = q_span_corruption
 ORACLES["span_corruption"] = ORACLE_SPAN_CORRUPTION
 
 
+def q_bloom_probe(spark, sf):
+    """Bloom-filter pre-screen, fully ORACLED including which
+    non-members false-positive: the filter is built over the benchmark
+    docs' content fingerprints (the decontaminate rule), the corpus is
+    probed row-locally against the broadcast position table, and the
+    exact membership column sits alongside so the FP set is explicit.
+    Small m_bits (256) on purpose — the fixture must exercise real
+    false positives, not just echo membership (1024 measured zero FPs
+    over 450 probes; 256 yields a real FP set)."""
+    from ..operators.sketch import bloom_build, bloom_probe
+    from ..operators.text import fingerprint
+
+    d = _t(spark, sf, "documents")
+    fp = d.withColumn("__fp", fingerprint(F.col("text")))
+    bench = fp.filter(F.col("doc_id") % 10 == 0)
+    bloom = bloom_build(bench.select("__fp"), "__fp", m_bits=256, k=3)
+    probed = bloom_probe(fp, bloom, "__fp", "doc_id", m_bits=256, k=3)
+    return probed.select(
+        "doc_id", "maybe_member",
+        (F.col("doc_id") % 10 == 0).cast("int").alias("exact_member"),
+    ).orderBy("doc_id")
+
+
+ORACLE_BLOOM_PROBE = r"""
+WITH fp AS (SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                     AS f
+            FROM documents),
+hk AS (SELECT unnest(range(3)) AS j),
+bloom AS (SELECT DISTINCT
+            CAST('0x' || substr(md5(f || chr(30) || 'bloom' || j), 1, 8)
+                 AS BIGINT) % 256 AS pos
+          FROM fp, hk WHERE doc_id % 10 = 0),
+probe AS (SELECT fp.doc_id,
+                 CAST('0x' || substr(md5(f || chr(30) || 'bloom' || j), 1, 8)
+                      AS BIGINT) % 256 AS pos
+          FROM fp, hk),
+hits AS (SELECT doc_id, count(*) AS h
+         FROM probe JOIN bloom USING (pos) GROUP BY doc_id)
+SELECT fp.doc_id,
+       CAST(CASE WHEN COALESCE(hits.h, 0) = 3 THEN 1 ELSE 0 END AS INT)
+         AS maybe_member,
+       CAST(CASE WHEN fp.doc_id % 10 = 0 THEN 1 ELSE 0 END AS INT)
+         AS exact_member
+FROM fp LEFT JOIN hits ON hits.doc_id = fp.doc_id
+ORDER BY fp.doc_id
+"""
+
+
+QUERIES["bloom_probe"] = q_bloom_probe
+ORACLES["bloom_probe"] = ORACLE_BLOOM_PROBE
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #

@@ -542,3 +542,45 @@ def test_span_corruption_exact_counts_and_witness(spark):
     mchars = sum(len(w) for w in blocks[masked])
     assert r.masked_chars == mchars
     assert r.visible_chars == sum(len(w) for w in words) - mchars
+
+
+def test_bloom_no_false_negatives_and_manual_positions(spark):
+    import hashlib
+
+    from rp_extract_spark.operators.sketch import bloom_build, bloom_probe
+
+    members = [f"key{i}" for i in range(30)]
+    others = [f"other{i}" for i in range(200)]
+    mdf = spark.createDataFrame([(s,) for s in members], "k string")
+    adf = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(members + others)],
+        "id bigint, k string")
+    bloom = bloom_build(mdf, "k", m_bits=128, k=3)
+    # manual position replay
+    def pos(s, j):
+        return int(hashlib.md5(
+            f"{s}\x1ebloom{j}".encode()).hexdigest()[:8], 16) % 128
+    expect_bits = {pos(s, j) for s in members for j in range(3)}
+    assert {r.pos for r in bloom.collect()} == expect_bits
+    out = {r.id: r.maybe_member for r in bloom_probe(
+        adf, bloom, "k", "id", m_bits=128, k=3).collect()}
+    # no false negatives ever
+    assert all(out[i] == 1 for i in range(len(members)))
+    # small m forces some false positives; all flagged non-members
+    # must have all 3 positions set (replay the definition)
+    fps = [i for i in range(len(members), len(members) + len(others))
+           if out[i] == 1]
+    assert fps, "fixture should produce false positives at m=128"
+    for i in fps:
+        s = (members + others)[i]
+        assert all(pos(s, j) in expect_bits for j in range(3))
+
+
+def test_bloom_validates_params(spark):
+    import pytest
+
+    from rp_extract_spark.operators.sketch import bloom_build
+
+    df = spark.createDataFrame([("a",)], "k string")
+    with pytest.raises(ValueError):
+        bloom_build(df, "k", m_bits=0)

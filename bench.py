@@ -139,6 +139,7 @@ RELATIONAL = [
     "incremental_dedup",
     "span_corruption",
     "bloom_probe",
+    "zorder_layout",
 ]
 
 

@@ -6433,6 +6433,56 @@ QUERIES["bloom_probe"] = q_bloom_probe
 ORACLES["bloom_probe"] = ORACLE_BLOOM_PROBE
 
 
+def q_zorder_layout(spark, sf):
+    """Z-order layout keys over (user_id, minute-of-day), ORACLED bit
+    for bit: the Morton interleave is pure integer div/mod arithmetic
+    replayed verbatim in SQL. The key is what a writer sorts by so a
+    (user range x time range) predicate prunes two dimensions at
+    once."""
+    from ..sources.feature_store import zorder_key
+
+    e = _t(spark, sf, "events")
+    out = e.select(
+        "event_id",
+        F.col("user_id").cast("long").alias("user_id"),
+        (F.col("ts").cast("timestamp").cast("long") % 86400)
+        .alias("__sec"),
+    ).withColumn(
+        # integer div, never double-divide-then-cast (and the DuckDB
+        # side must use // — CAST(double AS BIGINT) ROUNDS there)
+        "minute", F.expr("__sec div 60")
+    ).drop("__sec").withColumn(
+        "zkey",
+        zorder_key(F.col("user_id"), F.col("minute"), bits=12),
+    )
+    return out.select("event_id", "user_id", "minute", "zkey").orderBy(
+        "event_id")
+
+
+def _zorder_oracle_sql(bits: int = 12) -> str:
+    terms = []
+    for b in range(bits):
+        terms.append(f"((ux // {1 << b}) % 2) * {1 << (2 * b)}")
+        terms.append(f"((mn // {1 << b}) % 2) * {1 << (2 * b + 1)}")
+    lim = (1 << bits) - 1
+    return f"""
+WITH base AS (
+  SELECT event_id, CAST(user_id AS BIGINT) AS user_id,
+         (CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 60 AS minute
+  FROM events),
+clamped AS (SELECT *, LEAST(GREATEST(user_id, 0), {lim}) AS ux,
+                   LEAST(GREATEST(minute, 0), {lim}) AS mn
+            FROM base)
+SELECT event_id, user_id, minute,
+       CAST({' + '.join(terms)} AS BIGINT) AS zkey
+FROM clamped ORDER BY event_id
+"""
+
+
+QUERIES["zorder_layout"] = q_zorder_layout
+ORACLES["zorder_layout"] = _zorder_oracle_sql()
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #

@@ -55,3 +55,30 @@ def enable_bucketed_ordering(spark: SparkSession) -> None:
       (entity_id, ts))."""
     spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+
+
+def zorder_key(x, y, bits: int = 12):
+    """Z-order (Morton) interleave of two non-negative integer columns
+    — the Delta/Iceberg Z-ORDER layout key: writing a table sorted (or
+    range-partitioned) by this key co-locates rows that are close in
+    BOTH dimensions, so a two-dimensional predicate (entity range x
+    time range) prunes to a bounded set of file ranges instead of
+    scanning one full dimension. Pure integer arithmetic (div/mod per
+    bit, no signed shifts), identical in any SQL engine; values are
+    clamped to ``bits`` bits per axis (document the domain — clamping
+    saturates, it never wraps). 2*bits <= 62 keeps the key in int64."""
+    from pyspark.sql import functions as F
+
+    if not 1 <= bits <= 31:
+        raise ValueError("bits must be in [1, 31]")
+    lim = (1 << bits) - 1
+    cx = F.least(F.greatest(x.cast("long"), F.lit(0)), F.lit(lim))
+    cy = F.least(F.greatest(y.cast("long"), F.lit(0)), F.lit(lim))
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        # shiftrightunsigned, never a double divide-then-cast: the
+        # values are clamped non-negative so logical == arithmetic
+        xb = F.shiftrightunsigned(cx, b) % 2
+        yb = F.shiftrightunsigned(cy, b) % 2
+        z = z + xb * F.lit(1 << (2 * b)) + yb * F.lit(1 << (2 * b + 1))
+    return z

@@ -584,3 +584,25 @@ def test_bloom_validates_params(spark):
     df = spark.createDataFrame([("a",)], "k string")
     with pytest.raises(ValueError):
         bloom_build(df, "k", m_bits=0)
+
+
+def test_zorder_key_known_curve_and_locality(spark):
+    from pyspark.sql import functions as F
+
+    from rp_extract_spark.sources.feature_store import zorder_key
+
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(4) for y in range(4)], "x int, y int")
+    out = {(r.x, r.y): r.z for r in grid.withColumn(
+        "z", zorder_key(F.col("x"), F.col("y"), bits=2)).collect()}
+    # the canonical 4x4 Morton curve
+    expect = {(0, 0): 0, (1, 0): 1, (0, 1): 2, (1, 1): 3,
+              (2, 0): 4, (3, 0): 5, (2, 1): 6, (3, 1): 7,
+              (0, 2): 8, (1, 2): 9, (0, 3): 10, (1, 3): 11,
+              (2, 2): 12, (3, 2): 13, (2, 3): 14, (3, 3): 15}
+    assert out == expect
+    # clamping saturates, never wraps
+    big = spark.createDataFrame([(99, -5)], "x int, y int")
+    r = big.withColumn("z", zorder_key(F.col("x"), F.col("y"),
+                                       bits=2)).first()
+    assert r.z == out[(3, 0)]

@@ -908,3 +908,44 @@ def semdedup(
         )
     finally:
         ranked.unpersist(blocking=False)
+
+
+def ivf_write(
+    lists: DataFrame,
+    out_dir: str,
+) -> None:
+    """Materialize ivf_build's inverted lists as a parquet table
+    PARTITIONED BY list_id — the build-once/probe-many serve layout:
+    a probe filtered to its nprobe lists becomes PARTITION PRUNING at
+    the scan (the physical plan shows the list_id partition filter and
+    touches only those directories), so serve cost scales with
+    nprobe/nlist of the corpus, not the corpus."""
+    lists.write.mode("overwrite").partitionBy("list_id").parquet(out_dir)
+
+
+def ivf_probe_stored(
+    spark,
+    out_dir: str,
+    centroids: DataFrame,
+    query_vec: Sequence[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Serve a query from the ivf_write layout: rank the K-row
+    centroid model driver-side (the kmeans_fit collect discipline),
+    scan ONLY the chosen list_id partitions (partition pruning — the
+    filter never reads the other lists' files), brute-force the
+    survivors."""
+    cent_rows = centroids.collect()
+    q = np.asarray([float(v) for v in query_vec], dtype=np.float64)
+    scored = sorted(
+        (float(np.sum((np.asarray(r["centroid"], dtype=np.float64) - q) ** 2)),
+         str(r["centroid_label"]))
+        for r in cent_rows
+    )
+    probe = [lab for _, lab in scored[:nprobe]]
+    lists = spark.read.parquet(out_dir).filter(
+        F.col("list_id").isin(probe))
+    return topk_similar(lists, query_vec, vec_col, id_col, k)

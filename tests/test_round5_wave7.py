@@ -606,3 +606,47 @@ def test_zorder_key_known_curve_and_locality(spark):
     r = big.withColumn("z", zorder_key(F.col("x"), F.col("y"),
                                        bits=2)).first()
     assert r.z == out[(3, 0)]
+
+
+def test_ivf_stored_probe_partition_prunes(spark, tmp_path):
+    """The serve-layout claim made real: probing the written IVF table
+    must push the list_id filter into PartitionFilters (scan touches
+    only the probed lists' directories) and return the same top-k as
+    the in-memory probe."""
+    import io
+    import os
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from rp_extract_spark.operators.similarity import (
+        ivf_build,
+        ivf_probe,
+        ivf_probe_stored,
+        ivf_write,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cent = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").cast("string").alias("centroid_label"),
+        F.col("embedding").cast("array<double>").alias("centroid"),
+    )
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 3).first().embedding]
+    lists = ivf_build(e, cent)
+    out = str(tmp_path / "ivf")
+    ivf_write(lists, out)
+    assert any(d.startswith("list_id=") for d in os.listdir(out))
+    stored = ivf_probe_stored(spark, out, cent, qv, k=5, nprobe=2)
+    mem = ivf_probe(lists, cent, qv, k=5, nprobe=2)
+    got = [(r.vec_id, round(r.score, 9)) for r in stored.collect()]
+    exp = [(r.vec_id, round(r.score, 9)) for r in mem.collect()]
+    assert got == exp
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        stored.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "list_id" in plan
+    # the pruning is real: the filter must appear inside
+    # PartitionFilters (not just PushedFilters on a data column)
+    pf_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("list_id" in ln for ln in pf_lines)

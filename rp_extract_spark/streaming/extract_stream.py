@@ -105,3 +105,36 @@ def stream_rollup(
             "n", "sum_v", "min_v", "max_v", "avg_v",
         )
     )
+
+
+def stream_drift_counts(
+    events: DataFrame,
+    edges: "list[float]",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    bucket: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """Streaming distribution-drift monitor: per tumbling window, the
+    count of rows in each quantile bin of a FIXED reference binning
+    (edges from curation.exact_order_stats over the offline reference
+    corpus — the psi_drift rule: bin b = first edge with v <= edge,
+    else the last). The counts stream feeds the same PSI arithmetic
+    psi_drift runs in batch, so online and offline monitoring share
+    one definition; completed windows are immutable past the
+    watermark. Native windowed aggregate — no custom state."""
+    from pyspark.sql import functions as F
+
+    v = F.col(value_col)
+    expr = None
+    for i, e in enumerate(edges):
+        cond = v <= F.lit(e)
+        expr = F.when(cond, i) if expr is None else expr.when(cond, i)
+    bin_col = (F.lit(len(edges)) if expr is None
+               else expr.otherwise(len(edges)))
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, bucket), bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("bucket"), "bin", "n")
+    )

@@ -650,3 +650,44 @@ def test_ivf_stored_probe_partition_prunes(spark, tmp_path):
     # PartitionFilters (not just PushedFilters on a data column)
     pf_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert any("list_id" in ln for ln in pf_lines)
+
+
+def test_stream_drift_counts_matches_batch_binning(spark, tmp_path):
+    """The streaming drift monitor's bucket counts must equal the
+    batch recompute over the same fixed reference edges."""
+    from datetime import datetime, timedelta
+
+    from rp_extract_spark.streaming.extract_stream import stream_drift_counts
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    for i in range(40):
+        rows.append((base + timedelta(minutes=i), float(i % 10)))
+    for i in range(20):  # second hour: shifted distribution
+        rows.append((base + timedelta(hours=1, minutes=i), float(5 + i % 5)))
+    src = str(tmp_path / "vals")
+    spark.createDataFrame(rows, "ts timestamp, value double").write.parquet(
+        src)
+    edges = [2.0, 5.0, 7.0]
+    stream = spark.readStream.schema("ts timestamp, value double").parquet(
+        src)
+    agg = stream_drift_counts(stream, edges, bucket="1 hour")
+    q = (agg.writeStream.format("memory").queryName("drift")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.bucket, r.bin): r.n for r in spark.table("drift").collect()}
+
+    def bucket_of(v):
+        for i, e in enumerate(edges):
+            if v <= e:
+                return i
+        return len(edges)
+    from collections import Counter
+
+    exp = Counter()
+    for ts, v in rows:
+        exp[(base if ts < base + timedelta(hours=1)
+             else base + timedelta(hours=1), bucket_of(v))] += 1
+    assert got == dict(exp)
+    # the shifted second hour has no rows below the first edge
+    assert (base + timedelta(hours=1), 0) not in got

@@ -140,7 +140,10 @@ def exact_order_stats(
         raise ValueError("percentiles must be in [0, 1]")
     spark = df.sparkSession
     n_parts = spark.sparkContext.defaultParallelism
-    t = df.select(
+    # NULL values are excluded: Spark sorts NULLS FIRST ascending while
+    # SQL engines default NULLS LAST, so including them would shift
+    # every rank cross-engine (the kmv_distinct NULL rule)
+    t = df.filter(F.col(value_col).isNotNull()).select(
         F.col(id_col), F.col(value_col).alias("__val")
     ).repartitionByRange(
         n_parts, F.col("__val"), F.col(id_col)
@@ -340,8 +343,15 @@ def group_split(
     cum = 0.0
     for name, frac in fractions[:-1]:
         cum += frac
-        thr = format(int(cum * 16 ** 8), "08x")
-        cond = h < F.lit(thr)
+        thr_int = int(cum * 16 ** 8)
+        if thr_int >= 16 ** 8:
+            # cum reached 1.0 (e.g. a zero-weight tail split): the
+            # 9-char hex "100000000" would break the fixed-width
+            # lexicographic invariant (h < it only for ~1/16 of
+            # hashes) — this split absorbs everything remaining
+            cond = F.lit(True)
+        else:
+            cond = h < F.lit(format(thr_int, "08x"))
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     split = (F.lit(fractions[-1][0]) if expr is None
              else expr.otherwise(fractions[-1][0]))

@@ -1131,6 +1131,10 @@ def hamming64_dedup_incremental(
             F.col("__nid").alias(id_col), F.col("__nh").alias(hash_col),
             "rep_id", F.lit("dup_of_index").alias("status"),
         )
+        .persist()  # TWO consumers (the residue anti-join and the
+        # final union) — without the cache the exploded band join, the
+        # operator's dominant cost, runs twice; narrow (id, hash, rep)
+        # rows, leak-until-evict (the pack_batches policy)
     )
     resid = new.join(
         matched.select(F.col(id_col).alias("__mid")),

@@ -240,6 +240,15 @@ def snapshot_diff(
                 f"snapshot {m['snapshot_id']!r} rewrote the table between "
                 f"{from_id!r} and {to_id!r}; the delta is not an append set "
                 "— read_snapshot the endpoints instead")
+    for m in snaps[i_to + 1:]:
+        if m.get("mode") == "overwrite":
+            # the endpoints' pinned files were deleted by the later
+            # rewrite — fail with the read_snapshot invalidation error,
+            # not a downstream FileNotFound
+            raise ValueError(
+                f"snapshots {from_id!r}..{to_id!r} were invalidated by the "
+                f"later mode='overwrite' snapshot {m['snapshot_id']!r} "
+                "(their pinned files were deleted)")
     old = set(snaps[i_from].get("files") or [])
     new_files = [f for f in (snaps[i_to].get("files") or [])
                  if f not in old]

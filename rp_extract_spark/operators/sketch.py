@@ -178,12 +178,13 @@ def bloom_build(
     no false negatives; FP rate ~ (1 - e^(-kn/m))^k."""
     if m_bits < 1 or k < 1:
         raise ValueError("m_bits and k must be >= 1")
-    pos = None
-    for j in range(k):
-        pj = df.select(
-            _bloom_pos(F.col(key_col), j, m_bits, salt).alias("pos"))
-        pos = pj if pos is None else pos.unionByName(pj)
-    return pos.distinct()
+    # one scan: all k positions as an array, exploded — a k-way union
+    # of selects would plan k source scans
+    return df.select(
+        F.explode(F.array(*[
+            _bloom_pos(F.col(key_col), j, m_bits, salt) for j in range(k)
+        ])).alias("pos")
+    ).distinct()
 
 
 def bloom_probe(

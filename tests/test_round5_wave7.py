@@ -691,3 +691,51 @@ def test_stream_drift_counts_matches_batch_binning(spark, tmp_path):
     assert got == dict(exp)
     # the shifted second hour has no rows below the first edge
     assert (base + timedelta(hours=1), 0) not in got
+
+
+def test_group_split_zero_weight_tail(spark):
+    """cum=1.0 mid-list must not break the fixed-width hex compare: a
+    zero-weight tail split gets nothing, the last weighted split gets
+    every remaining row."""
+    from rp_extract_spark.operators.curation import group_split
+
+    df = spark.createDataFrame([(i, f"g{i}") for i in range(64)],
+                               "id bigint, grp string")
+    out = group_split(
+        df, "grp",
+        fractions=(("train", 0.5), ("val", 0.5), ("test", 0.0)), seed=3)
+    counts = {r.split: 1 for r in out.collect()}
+    by = {}
+    for r in out.collect():
+        by[r.split] = by.get(r.split, 0) + 1
+    assert by.get("test", 0) == 0
+    assert by.get("train", 0) + by.get("val", 0) == 64
+    assert by.get("val", 0) > 10  # ~half, not the ~1/16 bug regime
+
+
+def test_exact_order_stats_ignores_nulls(spark):
+    from rp_extract_spark.operators.curation import exact_order_stats
+
+    df = spark.createDataFrame(
+        [(1, None), (2, 10), (3, 20), (4, None), (5, 30)],
+        "doc_id bigint, v bigint")
+    out = {r.p: r.value for r in exact_order_stats(
+        df, "v", ps=(0.0, 1.0)).collect()}
+    assert out == {0.0: 10, 1.0: 30}
+
+
+def test_snapshot_diff_refuses_after_later_overwrite(spark, tmp_path):
+    import pytest as _pytest
+
+    from rp_extract_spark.operators.resume import snapshot_diff, write_snapshot
+
+    out = str(tmp_path / "cdc2")
+    m1 = write_snapshot(spark.createDataFrame([(1,)], "image_id long"),
+                        out, ts_col=None)
+    m2 = write_snapshot(spark.createDataFrame([(2,)], "image_id long"),
+                        out, ts_col=None)
+    write_snapshot(spark.createDataFrame([(9,)], "image_id long"), out,
+                   mode="overwrite", ts_col=None)
+    # both endpoints predate the rewrite: their files are gone
+    with _pytest.raises(ValueError, match="invalidated"):
+        snapshot_diff(spark, out, m1["snapshot_id"], m2["snapshot_id"])

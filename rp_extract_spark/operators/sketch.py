@@ -191,30 +191,43 @@ def bloom_probe(
     df: DataFrame,
     bloom: DataFrame,
     key_col: str,
-    id_col: str,
     m_bits: int = 8192,
     k: int = 4,
     salt: str = "bloom",
 ) -> DataFrame:
     """Probe: a row is a MAYBE-member iff all ``k`` of its bit
-    positions are set. The filter table is broadcast (<= m_bits rows);
-    the probe is k row-local position computations + one broadcast
-    semi-count — the corpus never shuffles. Adds ``maybe_member``
-    (0/1). Parameters must match the build."""
-    probe = df.select(
-        F.col(id_col),
-        F.array(*[
-            _bloom_pos(F.col(key_col), j, m_bits, salt) for j in range(k)
-        ]).alias("__pos"),
-    ).select(id_col, F.explode("__pos").alias("pos"))
-    hits = (
-        probe.join(F.broadcast(bloom), "pos")
-        .groupBy(id_col).agg(F.count(F.lit(1)).alias("__hits"))
-    )
-    return (
-        df.join(hits, id_col, "left")
-        .withColumn(
-            "maybe_member",
-            (F.coalesce(F.col("__hits"), F.lit(0)) == k).cast("int"))
-        .drop("__hits")
-    )
+    positions are set. The filter collects to the driver once (at most
+    ``m_bits`` longs — model-sized) and ships as a LITERAL array of
+    m_bits/64 bitmap words, so the membership test is k row-local
+    O(1) bit probes (element_at + logical shift) inside whole-stage
+    codegen — ZERO exchanges, the corpus never shuffles (a
+    join-against-the-position-table formulation would shuffle the
+    corpus on the group-back). Adds ``maybe_member`` (0/1).
+    Parameters must match the build."""
+    n_words = (m_bits + 63) // 64
+    words = [0] * n_words
+    for r in bloom.collect():
+        p = int(r["pos"])
+        words[p >> 6] |= 1 << (p & 63)
+    signed = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    warr = F.array(*[F.lit(w).cast("long") for w in signed])
+    out = df
+    terms = []
+    for j in range(k):
+        pos = _bloom_pos(F.col(key_col), j, m_bits, salt)
+        out = out.withColumn(f"__bp{j}", pos).withColumn(
+            f"__bw{j}",
+            F.element_at(warr, (F.shiftrightunsigned(F.col(f"__bp{j}"), 6)
+                                + 1).cast("int")),
+        )
+        # variable-amount logical shift: the python wrapper only takes
+        # a literal count, the SQL function takes an expression
+        # & 1, never % 2: a zero shift leaves the word intact, and a
+        # negative word (bit 63 set) % 2 is -1 in Spark (sign of the
+        # dividend) where & 1 is the bit
+        terms.append(
+            f"(shiftrightunsigned(__bw{j}, "
+            f"CAST(__bp{j} % 64 AS INT)) & 1)")
+    hit = F.expr(" * ".join(terms))
+    return out.withColumn("maybe_member", hit.cast("int")).drop(
+        *[c for j in range(k) for c in (f"__bp{j}", f"__bw{j}")])

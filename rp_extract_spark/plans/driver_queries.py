@@ -6396,7 +6396,7 @@ def q_bloom_probe(spark, sf):
     fp = d.withColumn("__fp", fingerprint(F.col("text")))
     bench = fp.filter(F.col("doc_id") % 10 == 0)
     bloom = bloom_build(bench.select("__fp"), "__fp", m_bits=256, k=3)
-    probed = bloom_probe(fp, bloom, "__fp", "doc_id", m_bits=256, k=3)
+    probed = bloom_probe(fp, bloom, "__fp", m_bits=256, k=3)
     return probed.select(
         "doc_id", "maybe_member",
         (F.col("doc_id") % 10 == 0).cast("int").alias("exact_member"),

@@ -563,7 +563,7 @@ def test_bloom_no_false_negatives_and_manual_positions(spark):
     expect_bits = {pos(s, j) for s in members for j in range(3)}
     assert {r.pos for r in bloom.collect()} == expect_bits
     out = {r.id: r.maybe_member for r in bloom_probe(
-        adf, bloom, "k", "id", m_bits=128, k=3).collect()}
+        adf, bloom, "k", m_bits=128, k=3).collect()}
     # no false negatives ever
     assert all(out[i] == 1 for i in range(len(members)))
     # small m forces some false positives; all flagged non-members
@@ -739,3 +739,23 @@ def test_snapshot_diff_refuses_after_later_overwrite(spark, tmp_path):
     # both endpoints predate the rewrite: their files are gone
     with _pytest.raises(ValueError, match="invalidated"):
         snapshot_diff(spark, out, m1["snapshot_id"], m2["snapshot_id"])
+
+
+def test_bloom_probe_zero_shuffle_plan(spark):
+    """The probe must be one codegen projection — no Exchange anywhere
+    (the join-the-position-table formulation would shuffle the corpus
+    on the group-back)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from rp_extract_spark.operators.sketch import bloom_build, bloom_probe
+
+    mdf = spark.createDataFrame([(f"m{i}",) for i in range(10)], "k string")
+    adf = spark.createDataFrame([(i, f"m{i}") for i in range(50)],
+                                "id bigint, k string")
+    bloom = bloom_build(mdf, "k", m_bits=128, k=3)
+    out = bloom_probe(adf, bloom, "k", m_bits=128, k=3)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    assert "Exchange" not in buf.getvalue()

@@ -140,6 +140,7 @@ RELATIONAL = [
     "span_corruption",
     "bloom_probe",
     "zorder_layout",
+    "length_bucket_pack",
 ]
 
 

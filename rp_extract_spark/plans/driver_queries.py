@@ -6483,6 +6483,62 @@ QUERIES["zorder_layout"] = q_zorder_layout
 ORACLES["zorder_layout"] = _zorder_oracle_sql()
 
 
+def q_length_bucket_pack(spark, sf):
+    """COMPOSED loader query — exact quantile buckets feeding batch
+    packing (the text analog of SDXL aspect-bucket packing: batch
+    same-length docs to cut padding waste), fully ORACLED across the
+    composition: order_stats edges (row_number rule), deterministic
+    bucket CASE, pack_batches' md5 rank / batch_idx / slot / partial
+    drop replayed verbatim."""
+    from ..operators.curation import exact_order_stats, pack_batches
+
+    d = _t(spark, sf, "documents")
+    edge_rows = exact_order_stats(
+        d, "n_chars", ps=(0.25, 0.5, 0.75), id_col="doc_id"
+    ).orderBy("p").collect()
+    edges = [int(r["value"]) for r in edge_rows]
+    v = F.col("n_chars")
+    expr = None
+    for i, e in enumerate(edges):
+        cond = v <= F.lit(e)
+        expr = F.when(cond, i) if expr is None else expr.when(cond, i)
+    bucket = expr.otherwise(len(edges))
+    b = d.select("doc_id", bucket.alias("lbucket"))
+    out = pack_batches(b, bucket_cols=("lbucket",), id_col="doc_id",
+                       batch_size=8, seed=4, epoch=1)
+    return out.orderBy("doc_id")
+
+
+ORACLE_LENGTH_BUCKET_PACK = """
+WITH o AS (SELECT n_chars AS v,
+                  row_number() OVER (ORDER BY n_chars, doc_id) AS rn
+           FROM documents),
+n AS (SELECT count(*) AS c FROM documents),
+e AS (SELECT t.i,
+             (SELECT v FROM o, n
+              WHERE rn = CAST(floor((t.i / 4.0) * (n.c - 1)) + 1
+                              AS BIGINT)) AS ev
+      FROM (VALUES (1), (2), (3)) t(i)),
+b AS (SELECT doc_id,
+             COALESCE((SELECT min(e.i) - 1 FROM e
+                       WHERE documents.n_chars <= e.ev), 3) AS lbucket
+      FROM documents),
+r AS (SELECT doc_id, lbucket,
+             row_number() OVER (
+               PARTITION BY lbucket
+               ORDER BY md5(doc_id || ':4:1'), doc_id) - 1 AS rn,
+             count(*) OVER (PARTITION BY lbucket) AS n
+      FROM b)
+SELECT doc_id, CAST(lbucket AS INT) AS lbucket,
+       CAST(rn // 8 AS BIGINT) AS batch_idx, CAST(rn % 8 AS INT) AS slot
+FROM r WHERE rn < (n // 8) * 8 ORDER BY doc_id
+"""
+
+
+QUERIES["length_bucket_pack"] = q_length_bucket_pack
+ORACLES["length_bucket_pack"] = ORACLE_LENGTH_BUCKET_PACK
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #

@@ -165,3 +165,90 @@ def read_webdataset(spark: SparkSession, path_glob: str) -> DataFrame:
             )
 
     return files.select("path", "content").mapInPandas(run, MEMBER_SCHEMA)
+
+
+VERIFY_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.StringType(), False),
+        T.StructField("ok", T.IntegerType(), True),
+        T.StructField("n_samples", T.IntegerType(), True),
+        T.StructField("n_members", T.IntegerType(), True),
+        T.StructField("payload_bytes", T.LongType(), True),
+        T.StructField("err", T.StringType(), True),
+    ]
+)
+
+
+def verify_webdataset(
+    spark: SparkSession,
+    path_glob: str,
+    manifest: DataFrame | None = None,
+) -> DataFrame:
+    """Shard integrity audit — the check a resumable tar-sink pipeline
+    runs before pointing a trainer at the output: every shard must
+    parse as a complete tar (a torn write, truncation or a leftover
+    ``.tmp`` fails loudly per shard, never the whole job), sample keys
+    inside a shard must be unique, and — when the write-time
+    ``manifest`` is given — per-shard sample counts must match it
+    (missing / extra / miscounted shards are flagged). Distributed:
+    one binaryFile scan, one row per shard; the optional manifest join
+    broadcasts (one row per shard — tiny)."""
+    files = spark.read.format("binaryFile").load(path_glob).select(
+        "path", "content")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for path, content in zip(b["path"].values, b["content"].values):
+                shard = os.path.basename(str(path))
+                try:
+                    with tarfile.open(
+                        fileobj=io.BytesIO(bytes(content)), mode="r"
+                    ) as tf:
+                        members = tf.getmembers()
+                        keys = set()
+                        payload = 0
+                        samples = 0
+                        for m in members:
+                            payload += int(m.size)
+                            key, dot, _ext = m.name.rpartition(".")
+                            if not dot:
+                                raise ValueError(
+                                    f"member without extension: {m.name!r}")
+                            if not m.name.endswith(".json"):
+                                if key in keys:
+                                    raise ValueError(
+                                        f"duplicate sample key {key!r}")
+                                keys.add(key)
+                                samples += 1
+                    rows.append({"shard": shard, "ok": 1,
+                                 "n_samples": samples,
+                                 "n_members": len(members),
+                                 "payload_bytes": payload, "err": None})
+                except Exception as e:  # noqa: BLE001
+                    rows.append({"shard": shard, "ok": 0, "n_samples": None,
+                                 "n_members": None, "payload_bytes": None,
+                                 "err": f"{type(e).__name__}: {e}"})
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in VERIFY_SCHEMA.fields])
+
+    out = files.mapInPandas(run, VERIFY_SCHEMA)
+    if manifest is None:
+        return out
+    m = manifest.select(
+        F.col("shard"), F.col("n_samples").alias("__expect"))
+    joined = out.join(F.broadcast(m), "shard", "full")
+    return joined.select(
+        "shard",
+        F.when(F.col("ok").isNull(), 0)  # in manifest, missing on disk
+        .when(F.col("__expect").isNull(), 0)  # on disk, not in manifest
+        .when(F.col("n_samples") != F.col("__expect"), 0)
+        .otherwise(F.col("ok")).alias("ok"),
+        "n_samples", "n_members", "payload_bytes",
+        F.when(F.col("ok").isNull(), F.lit("missing shard on disk"))
+        .when(F.col("__expect").isNull(), F.lit("shard not in manifest"))
+        .when(F.col("n_samples") != F.col("__expect"),
+              F.concat(F.lit("sample count mismatch: expected "),
+                       F.col("__expect").cast("string")))
+        .otherwise(F.col("err")).alias("err"),
+    )

@@ -114,3 +114,47 @@ def test_epoch_shuffle_new_permutation_per_epoch(spark):
     assert p1 != p2
     assert sorted(p1.values()) == list(range(40))
     assert sorted(p2.values()) == list(range(40))
+
+
+def test_verify_webdataset_clean_and_corrupt(spark, tmp_path):
+    """The shard audit: clean shards verify against the manifest; a
+    torn write and a manifest mismatch are flagged per shard."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from rp_extract_spark.sources.images import images_df
+    from rp_extract_spark.sources.webdataset import (
+        verify_webdataset,
+        write_webdataset,
+    )
+
+    out = str(tmp_path / "wds")
+    imgs = images_df(spark, 12, seed=5).repartition(2)
+    manifest = write_webdataset(imgs, out, shard_rows=4)
+    mrows = manifest.collect()  # runs the write
+    ok = verify_webdataset(spark, out + "/*.tar",
+                           spark.createDataFrame(mrows))
+    rows = ok.collect()
+    assert rows and all(r.ok == 1 for r in rows)
+    assert sum(r.n_samples for r in rows) == 12
+
+    # torn write: truncate one shard mid-file
+    victim = sorted(os.listdir(out))[0]
+    p = os.path.join(out, victim)
+    data = open(p, "rb").read()
+    open(p, "wb").write(data[: len(data) // 2])
+    bad = {r.shard: r for r in verify_webdataset(
+        spark, out + "/*.tar", spark.createDataFrame(mrows)).collect()}
+    assert bad[victim].ok == 0 and bad[victim].err is not None
+    assert all(v.ok == 1 for k, v in bad.items() if k != victim)
+
+    # manifest mismatch: claim a shard that does not exist
+    fake = spark.createDataFrame(mrows).unionByName(
+        spark.createDataFrame(
+            [("shard-ghost.tar", 4, 1)],
+            "shard string, n_samples int, n_bytes long"))
+    ghost = {r.shard: r for r in verify_webdataset(
+        spark, out + "/*.tar", fake).collect()}
+    assert ghost["shard-ghost.tar"].ok == 0
+    assert "missing" in ghost["shard-ghost.tar"].err

@@ -179,8 +179,10 @@ def bloom_build(
     if m_bits < 1 or k < 1:
         raise ValueError("m_bits and k must be >= 1")
     # one scan: all k positions as an array, exploded — a k-way union
-    # of selects would plan k source scans
-    return df.select(
+    # of selects would plan k source scans. NULL keys are excluded
+    # (the kmv_distinct rule): they hash to NULL positions, which are
+    # not meaningful filter bits
+    return df.filter(F.col(key_col).isNotNull()).select(
         F.explode(F.array(*[
             _bloom_pos(F.col(key_col), j, m_bits, salt) for j in range(k)
         ])).alias("pos")
@@ -207,27 +209,25 @@ def bloom_probe(
     n_words = (m_bits + 63) // 64
     words = [0] * n_words
     for r in bloom.collect():
+        if r["pos"] is None:  # a legacy filter built over NULL keys
+            continue
         p = int(r["pos"])
         words[p >> 6] |= 1 << (p & 63)
     signed = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
     warr = F.array(*[F.lit(w).cast("long") for w in signed])
-    out = df
-    terms = []
+    hit = None
     for j in range(k):
         pos = _bloom_pos(F.col(key_col), j, m_bits, salt)
-        out = out.withColumn(f"__bp{j}", pos).withColumn(
-            f"__bw{j}",
-            F.element_at(warr, (F.shiftrightunsigned(F.col(f"__bp{j}"), 6)
-                                + 1).cast("int")),
-        )
-        # variable-amount logical shift: the python wrapper only takes
-        # a literal count, the SQL function takes an expression
-        # & 1, never % 2: a zero shift leaves the word intact, and a
-        # negative word (bit 63 set) % 2 is -1 in Spark (sign of the
-        # dividend) where & 1 is the bit
-        terms.append(
-            f"(shiftrightunsigned(__bw{j}, "
-            f"CAST(__bp{j} % 64 AS INT)) & 1)")
-    hit = F.expr(" * ".join(terms))
-    return out.withColumn("maybe_member", hit.cast("int")).drop(
-        *[c for j in range(k) for c in (f"__bp{j}", f"__bw{j}")])
+        word = F.element_at(
+            warr, (F.shiftrightunsigned(pos, 6) + 1).cast("int"))
+        # bit_get takes a COLUMN position (the python
+        # shiftrightunsigned wrapper only takes literal counts) and is
+        # sign-safe, unlike (word >> s) % 2 which is -1 for a negative
+        # odd word
+        b = F.bit_get(word, pos.bitwiseAND(F.lit(63)))
+        hit = b if hit is None else hit * b
+    # a NULL key hashes to NULL positions -> NULL bit product; the
+    # contract is 0 (definitely-not-member is meaningless for NULL,
+    # and consumers filter maybe_member == 0)
+    return df.withColumn(
+        "maybe_member", F.coalesce(hit.cast("int"), F.lit(0)))

@@ -6549,6 +6549,15 @@ ORACLES["length_bucket_pack"] = ORACLE_LENGTH_BUCKET_PACK
 # representative core (asof / windows / aggs / kernel); the long-stable
 # remainder keeps its relative order after the priority block.  Every name
 # in _PRIORITY must exist — tests assert both directions.
+#
+# Since the seventh wave the window holds ONLY never-driver-graded
+# queries (every green-graded rep was demoted); later-wave additions
+# (kmv/interval/psi/temperature/skew/mosaic/mae/incremental/span/
+# bloom/zorder/length_bucket_pack) register AFTER the priority block
+# because the 50-slot window is zero-sum among never-graded peers —
+# the builder's full gate mirror (tools/check_oracle.py) and the
+# judge's re-run cover them; nothing inside the window can be demoted
+# without losing an equally ungraded query.
 # ---------------------------------------------------------------------------
 
 _PRIORITY: list[str] = [

@@ -186,13 +186,16 @@ def verify_webdataset(
 ) -> DataFrame:
     """Shard integrity audit — the check a resumable tar-sink pipeline
     runs before pointing a trainer at the output: every shard must
-    parse as a complete tar (a torn write, truncation or a leftover
-    ``.tmp`` fails loudly per shard, never the whole job), sample keys
-    inside a shard must be unique, and — when the write-time
-    ``manifest`` is given — per-shard sample counts must match it
-    (missing / extra / miscounted shards are flagged). Distributed:
-    one binaryFile scan, one row per shard; the optional manifest join
-    broadcasts (one row per shard — tiny)."""
+    parse as a complete tar INCLUDING the end-of-archive marker (a
+    torn write fails loudly per shard, never the whole job — the
+    marker check matters because a truncation at a 512-byte block
+    boundary otherwise parses as a valid shorter tar), (key, field)
+    member names must be unique (multi-field samples — key.png +
+    key.txt — are one sample per the module convention), and — when
+    the write-time ``manifest`` is given — per-shard sample counts
+    must reconcile (missing / extra / miscounted shards flagged).
+    Distributed: one binaryFile scan, one row per shard; the optional
+    manifest join broadcasts (one row per shard — tiny)."""
     files = spark.read.format("binaryFile").load(path_glob).select(
         "path", "content")
 
@@ -202,27 +205,37 @@ def verify_webdataset(
             for path, content in zip(b["path"].values, b["content"].values):
                 shard = os.path.basename(str(path))
                 try:
+                    raw = bytes(content)
                     with tarfile.open(
-                        fileobj=io.BytesIO(bytes(content)), mode="r"
+                        fileobj=io.BytesIO(raw), mode="r"
                     ) as tf:
-                        members = tf.getmembers()
+                        members = [m for m in tf.getmembers() if m.isfile()]
+                        names = set()
                         keys = set()
                         payload = 0
-                        samples = 0
+                        end = 0
                         for m in members:
                             payload += int(m.size)
+                            end = max(end, int(m.offset_data)
+                                      + ((int(m.size) + 511) // 512) * 512)
                             key, dot, _ext = m.name.rpartition(".")
                             if not dot:
                                 raise ValueError(
                                     f"member without extension: {m.name!r}")
-                            if not m.name.endswith(".json"):
-                                if key in keys:
-                                    raise ValueError(
-                                        f"duplicate sample key {key!r}")
-                                keys.add(key)
-                                samples += 1
+                            if m.name in names:
+                                raise ValueError(
+                                    f"duplicate member {m.name!r}")
+                            names.add(m.name)
+                            keys.add(key)
+                    # end-of-archive marker: >= two zero blocks after
+                    # the last member — a block-boundary truncation
+                    # parses as a valid SHORTER tar without this
+                    if len(raw) < end + 1024 or any(
+                            raw[end:end + 1024]):
+                        raise ValueError(
+                            "missing end-of-archive marker (torn write)")
                     rows.append({"shard": shard, "ok": 1,
-                                 "n_samples": samples,
+                                 "n_samples": len(keys),
                                  "n_members": len(members),
                                  "payload_bytes": payload, "err": None})
                 except Exception as e:  # noqa: BLE001

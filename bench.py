@@ -141,6 +141,7 @@ RELATIONAL = [
     "bloom_probe",
     "zorder_layout",
     "length_bucket_pack",
+    "mix_schedule",
 ]
 
 

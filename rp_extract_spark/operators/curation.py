@@ -1748,3 +1748,59 @@ def repeat_factor_sampling(
             ),
         )
     )
+
+
+def mix_schedule(
+    weights: DataFrame,
+    source_col: str = "source",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Deterministic stride-scheduling interleave of corpus sources —
+    the step-level complement of mix_corpus (which decides HOW MUCH of
+    each source; this decides WHEN): one cycle of length N = sum of
+    integer weights in which source i appears exactly weight_i times,
+    paced smoothly (stride scheduling, Waldspurger & Weihl 1995: copy
+    j of source i sorts at rational position (2j+1)/(2*w_i), so every
+    prefix of the schedule holds each source's share within one step
+    of its target — an md5 shuffle only matches ratios in
+    expectation). The rational sort key is exact: cross-multiplied to
+    the integer (2j+1) * (PROD / w_i) with PROD the product of all
+    weights (driver-checked to fit int64), ties to the smaller source.
+
+    ``weights`` is a K-row (source, integer weight) table — model-
+    sized by definition; the cycle (N rows) is config-sized, not
+    corpus-sized, so the global sort is a K-row collect + one explode.
+    Returns (step 1..N, source, copy_idx)."""
+    rows = sorted(
+        (str(r[source_col]), int(r[weight_col])) for r in weights.collect()
+    )
+    if not rows:
+        raise ValueError("weights is empty")
+    if any(w < 1 for _, w in rows):
+        raise ValueError("weights must be positive integers")
+    prod = 1
+    for _, w in rows:
+        prod *= w
+    n_total = sum(w for _, w in rows)
+    if prod * 2 * max(w for _, w in rows) >= (1 << 62):
+        raise ValueError("weight product too large for the exact int64 "
+                         "sort key; reduce weights to lowest terms")
+    spark = weights.sparkSession
+    base = spark.createDataFrame(
+        [(s, w, prod // w) for s, w in rows],
+        schema="source string, weight int, stride long",
+    )
+    exploded = base.select(
+        "source",
+        F.explode(F.sequence(F.lit(0), F.col("weight") - 1))
+        .alias("copy_idx"),
+        "stride",
+    ).withColumn(
+        "__key", (2 * F.col("copy_idx") + 1) * F.col("stride")
+    ).drop("stride")
+    w = Window.orderBy(F.col("__key").asc(), F.col("source").asc())
+    # the unpartitioned window runs over N = sum(weights) rows — a
+    # CONFIG-sized table (the pack_sequences P-row policy), never data
+    return exploded.withColumn(
+        "step", F.row_number().over(w).cast("long")
+    ).select("step", "source", "copy_idx").orderBy("step")

@@ -6539,6 +6539,39 @@ QUERIES["length_bucket_pack"] = q_length_bucket_pack
 ORACLES["length_bucket_pack"] = ORACLE_LENGTH_BUCKET_PACK
 
 
+def q_mix_schedule(spark, sf):
+    """Stride-scheduled source interleave with DATA-DERIVED weights
+    (per-lang doc counts), fully ORACLED: the exact integer sort key
+    (2j+1) * (PROD // w) replays in SQL — DuckDB's product() is a
+    double, exact for this fixture's 5.3e9 product (< 2^53), and the
+    integer division distributes because every weight divides PROD."""
+    from ..operators.curation import mix_schedule
+
+    d = _t(spark, sf, "documents")
+    w = d.groupBy(F.col("lang").alias("source")).agg(
+        F.count(F.lit(1)).alias("weight"))
+    return mix_schedule(w).orderBy("step")
+
+
+ORACLE_MIX_SCHEDULE = """
+WITH w AS (SELECT lang AS source, count(*) AS weight
+           FROM documents GROUP BY lang),
+p AS (SELECT CAST(product(weight) AS BIGINT) AS prod FROM w),
+e AS (SELECT w.source, CAST(w.weight AS INT) AS weight,
+             p.prod // w.weight AS stride,
+             unnest(range(w.weight)) AS copy_idx
+      FROM w, p)
+SELECT CAST(row_number() OVER (
+         ORDER BY (2 * copy_idx + 1) * stride, source) AS BIGINT) AS step,
+       source, CAST(copy_idx AS INT) AS copy_idx
+FROM e ORDER BY step
+"""
+
+
+QUERIES["mix_schedule"] = q_mix_schedule
+ORACLES["mix_schedule"] = ORACLE_MIX_SCHEDULE
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #

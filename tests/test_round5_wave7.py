@@ -817,3 +817,41 @@ def test_verify_webdataset_multifield_and_block_boundary_tear(spark,
     bad = verify_webdataset(spark, out + "/*.tar").collect()
     assert bad[0].ok == 0
     assert "torn" in bad[0].err or "marker" in bad[0].err
+
+
+def test_mix_schedule_smooth_pacing(spark):
+    """Stride scheduling's defining property: in every prefix, each
+    source's share deviates from its target by less than one step."""
+    from rp_extract_spark.operators.curation import mix_schedule
+
+    w = spark.createDataFrame(
+        [("a", 6), ("b", 3), ("c", 1)], "source string, weight int")
+    out = mix_schedule(w).collect()
+    assert len(out) == 10
+    assert [r.step for r in out] == list(range(1, 11))
+    from collections import Counter
+
+    totals = {"a": 6, "b": 3, "c": 1}
+    seen = Counter()
+    for r in out:
+        seen[r.source] += 1
+        for s, tot in totals.items():
+            target = tot * r.step / 10
+            assert abs(seen[s] - target) < 1.0 + 1e-9, (r.step, s)
+    assert seen == Counter(totals)
+    # deterministic re-run
+    again = [(r.step, r.source) for r in mix_schedule(w).collect()]
+    assert again == [(r.step, r.source) for r in out]
+
+
+def test_mix_schedule_validates(spark):
+    import pytest
+
+    from rp_extract_spark.operators.curation import mix_schedule
+
+    bad = spark.createDataFrame([("a", 0)], "source string, weight int")
+    with pytest.raises(ValueError):
+        mix_schedule(bad)
+    empty = spark.createDataFrame([], "source string, weight int")
+    with pytest.raises(ValueError):
+        mix_schedule(empty)

@@ -142,6 +142,7 @@ RELATIONAL = [
     "zorder_layout",
     "length_bucket_pack",
     "mix_schedule",
+    "retrieval_recall",
 ]
 
 

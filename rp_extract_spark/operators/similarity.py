@@ -949,3 +949,46 @@ def ivf_probe_stored(
     lists = spark.read.parquet(out_dir).filter(
         F.col("list_id").isin(probe))
     return topk_similar(lists, query_vec, vec_col, id_col, k)
+
+
+def retrieval_recall(
+    queries: DataFrame,
+    gallery: DataFrame,
+    positives: DataFrame,
+    ks: Sequence[int] = (1, 5, 10),
+    query_id: str = "q_id",
+    gallery_id: str = "vec_id",
+    vec_col: str = "embedding",
+    grain: int = 1_000_000,
+) -> DataFrame:
+    """Retrieval evaluation — recall@k of a query set against a
+    gallery with known positives (the CLIP image->text retrieval eval;
+    reference analog: the kNN query-by-example evaluation in the
+    tutorial notebook, lifted to a scored metric). Brute-force
+    per-query ranking via knn_join (queries broadcast — eval sets are
+    bounded by construction; serve-scale galleries go through the
+    ivf/pq paths, whose recall is measured by ivf_recall against THIS
+    ground truth shape). ``positives`` maps each query to its one true
+    gallery row. recall_u = n_hits * grain // n_queries — exact
+    integer arithmetic, no float ratio. Returns one row per k."""
+    ks = sorted(set(int(k) for k in ks))
+    if not ks or ks[0] < 1:
+        raise ValueError("ks must be positive")
+    maxk = ks[-1]
+    ranked = knn_join(queries, gallery, vec_col=vec_col,
+                      query_id=query_id, corpus_id=gallery_id, k=maxk)
+    hit_ranks = ranked.join(positives, [query_id, gallery_id]).select(
+        query_id, "rank")
+    aggs = [
+        F.sum(F.when(F.col("rank") <= k, 1).otherwise(0))
+        .cast("long").alias(f"__h{k}")
+        for k in ks
+    ]
+    row = hit_ranks.agg(*aggs).first()
+    n_q = positives.count()
+    out = []
+    for k in ks:
+        h = int(row[f"__h{k}"] or 0)
+        out.append((k, n_q, h, (h * grain) // n_q if n_q else 0))
+    return queries.sparkSession.createDataFrame(
+        out, schema="k int, n_queries long, n_hits long, recall_u long")

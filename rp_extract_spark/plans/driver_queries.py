@@ -6572,6 +6572,59 @@ QUERIES["mix_schedule"] = q_mix_schedule
 ORACLES["mix_schedule"] = ORACLE_MIX_SCHEDULE
 
 
+def q_retrieval_recall(spark, sf):
+    """Cross-modal retrieval recall@k, fully ORACLED: the gallery is a
+    deterministic mix g_i = e_i + e_((i+7)%500) (zip_with — the
+    "other modality" embedding of pair i), ground truth maps query i
+    to gallery i, ranks replay in SQL by raw cosine with id tiebreak
+    (fixture adjacent-rank gaps >= 1.4e-4 vs ~1e-15 drift), and
+    recall_u is an exact integer ratio. Expected: 11/20 @1, 20/20
+    @5 and @10."""
+    from ..operators.similarity import retrieval_recall
+
+    e = _t(spark, sf, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    a = e.select(F.col("vec_id"), v.alias("__a"))
+    b = e.select(((F.col("vec_id") + 493) % 500).alias("vec_id"),
+                 v.alias("__b"))
+    gallery = a.join(b, "vec_id").select(
+        "vec_id",
+        F.zip_with("__a", "__b", lambda x, y: x + y).alias("embedding"),
+    )
+    queries = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), "embedding")
+    positives = queries.select("q_id", F.col("q_id").alias("vec_id"))
+    return retrieval_recall(queries, gallery, positives,
+                            ks=(1, 5, 10)).orderBy("k")
+
+
+ORACLE_RETRIEVAL_RECALL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+g AS (SELECT a.vec_id,
+             list_transform(list_zip(a.v, b.v), x -> x[1] + x[2]) AS gv
+      FROM e a JOIN e b ON b.vec_id = (a.vec_id + 7) % 500),
+q AS (SELECT vec_id AS qid, v FROM e WHERE vec_id < 20),
+r AS (SELECT q.qid, g.vec_id,
+             row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY list_cosine_similarity(g.gv, q.v) DESC,
+                        g.vec_id ASC) AS rnk
+      FROM q, g),
+h AS (SELECT qid, rnk FROM r WHERE vec_id = qid)
+SELECT CAST(t.k AS INT) AS k, CAST(20 AS BIGINT) AS n_queries,
+       CAST(sum(CASE WHEN h.rnk <= t.k THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       CAST(sum(CASE WHEN h.rnk <= t.k THEN 1 ELSE 0 END)
+            * 1000000 // 20 AS BIGINT) AS recall_u
+FROM (VALUES (1), (5), (10)) t(k), h
+GROUP BY t.k ORDER BY k
+"""
+
+
+QUERIES["retrieval_recall"] = q_retrieval_recall
+ORACLES["retrieval_recall"] = ORACLE_RETRIEVAL_RECALL
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #

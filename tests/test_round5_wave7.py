@@ -855,3 +855,38 @@ def test_mix_schedule_validates(spark):
     empty = spark.createDataFrame([], "source string, weight int")
     with pytest.raises(ValueError):
         mix_schedule(empty)
+
+
+def test_retrieval_recall_hand_fixture(spark):
+    from rp_extract_spark.operators.similarity import retrieval_recall
+
+    # gallery on unit axes; q0 -> g0 exactly (rank 1), q1 sits between
+    # g1 and g2 but closer to g2 -> its positive g1 ranks 2
+    gallery = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]),
+         (2, [0.0, 0.0, 1.0])], "vec_id bigint, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 0.4, 0.9])],
+        "q_id bigint, embedding array<double>")
+    positives = spark.createDataFrame(
+        [(0, 0), (1, 1)], "q_id bigint, vec_id bigint")
+    out = {r.k: (r.n_hits, r.recall_u) for r in retrieval_recall(
+        queries, gallery, positives, ks=(1, 2)).collect()}
+    assert out[1] == (1, 500_000)
+    assert out[2] == (2, 1_000_000)
+
+
+def test_retrieval_recall_validates_ks(spark):
+    import pytest
+
+    from rp_extract_spark.operators.similarity import retrieval_recall
+
+    df = spark.createDataFrame([(0, [1.0])],
+                               "vec_id bigint, embedding array<double>")
+    q = spark.createDataFrame([(0, [1.0])],
+                              "q_id bigint, embedding array<double>")
+    p = spark.createDataFrame([(0, 0)], "q_id bigint, vec_id bigint")
+    with pytest.raises(ValueError):
+        retrieval_recall(q, df, p, ks=())
+    with pytest.raises(ValueError):
+        retrieval_recall(q, df, p, ks=(0,))

@@ -77,3 +77,51 @@ def test_batch_kernel_equals_single_property(seeds):
         want = extract_segment_features(px)
         for k in ("rp", "ssd", "rh", "mvd"):
             assert np.allclose(got[k], want[k]), k
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    w=st.integers(4, 4096),
+    h=st.integers(4, 4096),
+    d=st.tuples(*[st.integers(0, 15)] * 4),
+)
+def test_cutmix_geometry_always_in_bounds(w, h, d):
+    from rp_extract_spark.operators.images import cutmix_geometry
+
+    x0, y0, cw, ch = cutmix_geometry(w, h, d)
+    assert 0 <= x0 and 0 <= y0
+    assert cw >= 1 and ch >= 1
+    assert x0 + cw <= w and y0 + ch <= h
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    w=st.integers(4, 4096),
+    h=st.integers(4, 4096),
+    d0=st.integers(0, 15),
+    d1=st.integers(0, 15),
+)
+def test_mosaic_geometry_center_in_middle_band(w, h, d0, d1):
+    from rp_extract_spark.operators.images import mosaic_geometry
+
+    cx, cy = mosaic_geometry(w, h, d0, d1)
+    assert w // 4 <= cx <= w // 4 + w // 2
+    assert h // 4 <= cy <= h // 4 + h // 2
+    # every quadrant is a valid (possibly empty) slice of the canvas
+    assert 0 <= cx <= w and 0 <= cy <= h
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    w=st.integers(8, 4096),
+    h=st.integers(8, 4096),
+    out=st.integers(1, 512),
+    d=st.tuples(*[st.integers(0, 15)] * 4),
+)
+def test_rrc_geometry_always_in_bounds(w, h, out, d):
+    from rp_extract_spark.operators.images import rrc_geometry
+
+    x0, y0, cw, ch = rrc_geometry(w, h, d)
+    assert 1 <= cw <= w and 1 <= ch <= h
+    assert 0 <= x0 and x0 + cw <= w
+    assert 0 <= y0 and y0 + ch <= h

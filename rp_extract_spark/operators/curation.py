@@ -1764,8 +1764,12 @@ def mix_schedule(
     prefix of the schedule holds each source's share within one step
     of its target — an md5 shuffle only matches ratios in
     expectation). The rational sort key is exact: cross-multiplied to
-    the integer (2j+1) * (PROD / w_i) with PROD the product of all
-    weights (driver-checked to fit int64), ties to the smaller source.
+    the integer (2j+1) * (LCM / w_i) with LCM the least common
+    multiple of the weights (driver-checked to fit int64; ANY common
+    positive multiple yields the same exact order, which is why the
+    SQL oracle may scale by the product instead — exact in a double
+    up to 2^53, far above the fixture scales), ties to the smaller
+    source.
 
     ``weights`` is a K-row (source, integer weight) table — model-
     sized by definition; the cycle (N rows) is config-sized, not
@@ -1778,16 +1782,19 @@ def mix_schedule(
         raise ValueError("weights is empty")
     if any(w < 1 for _, w in rows):
         raise ValueError("weights must be positive integers")
-    prod = 1
-    for _, w in rows:
-        prod *= w
-    n_total = sum(w for _, w in rows)
-    if prod * 2 * max(w for _, w in rows) >= (1 << 62):
-        raise ValueError("weight product too large for the exact int64 "
+    import math
+
+    scale = math.lcm(*[w for _, w in rows])
+    # the max key is (2*(w_i-1)+1) * (scale // w_i) < 2*scale; lcm
+    # keeps keys orders of magnitude below the equivalent product-of-
+    # weights scaling (same EXACT ordering — both are positive
+    # integer multiples of the rational (2j+1)/w_i)
+    if 2 * scale >= (1 << 62):
+        raise ValueError("weight lcm too large for the exact int64 "
                          "sort key; reduce weights to lowest terms")
     spark = weights.sparkSession
     base = spark.createDataFrame(
-        [(s, w, prod // w) for s, w in rows],
+        [(s, w, scale // w) for s, w in rows],
         schema="source string, weight int, stride long",
     )
     exploded = base.select(

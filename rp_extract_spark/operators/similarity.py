@@ -977,8 +977,12 @@ def retrieval_recall(
     maxk = ks[-1]
     ranked = knn_join(queries, gallery, vec_col=vec_col,
                       query_id=query_id, corpus_id=gallery_id, k=maxk)
-    hit_ranks = ranked.join(positives, [query_id, gallery_id]).select(
-        query_id, "rank")
+    # min rank per query, never a row sum: duplicate gallery/positive
+    # ids would otherwise count one query several times (recall > 1)
+    hit_ranks = (
+        ranked.join(positives, [query_id, gallery_id])
+        .groupBy(query_id).agg(F.min("rank").alias("rank"))
+    )
     aggs = [
         F.sum(F.when(F.col("rank") <= k, 1).otherwise(0))
         .cast("long").alias(f"__h{k}")

@@ -6583,9 +6583,12 @@ def q_retrieval_recall(spark, sf):
     from ..operators.similarity import retrieval_recall
 
     e = _t(spark, sf, "embeddings")
+    n = e.count()  # scale-agnostic: the mix partner wraps at the
+    # TABLE size, never a hard-coded 500 (sf0.1 has 2000 rows — a
+    # fixed modulus would drop ids >= 500 and duplicate the rest)
     v = F.col("embedding").cast("array<double>")
     a = e.select(F.col("vec_id"), v.alias("__a"))
-    b = e.select(((F.col("vec_id") + 493) % 500).alias("vec_id"),
+    b = e.select(((F.col("vec_id") + n - 7) % n).alias("vec_id"),
                  v.alias("__b"))
     gallery = a.join(b, "vec_id").select(
         "vec_id",
@@ -6600,9 +6603,10 @@ def q_retrieval_recall(spark, sf):
 
 ORACLE_RETRIEVAL_RECALL = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT count(*) AS c FROM e),
 g AS (SELECT a.vec_id,
              list_transform(list_zip(a.v, b.v), x -> x[1] + x[2]) AS gv
-      FROM e a JOIN e b ON b.vec_id = (a.vec_id + 7) % 500),
+      FROM e a JOIN e b ON b.vec_id = (a.vec_id + 7) % (SELECT c FROM n)),
 q AS (SELECT vec_id AS qid, v FROM e WHERE vec_id < 20),
 r AS (SELECT q.qid, g.vec_id,
              row_number() OVER (

@@ -125,3 +125,9 @@ def test_rrc_geometry_always_in_bounds(w, h, out, d):
     assert 1 <= cw <= w and 1 <= ch <= h
     assert 0 <= x0 and x0 + cw <= w
     assert 0 <= y0 and y0 + ch <= h
+    # the anchor-resize source map stays inside the crop for every
+    # destination pixel: src = a0 + (dst * crop) // out
+    assert all(x0 <= x0 + (dst * cw) // out < x0 + cw
+               for dst in (0, out // 2, out - 1))
+    assert all(y0 <= y0 + (dst * ch) // out < y0 + ch
+               for dst in (0, out // 2, out - 1))

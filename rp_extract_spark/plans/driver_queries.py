@@ -6574,7 +6574,7 @@ ORACLES["mix_schedule"] = ORACLE_MIX_SCHEDULE
 
 def q_retrieval_recall(spark, sf):
     """Cross-modal retrieval recall@k, fully ORACLED: the gallery is a
-    deterministic mix g_i = e_i + e_((i+7)%500) (zip_with — the
+    deterministic mix g_i = e_i + e_((i+7) mod N) (zip_with — the
     "other modality" embedding of pair i), ground truth maps query i
     to gallery i, ranks replay in SQL by raw cosine with id tiebreak
     (fixture adjacent-rank gaps >= 1.4e-4 vs ~1e-15 drift), and

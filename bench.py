@@ -143,6 +143,11 @@ RELATIONAL = [
     "length_bucket_pack",
     "mix_schedule",
     "retrieval_recall",
+    "photometric",
+    "border_crop",
+    "confusion_eval",
+    "calibration",
+    "hll_distinct",
 ]
 
 

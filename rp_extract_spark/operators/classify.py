@@ -343,3 +343,138 @@ def predict_logreg(
             F.col("__s").alias("score"),
         )
     )
+
+
+def classification_report(
+    df: DataFrame,
+    label_col: str = "label",
+    pred_col: str = "pred",
+    grain: int = 1_000_000,
+) -> DataFrame:
+    """Per-class confusion-matrix evaluation (precision / recall / F1
+    + raw tp/fp/fn/support counts) — the eval-report analog of the
+    reference's accuracy summary (rp_classify's caller-side scoring),
+    kept EXACTLY integer so any SQL engine reproduces every value:
+    scores are scaled-integer floor divisions at ``grain`` (1e-6
+    default), never floats — ``precision_u = tp*G div (tp+fp)``,
+    ``recall_u = tp*G div (tp+fn)``, ``f1_u = 2*tp*G div
+    (2*tp + fp + fn)`` (the harmonic mean with the division deferred
+    to one exact integer step), 0 when the denominator is 0.
+
+    Classes appearing only as predictions (hallucinated labels) or
+    only as ground truth still get a row — the class axis is the FULL
+    OUTER union of both sides, which is what catches a model emitting
+    out-of-vocabulary classes.
+
+    Scale shape: ONE shuffle — the (label, pred) pair count with
+    map-side combine; everything downstream operates on the C^2-row
+    pair table (classes are small by construction), so 100 TB of
+    predictions reduce before anything joins."""
+    g = int(grain)
+    pairs = df.groupBy(
+        F.col(label_col).alias("__l"), F.col(pred_col).alias("__p")
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    tp = pairs.filter(F.col("__l") == F.col("__p")).select(
+        F.col("__l").alias("cls"), F.col("__n").alias("__tp")
+    )
+    sup = pairs.groupBy(F.col("__l").alias("cls")).agg(
+        F.sum("__n").alias("__support")
+    )
+    prd = pairs.groupBy(F.col("__p").alias("cls")).agg(
+        F.sum("__n").alias("__predicted")
+    )
+    rep = (
+        sup.join(prd, "cls", "full")
+        .join(tp, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("__tp", F.lit(0)).cast("long").alias("tp"),
+            (
+                F.coalesce("__predicted", F.lit(0))
+                - F.coalesce("__tp", F.lit(0))
+            ).cast("long").alias("fp"),
+            (
+                F.coalesce("__support", F.lit(0))
+                - F.coalesce("__tp", F.lit(0))
+            ).cast("long").alias("fn"),
+            F.coalesce("__support", F.lit(0)).cast("long").alias("support"),
+        )
+    )
+    return rep.select(
+        "cls", "tp", "fp", "fn", "support",
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.expr(f"(tp * CAST({g} AS BIGINT)) div (tp + fp)"),
+        ).otherwise(F.lit(0)).cast("long").alias("precision_u"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            F.expr(f"(tp * CAST({g} AS BIGINT)) div (tp + fn)"),
+        ).otherwise(F.lit(0)).cast("long").alias("recall_u"),
+        F.when(
+            2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+            F.expr(
+                f"(2 * tp * CAST({g} AS BIGINT)) div (2 * tp + fp + fn)"
+            ),
+        ).otherwise(F.lit(0)).cast("long").alias("f1_u"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    conf_col: str = "conf_u",
+    correct_col: str = "correct",
+    n_bins: int = 10,
+    grain: int = 1_000_000,
+) -> DataFrame:
+    """Reliability diagram + Expected Calibration Error over
+    scaled-integer confidences — the confidence-audit a training
+    pipeline runs on model scores before trusting them for filtering.
+    ``conf_col`` holds confidence at ``grain`` (an integer in
+    [0, grain]); everything downstream stays exact integer:
+
+    - bin = min(conf_u div (grain/n_bins), n_bins-1) — equal-width
+      bins, the top edge folded into the last bin;
+    - per bin: n, n_correct, sum_conf_u, accuracy ``acc_u =
+      n_correct*G div n``, mean confidence ``avg_conf_u = sum_conf_u
+      div n``, and the ECE numerator ``gap_w = |n_correct*G -
+      sum_conf_u|`` (== n * |acc - conf| at grain, exact because the
+      division is deferred);
+    - ``ece_u = sum(gap_w) div N`` attached to every row from the
+      1-row broadcast total.
+
+    Scale shape: one map-side-combined groupBy onto <= n_bins keys +
+    one broadcast of the 1-row total. grain must divide by n_bins."""
+    g = int(grain)
+    if g % int(n_bins):
+        raise ValueError("grain must be divisible by n_bins")
+    width = g // int(n_bins)
+    per = (
+        df.select(
+            F.least(
+                F.expr(f"{conf_col} div {width}"), F.lit(int(n_bins) - 1)
+            ).cast("int").alias("bin"),
+            F.col(conf_col).cast("long").alias("__c"),
+            F.col(correct_col).cast("long").alias("__k"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__k").alias("n_correct"),
+            F.sum("__c").alias("sum_conf_u"),
+        )
+        .select(
+            "bin", "n", "n_correct", "sum_conf_u",
+            F.expr(f"(n_correct * CAST({g} AS BIGINT)) div n").alias(
+                "acc_u"
+            ),
+            F.expr("sum_conf_u div n").alias("avg_conf_u"),
+            F.abs(
+                F.col("n_correct") * F.lit(g).cast("long")
+                - F.col("sum_conf_u")
+            ).alias("gap_w"),
+        )
+    )
+    tot = per.agg(
+        F.sum("gap_w").alias("__gsum"), F.sum("n").alias("__N")
+    ).select(F.expr("__gsum div __N").alias("ece_u"))
+    return per.crossJoin(F.broadcast(tot))

@@ -1782,3 +1782,222 @@ def mae_mask(
 
     return images.select("image_id", "bytes", "fmt").mapInPandas(
         run, MAE_MASK_SCHEMA)
+
+
+PHOTOMETRIC_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), True),
+        T.StructField("w", T.IntegerType(), True),
+        T.StructField("h", T.IntegerType(), True),
+        T.StructField("sol", T.IntegerType(), True),
+        T.StructField("sol_thr", T.IntegerType(), True),
+        T.StructField("post_bits", T.IntegerType(), True),
+        T.StructField("inv", T.IntegerType(), True),
+        T.StructField("fmt", T.StringType(), True),
+        T.StructField("err", T.StringType(), True),
+    ]
+)
+
+
+def photometric_images(
+    images: DataFrame, seed: int = 0, epoch: int = 0
+) -> DataFrame:
+    """Deterministic photometric augmentation — the solarize /
+    posterize / invert trio of RandAugment-style policies (reference
+    scope: the corpus-side augmentation pass a training pipeline runs
+    over the decode stage; the reference leaves augmentation to its
+    caller, rp_extract.py consumes un-augmented frames), each kept
+    EXACTLY integer so SQL replays every output pixel:
+
+    - decisions come from md5 hex digits of
+      ``md5(image_id:seed:epoch:pm)`` (the epoch_shuffle key
+      discipline — reshuffle-stable, engine-independent, a fresh draw
+      per epoch; the ``:pm`` suffix decorrelates from the geometric
+      plan of ``plan_epoch_augment`` at equal seeds): digit 1 parity
+      → solarize on/off, digits 2-3 → threshold 0..255, digit 4
+      parity → posterize on/off, digit 5 parity → 3 vs 4 kept bits,
+      digit 6 parity → invert on/off;
+    - applied in a FIXED order (solarize → posterize → invert) so the
+      oracle is one CASE chain: solarize maps v >= thr to 255 - v;
+      posterize with b kept bits maps v to (v // 2**(8-b)) * 2**(8-b)
+      (floor over non-negative ints only — the color_jitter rule);
+      invert maps v to 255 - v.
+
+    One Arrow decode scan, no shuffle, error-isolated; verify
+    downstream with ``image_moments(carry_cols=('sol', 'sol_thr',
+    'post_bits', 'inv'))`` — position-sensitive moments witness the
+    applied mapping pixel-by-pixel."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for iid, data, fmt in zip(
+                b["image_id"].values, b["bytes"].values, b["fmt"].values
+            ):
+                try:
+                    px = to_gray(decode_image(bytes(data), fmt)).astype(
+                        np.int64
+                    )
+                    h, w = px.shape
+                    k = hashlib.md5(
+                        f"{iid}:{int(seed)}:{int(epoch)}:pm".encode()
+                    ).hexdigest()
+                    sol = int(k[0], 16) % 2
+                    sol_thr = int(k[1:3], 16)
+                    post = int(k[3], 16) % 2
+                    post_bits = (3 + int(k[4], 16) % 2) if post else 0
+                    inv = int(k[5], 16) % 2
+                    out = px
+                    if sol:
+                        out = np.where(out >= sol_thr, 255 - out, out)
+                    if post_bits:
+                        m = 1 << (8 - post_bits)
+                        out = (out // m) * m
+                    if inv:
+                        out = 255 - out
+                    rows.append(
+                        {
+                            "image_id": iid,
+                            "bytes": encode_png(out.astype(np.uint8)),
+                            "w": w, "h": h, "sol": sol, "sol_thr": sol_thr,
+                            "post_bits": post_bits, "inv": inv,
+                            "fmt": "png", "err": None,
+                        }
+                    )
+                except Exception as e:  # noqa: BLE001
+                    rows.append(
+                        {
+                            "image_id": iid, "bytes": None, "w": None,
+                            "h": None, "sol": None, "sol_thr": None,
+                            "post_bits": None, "inv": None, "fmt": None,
+                            "err": f"{type(e).__name__}: {e}",
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PHOTOMETRIC_SCHEMA.fields]
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        run, PHOTOMETRIC_SCHEMA
+    )
+
+
+BORDER_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("w", T.IntegerType(), True),
+        T.StructField("h", T.IntegerType(), True),
+        T.StructField("border_top", T.IntegerType(), True),
+        T.StructField("border_bottom", T.IntegerType(), True),
+        T.StructField("border_left", T.IntegerType(), True),
+        T.StructField("border_right", T.IntegerType(), True),
+        T.StructField("crop_w", T.IntegerType(), True),
+        T.StructField("crop_h", T.IntegerType(), True),
+        T.StructField("m0_crop", T.LongType(), True),
+        T.StructField("err", T.StringType(), True),
+    ]
+)
+
+
+def detect_borders(images: DataFrame) -> DataFrame:
+    """Constant-border detection — the LAION-style curation stage that
+    finds letterbox bars / solid frames around the real content so a
+    downstream crop recovers the unpadded image (the inverse of
+    ``letterbox_images``; reference scope: corpus curation the
+    reference leaves to its caller). Exact integer rule, fully
+    SQL-replayable:
+
+    - a ROW is border iff min(row) == max(row) (constant); border_top
+      = the count of leading constant rows (h if every row is
+      constant), border_bottom = trailing constant rows below the last
+      non-constant one;
+    - a COLUMN is judged within the surviving row band only (vertical
+      bars of a letterboxed canvas are constant there even though the
+      full column crosses the horizontal bars): border_left /
+      border_right by the same leading/trailing rule;
+    - degenerate cases pin the contract: all rows constant →
+      (h, 0, 0, 0) with an empty 0x0 crop; all in-band columns
+      constant → border_left = w, border_right = 0, crop_w = 0;
+    - ``m0_crop`` (exact int64 pixel sum of the cropped region, 0 when
+      empty) witnesses WHICH pixels survived, not just how many.
+
+    One Arrow decode scan, no shuffle, error-isolated (quarantined
+    None-bytes rows yield err rows). At 100 TB this runs inside the
+    decode pass; only 10 small integers per image leave the stage."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for iid, data, fmt in zip(
+                b["image_id"].values, b["bytes"].values, b["fmt"].values
+            ):
+                base = {"image_id": iid}
+                try:
+                    if data is None:
+                        raise ValueError("quarantined row (bytes is NULL)")
+                    px = to_gray(decode_image(bytes(data), fmt)).astype(
+                        np.int64
+                    )
+                    h, w = px.shape
+                    nc_rows = np.nonzero(
+                        px.min(axis=1) != px.max(axis=1)
+                    )[0]
+                    if nc_rows.size == 0:
+                        rows.append(
+                            {
+                                **base, "w": w, "h": h, "border_top": h,
+                                "border_bottom": 0, "border_left": 0,
+                                "border_right": 0, "crop_w": 0,
+                                "crop_h": 0, "m0_crop": 0, "err": None,
+                            }
+                        )
+                        continue
+                    top = int(nc_rows[0])
+                    bottom = int(h - 1 - nc_rows[-1])
+                    band = px[top:h - bottom]
+                    nc_cols = np.nonzero(
+                        band.min(axis=0) != band.max(axis=0)
+                    )[0]
+                    if nc_cols.size == 0:
+                        rows.append(
+                            {
+                                **base, "w": w, "h": h, "border_top": top,
+                                "border_bottom": bottom, "border_left": w,
+                                "border_right": 0, "crop_w": 0,
+                                "crop_h": h - top - bottom, "m0_crop": 0,
+                                "err": None,
+                            }
+                        )
+                        continue
+                    left = int(nc_cols[0])
+                    right = int(w - 1 - nc_cols[-1])
+                    crop = band[:, left:w - right]
+                    rows.append(
+                        {
+                            **base, "w": w, "h": h, "border_top": top,
+                            "border_bottom": bottom, "border_left": left,
+                            "border_right": right,
+                            "crop_w": w - left - right,
+                            "crop_h": h - top - bottom,
+                            "m0_crop": int(crop.sum()), "err": None,
+                        }
+                    )
+                except Exception as e:  # noqa: BLE001
+                    rows.append(
+                        {
+                            **base, "w": None, "h": None,
+                            "border_top": None, "border_bottom": None,
+                            "border_left": None, "border_right": None,
+                            "crop_w": None, "crop_h": None,
+                            "m0_crop": None,
+                            "err": f"{type(e).__name__}: {e}",
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in BORDER_SCHEMA.fields]
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        run, BORDER_SCHEMA
+    )

@@ -6629,6 +6629,305 @@ QUERIES["retrieval_recall"] = q_retrieval_recall
 ORACLES["retrieval_recall"] = ORACLE_RETRIEVAL_RECALL
 
 
+def q_photometric(spark, sf):
+    """Photometric augmentation (solarize → posterize → invert), fully
+    ORACLED pixel-by-pixel: decisions are md5 hex digits of the
+    ``image_id:seed:epoch:pm`` key (F.conv == CAST('0x'..) parity),
+    every mapping is exact integer (floor divisions over non-negative
+    values only — the color_jitter rule), and the applied result is
+    witnessed by position-sensitive image moments DuckDB recomputes
+    through the same CASE chain over the pixel formula."""
+    from ..operators.images import image_moments, photometric_images
+    from ..sources.images import formula_images_df
+
+    out = image_moments(
+        photometric_images(formula_images_df(spark, 12), seed=4, epoch=1),
+        carry_cols=("sol", "sol_thr", "post_bits", "inv"),
+    )
+    return out.select(
+        "image_id", "sol", "sol_thr", "post_bits", "inv",
+        "w", "h", "m0", "mx", "my",
+    ).orderBy("image_id")
+
+
+ORACLE_PHOTOMETRIC = """
+WITH ids AS (SELECT unnest(range(12)) AS i),
+""" + _SQL_FORMULA_DIMS + """,
+pl AS (SELECT i, w, h,
+         CAST('0x' || substring(k, 1, 1) AS INT) % 2 AS sol,
+         CAST('0x' || substring(k, 2, 2) AS INT) AS thr,
+         CASE WHEN CAST('0x' || substring(k, 4, 1) AS INT) % 2 = 1
+              THEN 3 + CAST('0x' || substring(k, 5, 1) AS INT) % 2
+              ELSE 0 END AS pb,
+         CAST('0x' || substring(k, 6, 1) AS INT) % 2 AS inv
+       FROM (SELECT i, w, h,
+               md5(printf('img%08d', i) || ':4:1:pm') AS k FROM dims)),
+cells AS (SELECT i, w, h, sol, thr, pb, inv, x.g AS x, y.g AS y,
+            (i*31 + x.g*7 + y.g*13) % 256 AS v0
+          FROM pl, (SELECT unnest(range(256)) AS g) x,
+               (SELECT unnest(range(128)) AS g) y
+          WHERE x.g < w AND y.g < h),
+c1 AS (SELECT *, CASE WHEN sol = 1 AND v0 >= thr THEN 255 - v0
+                      ELSE v0 END AS v1 FROM cells),
+c2 AS (SELECT *, CASE WHEN pb = 3 THEN (v1 // 32) * 32
+                      WHEN pb = 4 THEN (v1 // 16) * 16
+                      ELSE v1 END AS v2 FROM c1),
+c3 AS (SELECT *, CASE WHEN inv = 1 THEN 255 - v2 ELSE v2 END AS v FROM c2)
+SELECT printf('img%08d', i) AS image_id,
+       CAST(max(sol) AS INT) AS sol, CAST(max(thr) AS INT) AS sol_thr,
+       CAST(max(pb) AS INT) AS post_bits, CAST(max(inv) AS INT) AS inv,
+       CAST(max(w) AS INT) AS w, CAST(max(h) AS INT) AS h,
+       CAST(sum(v) AS BIGINT) AS m0,
+       CAST(sum(v * x) AS BIGINT) AS mx,
+       CAST(sum(v * y) AS BIGINT) AS my
+FROM c3 GROUP BY i ORDER BY image_id
+"""
+
+
+def q_border_crop(spark, sf):
+    """Constant-border detection over letterboxed canvases — the
+    curation stage that recovers the unpadded content, fully ORACLED:
+    DuckDB rebuilds every letterboxed pixel (the image_letterbox
+    replay), re-derives the constant-row/column flags with min<>max
+    per line, and reproduces the leading/trailing border counts plus
+    the exact int64 pixel sum of the crop. The detector must recover
+    EXACTLY the letterbox pads (interior rows/columns sample strictly
+    increasing source coordinates of the x*7/y*13 formula, so they are
+    never accidentally constant)."""
+    from ..operators.images import detect_borders, letterbox_images
+    from ..sources.images import formula_images_df
+
+    out = detect_borders(
+        letterbox_images(
+            formula_images_df(spark, 10), out_w=64, out_h=64, fill=114
+        )
+    )
+    return out.select(
+        "image_id", "w", "h", "border_top", "border_bottom",
+        "border_left", "border_right", "crop_w", "crop_h", "m0_crop",
+    ).orderBy("image_id")
+
+
+ORACLE_BORDER_CROP = """
+WITH ids AS (SELECT unnest(range(10)) AS i),
+""" + _SQL_FORMULA_DIMS + """,
+geo AS (SELECT i, w, h,
+         CASE WHEN w >= h THEN 64 ELSE greatest((w*64)//h, 1) END AS nw,
+         CASE WHEN w >= h THEN greatest((h*64)//w, 1) ELSE 64 END AS nh
+        FROM dims),
+geo2 AS (SELECT i, w, h, nw, nh,
+                (64 - nw) // 2 AS pl, (64 - nh) // 2 AS pt
+         FROM geo),
+cells AS (SELECT k.i, oy.g AS y, ox.g AS x,
+            CASE WHEN ox.g >= k.pl AND ox.g < k.pl + k.nw
+                  AND oy.g >= k.pt AND oy.g < k.pt + k.nh
+             THEN (k.i*31 + (((ox.g - k.pl) * k.w) // k.nw) * 7
+                   + (((oy.g - k.pt) * k.h) // k.nh) * 13) % 256
+             ELSE 114 END AS v
+          FROM geo2 k, (SELECT unnest(range(64)) AS g) ox,
+               (SELECT unnest(range(64)) AS g) oy),
+rf AS (SELECT i, y, CASE WHEN min(v) <> max(v) THEN 1 ELSE 0 END AS nc
+       FROM cells GROUP BY i, y),
+rb AS (SELECT i,
+         COALESCE(min(y) FILTER (WHERE nc = 1), 64) AS top,
+         CASE WHEN sum(nc) = 0 THEN 0
+              ELSE 63 - max(y) FILTER (WHERE nc = 1) END AS bot
+       FROM rf GROUP BY i),
+cf AS (SELECT c.i, c.x,
+         CASE WHEN min(c.v) <> max(c.v) THEN 1 ELSE 0 END AS nc
+       FROM cells c JOIN rb ON rb.i = c.i
+       WHERE c.y >= rb.top AND c.y <= 63 - rb.bot
+       GROUP BY c.i, c.x),
+cb AS (SELECT rb.i, rb.top, rb.bot,
+         CASE WHEN rb.top + rb.bot >= 64 THEN 0
+              ELSE COALESCE(min(cf.x) FILTER (WHERE cf.nc = 1), 64)
+         END AS lft,
+         CASE WHEN COALESCE(sum(cf.nc), 0) = 0 THEN 0
+              ELSE 63 - max(cf.x) FILTER (WHERE cf.nc = 1) END AS rgt
+       FROM rb LEFT JOIN cf ON cf.i = rb.i
+       GROUP BY rb.i, rb.top, rb.bot),
+mm AS (SELECT cb.i, cb.top, cb.bot, cb.lft, cb.rgt,
+         COALESCE(sum(c.v), 0) AS m0
+       FROM cb LEFT JOIN cells c ON c.i = cb.i
+         AND c.y >= cb.top AND c.y <= 63 - cb.bot
+         AND c.x >= cb.lft AND c.x <= 63 - cb.rgt
+       GROUP BY cb.i, cb.top, cb.bot, cb.lft, cb.rgt)
+SELECT printf('img%08d', i) AS image_id,
+       CAST(64 AS INT) AS w, CAST(64 AS INT) AS h,
+       CAST(top AS INT) AS border_top, CAST(bot AS INT) AS border_bottom,
+       CAST(lft AS INT) AS border_left, CAST(rgt AS INT) AS border_right,
+       CAST(CASE WHEN top + bot >= 64 THEN 0
+                 ELSE 64 - lft - rgt END AS INT) AS crop_w,
+       CAST(64 - top - bot AS INT) AS crop_h,
+       CAST(m0 AS BIGINT) AS m0_crop
+FROM mm ORDER BY image_id
+"""
+
+
+def q_confusion_eval(spark, sf):
+    """Per-class confusion-matrix report (tp/fp/fn/support + scaled-
+    integer precision/recall/F1), fully ORACLED: predictions are a
+    deterministic md5 corruption of the lang label (3/4 kept, 1/4
+    mapped to a hallucinated 'zz·' class with zero support — which
+    exercises the FULL OUTER class axis), and every score is one exact
+    integer floor division at the 1e-6 grain on both engines."""
+    from ..operators.classify import classification_report
+
+    d = _t(spark, sf, "documents").filter(F.col("lang").isNotNull())
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":ce")))
+    digit = F.conv(F.substring(key, 1, 1), 16, 10).cast("int") % 4
+    p = d.select(
+        F.col("lang").alias("label"),
+        F.when(digit != 0, F.col("lang"))
+        .otherwise(F.concat(F.lit("zz"), F.substring(key, 2, 1)))
+        .alias("pred"),
+    )
+    return classification_report(p, "label", "pred").orderBy("cls")
+
+
+ORACLE_CONFUSION_EVAL = """
+WITH p AS (SELECT lang AS label,
+             CASE WHEN CAST('0x' || substr(md5(doc_id || ':ce'), 1, 1)
+                       AS INT) % 4 <> 0
+                  THEN lang
+                  ELSE 'zz' || substr(md5(doc_id || ':ce'), 2, 1)
+             END AS pred
+           FROM documents WHERE lang IS NOT NULL),
+pairs AS (SELECT label, pred, count(*) AS n FROM p GROUP BY label, pred),
+tp AS (SELECT label AS cls, n AS tp FROM pairs WHERE label = pred),
+sup AS (SELECT label AS cls, sum(n) AS support FROM pairs GROUP BY label),
+prd AS (SELECT pred AS cls, sum(n) AS predicted FROM pairs GROUP BY pred),
+rep AS (SELECT COALESCE(sup.cls, prd.cls) AS cls,
+               COALESCE(tp.tp, 0) AS tp,
+               COALESCE(prd.predicted, 0) - COALESCE(tp.tp, 0) AS fp,
+               COALESCE(sup.support, 0) - COALESCE(tp.tp, 0) AS fn,
+               COALESCE(sup.support, 0) AS support
+        FROM sup FULL JOIN prd ON prd.cls = sup.cls
+                 LEFT JOIN tp ON tp.cls = COALESCE(sup.cls, prd.cls))
+SELECT cls, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn, CAST(support AS BIGINT) AS support,
+       CAST(CASE WHEN tp + fp > 0 THEN tp * 1000000 // (tp + fp)
+                 ELSE 0 END AS BIGINT) AS precision_u,
+       CAST(CASE WHEN tp + fn > 0 THEN tp * 1000000 // (tp + fn)
+                 ELSE 0 END AS BIGINT) AS recall_u,
+       CAST(CASE WHEN 2*tp + fp + fn > 0
+                 THEN 2 * tp * 1000000 // (2*tp + fp + fn)
+                 ELSE 0 END AS BIGINT) AS f1_u
+FROM rep ORDER BY cls
+"""
+
+
+def q_calibration(spark, sf):
+    """Reliability diagram + ECE, fully ORACLED: confidences and
+    correctness bits derive from md5 hex fields (confidence-correlated
+    so the diagram is realistic), bins / accuracies / mean confidences
+    / the ECE are ALL exact integer floor divisions at the 1e-6 grain
+    — the one deferred division per value rule, no floats anywhere."""
+    from ..operators.classify import calibration_bins
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id").isNotNull())
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":cal")))
+    s1 = d.select(
+        (F.conv(F.substring(key, 1, 5), 16, 10).cast("long") % 1000001)
+        .alias("conf_u"),
+        F.conv(F.substring(key, 6, 2), 16, 10).cast("long").alias("__v"),
+    )
+    s2 = s1.select(
+        "conf_u",
+        F.when(F.col("__v") * 3922 < F.col("conf_u"), F.lit(1))
+        .otherwise(F.lit(0)).alias("correct"),
+    )
+    return calibration_bins(s2, "conf_u", "correct").orderBy("bin")
+
+
+ORACLE_CALIBRATION = """
+WITH s AS (SELECT
+             CAST('0x' || substr(md5(doc_id || ':cal'), 1, 5) AS BIGINT)
+               % 1000001 AS conf_u,
+             CAST('0x' || substr(md5(doc_id || ':cal'), 6, 2) AS BIGINT)
+               AS v
+           FROM documents WHERE doc_id IS NOT NULL),
+p AS (SELECT conf_u,
+             CASE WHEN v * 3922 < conf_u THEN 1 ELSE 0 END AS correct
+      FROM s),
+b AS (SELECT LEAST(conf_u // 100000, 9) AS bin, count(*) AS n,
+             sum(correct) AS n_correct, sum(conf_u) AS sum_conf_u
+      FROM p GROUP BY 1),
+b2 AS (SELECT bin, n, n_correct, sum_conf_u,
+              n_correct * 1000000 // n AS acc_u,
+              sum_conf_u // n AS avg_conf_u,
+              abs(n_correct * 1000000 - sum_conf_u) AS gap_w
+       FROM b),
+t AS (SELECT sum(gap_w) // sum(n) AS ece_u FROM b2)
+SELECT CAST(bin AS INT) AS bin, CAST(n AS BIGINT) AS n,
+       CAST(n_correct AS BIGINT) AS n_correct,
+       CAST(sum_conf_u AS BIGINT) AS sum_conf_u,
+       CAST(acc_u AS BIGINT) AS acc_u,
+       CAST(avg_conf_u AS BIGINT) AS avg_conf_u,
+       CAST(gap_w AS BIGINT) AS gap_w,
+       CAST(t.ece_u AS BIGINT) AS ece_u
+FROM b2, t ORDER BY bin
+"""
+
+
+def q_hll_distinct(spark, sf):
+    """HyperLogLog cardinality sketch, fully ORACLED: registers, the
+    2^55-scaled harmonic sum, and the rational-alpha estimate all
+    replay exactly in DuckDB — rho comes from string bit-position
+    (strpos over lpad(bin(w),54,'0'), no float log2), the scaled sum
+    is an exact int64 of powers of two, and the estimate is one
+    HUGEINT floor division (Python big-int on the Spark side). The
+    documents fixture keeps every register occupied at sf >= 0.01, so
+    the float linear-counting branch stays off (and is flagged)."""
+    from ..operators.sketch import hll_distinct
+
+    d = _t(spark, sf, "documents")
+    return hll_distinct(d, "text", p=6)
+
+
+ORACLE_HLL_DISTINCT = """
+WITH hv AS (SELECT CAST('0x' || substr(md5(text || chr(30) || 'hll'),
+                        1, 15) AS BIGINT) AS h
+            FROM documents WHERE text IS NOT NULL),
+rr AS (SELECT h % 64 AS reg,
+              strpos(lpad(bin(h // 64), 54, '0'), '1') AS p
+       FROM hv),
+rho AS (SELECT reg, max(CASE WHEN p > 0 THEN p ELSE 55 END) AS r
+        FROM rr GROUP BY reg),
+regs AS (SELECT g.g AS reg, COALESCE(rho.r, 0) AS r
+         FROM (SELECT unnest(range(64)) AS g) g
+         LEFT JOIN rho ON rho.reg = g.g),
+agg AS (SELECT CAST(sum(CAST(1 AS BIGINT) << (55 - r)) AS BIGINT) AS s,
+               sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS vz
+        FROM regs),
+est AS (SELECT s, vz,
+          CAST(CAST(709 AS HUGEINT) * 64 * 64
+               * CAST(CAST(1 AS BIGINT) << 55 AS HUGEINT) * 1000000
+               // (CAST(1000 AS HUGEINT) * s) AS BIGINT) AS raw
+        FROM agg)
+SELECT CAST(64 AS INT) AS m, CAST(vz AS INT) AS v_zero,
+       s AS s_scaled,
+       CASE WHEN vz > 0 AND raw <= 160000000
+            THEN CAST(floor(64 * ln(64.0 / vz) * 1e6 + 0.5) AS BIGINT)
+            ELSE raw END AS est_u,
+       CAST(CASE WHEN vz > 0 AND raw <= 160000000 THEN 1 ELSE 0 END
+            AS INT) AS linear_counting
+FROM est
+"""
+
+
+QUERIES["photometric"] = q_photometric
+ORACLES["photometric"] = ORACLE_PHOTOMETRIC
+QUERIES["border_crop"] = q_border_crop
+ORACLES["border_crop"] = ORACLE_BORDER_CROP
+QUERIES["confusion_eval"] = q_confusion_eval
+ORACLES["confusion_eval"] = ORACLE_CONFUSION_EVAL
+QUERIES["calibration"] = q_calibration
+ORACLES["calibration"] = ORACLE_CALIBRATION
+QUERIES["hll_distinct"] = q_hll_distinct
+ORACLES["hll_distinct"] = ORACLE_HLL_DISTINCT
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #
@@ -6707,10 +7006,27 @@ _PRIORITY: list[str] = [
     "minhash_dedup_verified",
     "pca_project",
     "svm_classify",
+    "unigram_lm",
+    # twelfth-batch additions (never graded, newest-first rule):
+    "photometric",
+    "border_crop",
+    "confusion_eval",
+    "calibration",
+    "hll_distinct",
+    # Eighth wave demotions (twelfth batch): minhash_dedup (green
+    # driver grades in ALL of rounds 1-4 — the strongest
+    # rest-on-a-hard-grade case in the registry; the verified variant
+    # stays inside), stratified_split (the two-level rank it pioneered
+    # is graded by batch_pack/shard_packing/leakage_split inside the
+    # window), repetition_stats (text-quality family: text_quality
+    # holds green r1-r4 grades; the HOF technique is repped by
+    # pmi_collocations inside), redact_pii (regexp family:
+    # pattern_stats holds green r1-r4 grades), bm25_rank (broadcast-
+    # stats ranking; retrieval ranking repped by the oracled
+    # retrieval_recall and similarity family inside ivfpq/pq_trained).
     "minhash_dedup",
     "repetition_stats",
     "redact_pii",
-    "unigram_lm",
     "bm25_rank",
     "stratified_split",
     # representative core. Moved past the 50-window to make room for

@@ -148,6 +148,13 @@ RELATIONAL = [
     "confusion_eval",
     "calibration",
     "hll_distinct",
+    # round 5, thirteenth batch (ranking eval + cutout + distortion
+    # audit + hard-negative mining)
+    "auc_roc",
+    "avg_precision",
+    "random_erase",
+    "augment_distortion",
+    "hard_negatives",
 ]
 
 

@@ -419,6 +419,194 @@ def classification_report(
     )
 
 
+def auc_roc(
+    df: DataFrame,
+    score_col: str = "score_u",
+    label_col: str = "label",
+    grain: int = 1_000_000,
+) -> DataFrame:
+    """Exact AUC-ROC via the Mann-Whitney rank sum with average-rank
+    tie handling — the threshold-free ranking audit of a filter model's
+    scores (is the quality score actually ordering good above bad?),
+    kept exact end to end: AUC = (R⁺ - P(P+1)/2) / (P·N⁻) where R⁺ is
+    the sum of the positives' average ranks. Everything is integer
+    until ONE final floor division at ``grain``.
+
+    Scale shape: one map-side-combined groupBy onto DISTINCT score
+    values (the domain is bounded by the score grain, never by corpus
+    size), then the two-level prefix sum over the per-score table
+    (range-partition by score, per-partition cumulative counts, P-row
+    driver base offsets — the exact_order_stats shape, no global
+    window). Rank products are summed in DECIMAL(38,0) — at 10^12 rows
+    a single term reaches n², past int64 — and the final division runs
+    driver-side on Python big ints (the kmv_distinct overflow rule).
+    The 1-row result collects while the range placement is cached (the
+    exact_order_stats materialize-before-unpersist rule).
+
+    Labels must be 0/1; NULL scores are excluded (the NULLS FIRST vs
+    NULLS LAST cross-engine rank shift). Returns one row:
+    (n, n_pos, n_neg, auc_u); auc_u is NULL when a class is empty."""
+    g = int(grain)
+    spark = df.sparkSession
+    s = (
+        df.filter(F.col(score_col).isNotNull())
+        .groupBy(F.col(score_col).alias("__s"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.col(label_col).cast("long")).alias("__np"),
+        )
+    )
+    n_parts = spark.sparkContext.defaultParallelism
+    t = (
+        s.repartitionByRange(n_parts, F.col("__s").asc())
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    try:
+        crows = sorted(
+            (r["__pid"], int(r["__c"] or 0))
+            for r in t.groupBy("__pid")
+            .agg(F.sum("__n").alias("__c"))
+            .collect()
+        )
+        base = 0
+        pid_base = []
+        for pid, c in crows:
+            pid_base.append((pid, base))
+            base += c
+        if base == 0:
+            return spark.createDataFrame(
+                [(0, 0, 0, None)],
+                schema="n bigint, n_pos bigint, n_neg bigint, auc_u bigint",
+            )
+        base_df = spark.createDataFrame(
+            pid_base, schema="__pid int, __base bigint"
+        )
+        w = Window.partitionBy("__pid").orderBy(F.col("__s").asc())
+        cum = (
+            t.withColumn("__cum", F.sum("__n").over(w))
+            .join(F.broadcast(base_df), "__pid")
+            .withColumn(
+                "__cb", F.col("__base") + F.col("__cum") - F.col("__n")
+            )
+        )
+        # 2·(sum of average ranks of positives): each score group of n
+        # rows with np positives spans ranks cb+1..cb+n, average rank
+        # (2·cb + n + 1) / 2 — kept doubled so it stays integer
+        term = F.col("__np").cast("decimal(38,0)") * (
+            F.lit(2) * F.col("__cb") + F.col("__n") + F.lit(1)
+        ).cast("decimal(38,0)")
+        row = cum.agg(
+            F.sum(term).alias("__r2"),
+            F.sum("__np").alias("__p"),
+            F.sum("__n").alias("__nt"),
+        ).collect()[0]
+        r2 = int(row["__r2"] or 0)
+        p = int(row["__p"] or 0)
+        nt = int(row["__nt"] or 0)
+        nn = nt - p
+        auc_u = ((r2 - p * (p + 1)) * g) // (2 * p * nn) if p and nn else None
+        return spark.createDataFrame(
+            [(nt, p, nn, auc_u)],
+            schema="n bigint, n_pos bigint, n_neg bigint, auc_u bigint",
+        )
+    finally:
+        t.unpersist(blocking=False)
+
+
+def average_precision(
+    df: DataFrame,
+    score_col: str = "score_u",
+    label_col: str = "label",
+    id_col: str = "doc_id",
+    grain: int = 1_000_000,
+) -> DataFrame:
+    """Exact average precision (area under the precision-recall curve,
+    the step-function definition) over a deterministic total order:
+    rank rows by (score DESC, id ASC) — the id tiebreak makes AP
+    well-defined under score ties, replayable by any engine — and sum
+    precision@rank over the positive rows. Each term is ONE integer
+    floor division ``(cum_pos·grain) div rank`` (the deferred-division
+    rule: term-level flooring keeps every value exact integer at the
+    cost of <grain⁻¹ per-term bias, documented, identical on both
+    engines), then ``ap_u = sum(term) div P``.
+
+    Scale shape — the stratified_split two-level global rank: range-
+    partition by (score DESC, id ASC) so the sort is per-partition,
+    P-row driver base offsets for both rank and cumulative-positive
+    counts, no global window. cum_pos·grain <= n·grain needs n <= 9·10^12
+    at the default grain before int64 overflow — raise to DECIMAL at
+    larger corpora. Returns one row: (n, n_pos, ap_u); NULL ap_u when
+    there are no positives."""
+    g = int(grain)
+    spark = df.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    t = (
+        df.filter(F.col(score_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__id"),
+            F.col(score_col).alias("__s"),
+            F.col(label_col).cast("long").alias("__y"),
+        )
+        .repartitionByRange(
+            n_parts, F.col("__s").desc(), F.col("__id").asc()
+        )
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    try:
+        crows = sorted(
+            (r["__pid"], int(r["__c"] or 0), int(r["__cp"] or 0))
+            for r in t.groupBy("__pid")
+            .agg(
+                F.count(F.lit(1)).alias("__c"),
+                F.sum("__y").alias("__cp"),
+            )
+            .collect()
+        )
+        n = sum(c for _, c, _ in crows)
+        if n == 0:
+            return spark.createDataFrame(
+                [(0, 0, None)], schema="n bigint, n_pos bigint, ap_u bigint"
+            )
+        base_r, base_p = 0, 0
+        bases = []
+        for pid, c, cp in crows:
+            bases.append((pid, base_r, base_p))
+            base_r += c
+            base_p += cp
+        base_df = spark.createDataFrame(
+            bases, schema="__pid int, __br bigint, __bp bigint"
+        )
+        w = Window.partitionBy("__pid").orderBy(
+            F.col("__s").desc(), F.col("__id").asc()
+        )
+        ranked = (
+            t.withColumn("__rn", F.row_number().over(w))
+            .withColumn("__cpl", F.sum("__y").over(w))
+            .join(F.broadcast(base_df), "__pid")
+            .withColumn("__rank", F.col("__br") + F.col("__rn"))
+            .withColumn("__cp", F.col("__bp") + F.col("__cpl"))
+        )
+        row = (
+            ranked.filter(F.col("__y") == 1)
+            .agg(
+                F.sum(
+                    F.expr(f"(__cp * CAST({g} AS BIGINT)) div __rank")
+                ).alias("__sum"),
+                F.count(F.lit(1)).alias("__p"),
+            )
+            .collect()[0]
+        )
+        p = int(row["__p"] or 0)
+        ap_u = int(row["__sum"]) // p if p else None
+        return spark.createDataFrame(
+            [(n, p, ap_u)], schema="n bigint, n_pos bigint, ap_u bigint"
+        )
+    finally:
+        t.unpersist(blocking=False)
+
+
 def calibration_bins(
     df: DataFrame,
     conf_col: str = "conf_u",

@@ -2001,3 +2001,171 @@ def detect_borders(images: DataFrame) -> DataFrame:
     return images.select("image_id", "bytes", "fmt").mapInPandas(
         run, BORDER_SCHEMA
     )
+
+
+ERASE_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), True),
+        T.StructField("w", T.IntegerType(), True),
+        T.StructField("h", T.IntegerType(), True),
+        T.StructField("x0", T.IntegerType(), True),
+        T.StructField("y0", T.IntegerType(), True),
+        T.StructField("erase_w", T.IntegerType(), True),
+        T.StructField("erase_h", T.IntegerType(), True),
+        T.StructField("fmt", T.StringType(), True),
+        T.StructField("err", T.StringType(), True),
+    ]
+)
+
+
+def random_erasing(
+    images: DataFrame, seed: int = 0, epoch: int = 0, fill: int = 128
+) -> DataFrame:
+    """Deterministic Random Erasing (Zhong et al. 2020, the cutout
+    regularization pass a loader applies per epoch; reference scope:
+    augmentation is caller-side for rp_extract.py, this is the
+    corpus-scale equivalent): a single rectangular window per image is
+    overwritten with the constant ``fill``. The window derives from
+    four md5 hex digits of ``md5(image_id:seed:epoch:re)`` through
+    ``cutmix_geometry`` (size in [dim//4, 3·dim//4] per axis, position
+    across the valid range — all floor arithmetic over non-negative
+    ints), so epoch N is reshuffle-stable and every output pixel is one
+    SQL CASE over the coordinates: v = fill inside the window, the
+    source pixel outside. Witness downstream with ``image_moments(
+    carry_cols=('x0','y0','erase_w','erase_h'))`` — position-sensitive
+    moments pin the erased window pixel-by-pixel.
+
+    One Arrow decode scan, no shuffle, error-isolated."""
+    if not 0 <= int(fill) <= 255:
+        raise ValueError("fill must be a byte value")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for iid, data, fmt in zip(
+                b["image_id"].values, b["bytes"].values, b["fmt"].values
+            ):
+                try:
+                    px = to_gray(decode_image(bytes(data), fmt)).astype(
+                        np.int64
+                    )
+                    h, w = px.shape
+                    k = hashlib.md5(
+                        f"{iid}:{int(seed)}:{int(epoch)}:re".encode()
+                    ).hexdigest()
+                    d = tuple(int(c, 16) for c in k[:4])
+                    x0, y0, ew, eh = cutmix_geometry(w, h, d)
+                    out = px.copy()
+                    out[y0:y0 + eh, x0:x0 + ew] = int(fill)
+                    rows.append(
+                        {
+                            "image_id": iid,
+                            "bytes": encode_png(out.astype(np.uint8)),
+                            "w": w, "h": h, "x0": x0, "y0": y0,
+                            "erase_w": ew, "erase_h": eh,
+                            "fmt": "png", "err": None,
+                        }
+                    )
+                except Exception as e:  # noqa: BLE001
+                    rows.append(
+                        {
+                            "image_id": iid, "bytes": None, "w": None,
+                            "h": None, "x0": None, "y0": None,
+                            "erase_w": None, "erase_h": None,
+                            "fmt": None,
+                            "err": f"{type(e).__name__}: {e}",
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in ERASE_SCHEMA.fields]
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        run, ERASE_SCHEMA
+    )
+
+
+PAIR_SSE_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("w", T.IntegerType(), True),
+        T.StructField("h", T.IntegerType(), True),
+        T.StructField("n_px", T.LongType(), True),
+        T.StructField("sse", T.LongType(), True),
+        T.StructField("mse_u", T.LongType(), True),
+        T.StructField("err", T.StringType(), True),
+    ]
+)
+
+
+def image_pair_sse(
+    a: DataFrame, b: DataFrame, grain: int = 1_000_000
+) -> DataFrame:
+    """Exact distortion audit between two aligned image tables — the
+    measurement that quantifies what an augmentation / re-encode stage
+    actually did to the pixels (the PSNR numerator, kept EXACT: sse is
+    an int64 sum of squared byte differences, ``mse_u = sse·grain div
+    n_px`` one deferred floor division; the log-scale PSNR itself is
+    left to the caller because log10 is the one non-replayable step).
+
+    Scale shape: ONE id-keyed equi join (each side's bytes cross the
+    exchange exactly once — the join is on the narrow key, AQE picks
+    broadcast when a side is small), then a single Arrow stage decodes
+    both blobs row-locally. Mismatched dimensions are err rows, not
+    exceptions (per-record isolation)."""
+    g = int(grain)
+    ja = a.select(
+        "image_id",
+        F.col("bytes").alias("__ab"),
+        F.col("fmt").alias("__af"),
+    )
+    jb = b.select(
+        "image_id",
+        F.col("bytes").alias("__bb"),
+        F.col("fmt").alias("__bf"),
+    )
+    j = ja.join(jb, "image_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for iid, ab, af, bb, bf in zip(
+                batch["image_id"].values, batch["__ab"].values,
+                batch["__af"].values, batch["__bb"].values,
+                batch["__bf"].values,
+            ):
+                try:
+                    pa = to_gray(decode_image(bytes(ab), af)).astype(
+                        np.int64
+                    )
+                    pb = to_gray(decode_image(bytes(bb), bf)).astype(
+                        np.int64
+                    )
+                    if pa.shape != pb.shape:
+                        raise ValueError(
+                            f"shape mismatch {pa.shape} vs {pb.shape}"
+                        )
+                    h, w = pa.shape
+                    n_px = int(pa.size)
+                    sse = int(((pa - pb) ** 2).sum())
+                    rows.append(
+                        {
+                            "image_id": iid, "w": w, "h": h,
+                            "n_px": n_px, "sse": sse,
+                            "mse_u": (sse * g) // n_px, "err": None,
+                        }
+                    )
+                except Exception as e:  # noqa: BLE001
+                    rows.append(
+                        {
+                            "image_id": iid, "w": None, "h": None,
+                            "n_px": None, "sse": None, "mse_u": None,
+                            "err": f"{type(e).__name__}: {e}",
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PAIR_SSE_SCHEMA.fields]
+            )
+
+    return j.mapInPandas(run, PAIR_SSE_SCHEMA)

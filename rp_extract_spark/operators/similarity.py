@@ -154,6 +154,64 @@ def knn_join(
     )
 
 
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    query_id: str = "q_id",
+    corpus_id: str = "vec_id",
+    query_label: str = "label",
+    corpus_label: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive / metric training: for each
+    query, the k most cosine-similar corpus rows whose label DIFFERS
+    from the query's — the highest-loss negatives a triplet or InfoNCE
+    sampler wants. Same-id rows are excluded independently of the
+    label test (a query must never mine itself).
+
+    Scale shape: the knn_join pattern — the query side is broadcast
+    (assumed small: an anchor batch, not the corpus), the corpus scans
+    once, per-query top-k via a ranked window partitioned by query id
+    (each group is one query's candidates — the partition count equals
+    the anchor count, never one reducer for everything). For
+    corpus-scale query sides, route through the IVF/PQ serve path
+    (ivf_probe/pq_topk) and apply the label filter to its candidates.
+
+    Rank order is (cosine DESC, corpus_id ASC) — the id tiebreak makes
+    ranks deterministic and SQL-replayable; scores stay float and are
+    NOT emitted (the 1e-6-grain boundary risk of arbitrary cosines —
+    ranks are margin-protected, grid values are not)."""
+    q = queries.select(
+        F.col(query_id),
+        F.col(query_label).alias("__ql"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    c = corpus.select(
+        F.col(corpus_id),
+        F.col(corpus_label).alias("__cl"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    )
+    joined = c.crossJoin(F.broadcast(q)).filter(
+        (F.col("__cl") != F.col("__ql"))
+        & (F.col(corpus_id).cast("string") != F.col(query_id).cast("string"))
+    )
+    score = cosine_col(F.col("__cv"), F.col("__qv"))
+    w = Window.partitionBy(query_id).orderBy(
+        score.desc(), F.col(corpus_id).asc()
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id,
+            corpus_id,
+            F.col("__cl").alias("neg_label"),
+            "rank",
+        )
+    )
+
+
 def hyperplanes(dim: int, n_planes: int = 16, seed: int = 13) -> np.ndarray:
     return np.random.default_rng(seed).normal(size=(n_planes, dim))
 

@@ -6928,6 +6928,262 @@ QUERIES["hll_distinct"] = q_hll_distinct
 ORACLES["hll_distinct"] = ORACLE_HLL_DISTINCT
 
 
+def q_auc_roc(spark, sf):
+    """Exact AUC-ROC (Mann-Whitney rank sum, average-rank ties), fully
+    ORACLED: scores and labels derive from md5 hex fields of doc_id
+    (score-correlated labels so the AUC is informative), the rank sum
+    runs over the per-score count table (two-level prefix sum — never
+    a global window), and the single final division happens on exact
+    integers on both engines (Python big int / DuckDB HUGEINT)."""
+    from ..operators.classify import auc_roc
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id").isNotNull())
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":auc")))
+    s = d.select(
+        (F.conv(F.substring(key, 1, 5), 16, 10).cast("long") % 1000001)
+        .alias("score_u"),
+        F.conv(F.substring(key, 6, 2), 16, 10).cast("long").alias("__v"),
+    ).select(
+        "score_u",
+        F.when(F.col("__v") * 3922 < F.col("score_u"), F.lit(1))
+        .otherwise(F.lit(0)).alias("label"),
+    )
+    return auc_roc(s, "score_u", "label")
+
+
+ORACLE_AUC_ROC = """
+WITH s AS (SELECT
+             CAST('0x' || substr(md5(doc_id || ':auc'), 1, 5) AS BIGINT)
+               % 1000001 AS sc,
+             CAST('0x' || substr(md5(doc_id || ':auc'), 6, 2) AS BIGINT)
+               AS v
+           FROM documents WHERE doc_id IS NOT NULL),
+p AS (SELECT sc, CASE WHEN v * 3922 < sc THEN 1 ELSE 0 END AS y FROM s),
+g AS (SELECT sc, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(y) AS HUGEINT) AS np
+      FROM p GROUP BY sc),
+c AS (SELECT np, n,
+             sum(n) OVER (ORDER BY sc ROWS UNBOUNDED PRECEDING) - n AS cb
+      FROM g),
+a AS (SELECT sum(np * (2*cb + n + 1)) AS r2, sum(np) AS pp,
+             sum(n) AS nt FROM c)
+SELECT CAST(nt AS BIGINT) AS n, CAST(pp AS BIGINT) AS n_pos,
+       CAST(nt - pp AS BIGINT) AS n_neg,
+       CAST(((r2 - pp*(pp+1)) * 1000000) // (2*pp*(nt-pp)) AS BIGINT)
+         AS auc_u
+FROM a
+"""
+
+
+QUERIES["auc_roc"] = q_auc_roc
+ORACLES["auc_roc"] = ORACLE_AUC_ROC
+
+
+def q_avg_precision(spark, sf):
+    """Exact average precision over the (score DESC, id ASC) total
+    order, fully ORACLED: every precision@rank term is one integer
+    floor division at the 1e-6 grain (the deferred-division rule), the
+    global rank + cumulative-positive counts come from the two-level
+    range-partition shape (no global window), and DuckDB replays the
+    identical order with an explicit ROWS frame."""
+    from ..operators.classify import average_precision
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id").isNotNull())
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":ap")))
+    s = d.select(
+        F.col("doc_id"),
+        (F.conv(F.substring(key, 1, 5), 16, 10).cast("long") % 1000001)
+        .alias("score_u"),
+        F.conv(F.substring(key, 6, 2), 16, 10).cast("long").alias("__v"),
+    ).select(
+        "doc_id",
+        "score_u",
+        F.when(F.col("__v") * 3922 < F.col("score_u"), F.lit(1))
+        .otherwise(F.lit(0)).alias("label"),
+    )
+    return average_precision(s, "score_u", "label", "doc_id")
+
+
+ORACLE_AVG_PRECISION = """
+WITH s AS (SELECT doc_id,
+             CAST('0x' || substr(md5(doc_id || ':ap'), 1, 5) AS BIGINT)
+               % 1000001 AS sc,
+             CAST('0x' || substr(md5(doc_id || ':ap'), 6, 2) AS BIGINT)
+               AS v
+           FROM documents WHERE doc_id IS NOT NULL),
+p AS (SELECT doc_id, sc,
+             CASE WHEN v * 3922 < sc THEN 1 ELSE 0 END AS y FROM s),
+r AS (SELECT y,
+             row_number() OVER (ORDER BY sc DESC, doc_id ASC) AS rk,
+             sum(y) OVER (ORDER BY sc DESC, doc_id ASC
+                          ROWS UNBOUNDED PRECEDING) AS cp
+      FROM p),
+tot AS (SELECT count(*) AS n FROM r),
+pos AS (SELECT sum((cp * 1000000) // rk) AS s, count(*) AS pp
+        FROM r WHERE y = 1)
+SELECT CAST(tot.n AS BIGINT) AS n, CAST(pos.pp AS BIGINT) AS n_pos,
+       CAST(pos.s // pos.pp AS BIGINT) AS ap_u
+FROM tot, pos
+"""
+
+
+QUERIES["avg_precision"] = q_avg_precision
+ORACLES["avg_precision"] = ORACLE_AVG_PRECISION
+
+
+def q_random_erase(spark, sf):
+    """Random Erasing (cutout) augmentation, fully ORACLED pixel-by-
+    pixel: the erased window comes from four md5 hex digits of the
+    ``image_id:seed:epoch:re`` key through the cutmix_geometry floor
+    arithmetic, and DuckDB recomputes every output pixel as one CASE
+    (fill inside the window, the pixel formula outside), witnessed by
+    position-sensitive image moments."""
+    from ..operators.images import image_moments, random_erasing
+    from ..sources.images import formula_images_df
+
+    out = image_moments(
+        random_erasing(formula_images_df(spark, 12), seed=5, epoch=2),
+        carry_cols=("x0", "y0", "erase_w", "erase_h"),
+    )
+    return out.select(
+        "image_id", "x0", "y0", "erase_w", "erase_h",
+        "w", "h", "m0", "mx", "my",
+    ).orderBy("image_id")
+
+
+ORACLE_RANDOM_ERASE = """
+WITH ids AS (SELECT unnest(range(12)) AS i),
+""" + _SQL_FORMULA_DIMS + """,
+geo AS (SELECT i, w, h,
+          (w // 4) + (CAST('0x' || substring(k, 1, 1) AS INT) * (w // 2))
+            // 15 AS ew,
+          (h // 4) + (CAST('0x' || substring(k, 2, 1) AS INT) * (h // 2))
+            // 15 AS eh,
+          CAST('0x' || substring(k, 3, 1) AS INT) AS d2,
+          CAST('0x' || substring(k, 4, 1) AS INT) AS d3
+        FROM (SELECT i, w, h,
+                md5(printf('img%08d', i) || ':5:2:re') AS k FROM dims)),
+pl AS (SELECT i, w, h, ew, eh,
+          (d2 * (w - ew)) // 15 AS x0,
+          (d3 * (h - eh)) // 15 AS y0
+       FROM geo),
+cells AS (SELECT i, w, h, x0, y0, ew, eh, x.g AS x, y.g AS y,
+            CASE WHEN x.g >= x0 AND x.g < x0 + ew
+                  AND y.g >= y0 AND y.g < y0 + eh THEN 128
+                 ELSE (i*31 + x.g*7 + y.g*13) % 256 END AS v
+          FROM pl, (SELECT unnest(range(256)) AS g) x,
+               (SELECT unnest(range(128)) AS g) y
+          WHERE x.g < w AND y.g < h)
+SELECT printf('img%08d', i) AS image_id,
+       CAST(max(x0) AS INT) AS x0, CAST(max(y0) AS INT) AS y0,
+       CAST(max(ew) AS INT) AS erase_w, CAST(max(eh) AS INT) AS erase_h,
+       CAST(max(w) AS INT) AS w, CAST(max(h) AS INT) AS h,
+       CAST(sum(v) AS BIGINT) AS m0,
+       CAST(sum(v * x) AS BIGINT) AS mx,
+       CAST(sum(v * y) AS BIGINT) AS my
+FROM cells GROUP BY i ORDER BY image_id
+"""
+
+
+QUERIES["random_erase"] = q_random_erase
+ORACLES["random_erase"] = ORACLE_RANDOM_ERASE
+
+
+def q_augment_distortion(spark, sf):
+    """Exact distortion audit of the photometric augmentation pass
+    (original vs augmented SSE / scaled MSE per image), fully ORACLED:
+    DuckDB rebuilds both sides of every pixel — the formula value and
+    the solarize → posterize → invert CASE chain (same plan/params as
+    the photometric query) — and replays the int64 squared-difference
+    sum plus the one deferred floor division exactly."""
+    from ..operators.images import image_pair_sse, photometric_images
+    from ..sources.images import formula_images_df
+
+    base = formula_images_df(spark, 12)
+    aug = photometric_images(base, seed=4, epoch=1)
+    return image_pair_sse(base, aug).select(
+        "image_id", "w", "h", "n_px", "sse", "mse_u"
+    ).orderBy("image_id")
+
+
+ORACLE_AUGMENT_DISTORTION = """
+WITH ids AS (SELECT unnest(range(12)) AS i),
+""" + _SQL_FORMULA_DIMS + """,
+pl AS (SELECT i, w, h,
+         CAST('0x' || substring(k, 1, 1) AS INT) % 2 AS sol,
+         CAST('0x' || substring(k, 2, 2) AS INT) AS thr,
+         CASE WHEN CAST('0x' || substring(k, 4, 1) AS INT) % 2 = 1
+              THEN 3 + CAST('0x' || substring(k, 5, 1) AS INT) % 2
+              ELSE 0 END AS pb,
+         CAST('0x' || substring(k, 6, 1) AS INT) % 2 AS inv
+       FROM (SELECT i, w, h,
+               md5(printf('img%08d', i) || ':4:1:pm') AS k FROM dims)),
+cells AS (SELECT i, w, h, sol, thr, pb, inv, x.g AS x, y.g AS y,
+            (i*31 + x.g*7 + y.g*13) % 256 AS v0
+          FROM pl, (SELECT unnest(range(256)) AS g) x,
+               (SELECT unnest(range(128)) AS g) y
+          WHERE x.g < w AND y.g < h),
+c1 AS (SELECT *, CASE WHEN sol = 1 AND v0 >= thr THEN 255 - v0
+                      ELSE v0 END AS v1 FROM cells),
+c2 AS (SELECT *, CASE WHEN pb = 3 THEN (v1 // 32) * 32
+                      WHEN pb = 4 THEN (v1 // 16) * 16
+                      ELSE v1 END AS v2 FROM c1),
+c3 AS (SELECT *, CASE WHEN inv = 1 THEN 255 - v2 ELSE v2 END AS v FROM c2)
+SELECT printf('img%08d', i) AS image_id,
+       CAST(max(w) AS INT) AS w, CAST(max(h) AS INT) AS h,
+       CAST(count(*) AS BIGINT) AS n_px,
+       CAST(sum((v0 - v) * (v0 - v)) AS BIGINT) AS sse,
+       CAST(sum((v0 - v) * (v0 - v)) * 1000000 // count(*) AS BIGINT)
+         AS mse_u
+FROM c3 GROUP BY i ORDER BY image_id
+"""
+
+
+QUERIES["augment_distortion"] = q_augment_distortion
+ORACLES["augment_distortion"] = ORACLE_AUGMENT_DISTORTION
+
+
+def q_hard_negatives(spark, sf):
+    """Hard-negative mining (top-5 most-similar different-label rows
+    per anchor), ORACLED on ranks: rank decisions are float-cosine
+    compares with fixture margins orders of magnitude above the ~1e-15
+    cross-engine sum-order drift (the retrieval_recall precedent);
+    scores are deliberately NOT emitted (arbitrary cosines carry
+    1e-6-grain boundary risk — ranks are margin-protected)."""
+    from ..operators.similarity import hard_negatives
+
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 12).select(
+        F.col("vec_id").alias("q_id"), "label", "embedding"
+    )
+    out = hard_negatives(
+        q, e, vec_col="embedding", query_id="q_id",
+        corpus_id="vec_id", k=5,
+    )
+    return out.orderBy("q_id", "rank")
+
+
+ORACLE_HARD_NEGATIVES = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+           FROM embeddings),
+q AS (SELECT vec_id AS qid, label AS ql, v AS qv FROM e
+      WHERE vec_id < 12),
+r AS (SELECT q.qid, e.vec_id, e.label,
+             row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY list_cosine_similarity(e.v, q.qv) DESC,
+                        e.vec_id ASC) AS rank
+      FROM q JOIN e ON e.label <> q.ql AND e.vec_id <> q.qid)
+SELECT CAST(qid AS BIGINT) AS q_id, CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(label AS INT) AS neg_label, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 5 ORDER BY q_id, rank
+"""
+
+
+QUERIES["hard_negatives"] = q_hard_negatives
+ORACLES["hard_negatives"] = ORACLE_HARD_NEGATIVES
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #

@@ -155,6 +155,16 @@ RELATIONAL = [
     "random_erase",
     "augment_distortion",
     "hard_negatives",
+    # round 5, fourteenth batch (ROC points, MLM plan, P×K batches)
+    "roc_points",
+    "mlm_plan",
+    "pk_batches",
+    # round 5, fifteenth batch (autocontrast, tar byte index,
+    # priority dedup, rendezvous routing)
+    "autocontrast",
+    "webdataset_index",
+    "priority_dedup",
+    "rendezvous",
 ]
 
 

@@ -514,6 +514,103 @@ def auc_roc(
         t.unpersist(blocking=False)
 
 
+def roc_points(
+    df: DataFrame,
+    score_col: str = "score_u",
+    label_col: str = "label",
+    grain: int = 1_000_000,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Exact ROC curve points — one row per DISTINCT score value t,
+    descending, with the confusion counts of the classifier "positive
+    iff score >= t": (score, n_ge, tp, fp, tpr_u, fpr_u), rates as one
+    integer floor division each at ``grain``. The curve AUC integrates
+    is exactly what ``auc_roc`` computes; this surfaces the operating
+    points a threshold picker needs.
+
+    Scale shape: one map-side-combined groupBy onto distinct score
+    values (domain bounded by the score grain), then descending prefix
+    sums WITHOUT a range exchange: scores bucket by a VALUE-computed
+    id ((max-score) div width over ``n_buckets`` buckets — a pure
+    function of the score, so lineage recomputation is deterministic
+    and nothing needs persisting, unlike repartitionByRange whose
+    sampled placement must be pinned), per-bucket totals lift local
+    window cumsums via broadcast driver offsets. Scores must be
+    integers (the score_u convention); labels 0/1; NULL scores
+    excluded. Output size = distinct-score count (bounded by the
+    domain, not the corpus) — downsample downstream if plotting."""
+    g = int(grain)
+    spark = df.sparkSession
+    s = (
+        df.filter(F.col(score_col).isNotNull())
+        .groupBy(F.col(score_col).cast("long").alias("score"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.col(label_col).cast("long")).alias("__np"),
+        )
+    )
+    mm = s.agg(
+        F.min("score").alias("__lo"), F.max("score").alias("__hi")
+    ).collect()[0]
+    if mm["__lo"] is None:
+        return spark.createDataFrame(
+            [],
+            schema="score bigint, n_ge bigint, tp bigint, fp bigint,"
+            " tpr_u bigint, fpr_u bigint",
+        )
+    lo, hi = int(mm["__lo"]), int(mm["__hi"])
+    width = max(1, (hi - lo) // int(n_buckets) + 1)
+    # bucket 0 holds the HIGHEST scores so bucket order == rank order
+    bkt = F.expr(f"CAST(({hi} - score) div {width} AS INT)")
+    b = s.withColumn("__bk", bkt)
+    btots = {
+        int(r["__bk"]): (int(r["__bn"]), int(r["__bp"]))
+        for r in b.groupBy("__bk")
+        .agg(F.sum("__n").alias("__bn"), F.sum("__np").alias("__bp"))
+        .collect()
+    }
+    base_n = base_p = 0
+    bases = []
+    for bk in sorted(btots):
+        bn, bp = btots[bk]
+        bases.append((bk, base_n, base_p))
+        base_n += bn
+        base_p += bp
+    n_tot, p_tot = base_n, base_p
+    n_neg = n_tot - p_tot
+    base_df = spark.createDataFrame(
+        bases, schema="__bk int, __bn bigint, __bp bigint"
+    )
+    w = Window.partitionBy("__bk").orderBy(F.col("score").desc())
+    cum = (
+        b.withColumn("__cn", F.sum("__n").over(w))
+        .withColumn("__cp", F.sum("__np").over(w))
+        .join(F.broadcast(base_df), "__bk")
+        .select(
+            "score",
+            (F.col("__bn") + F.col("__cn")).alias("n_ge"),
+            (F.col("__bp") + F.col("__cp")).alias("tp"),
+            (
+                F.col("__bn") + F.col("__cn") - F.col("__bp") - F.col("__cp")
+            ).alias("fp"),
+        )
+    )
+    tpr = (
+        F.expr(f"(tp * CAST({g} AS BIGINT)) div {p_tot}")
+        if p_tot
+        else F.lit(None).cast("long")
+    )
+    fpr = (
+        F.expr(f"(fp * CAST({g} AS BIGINT)) div {n_neg}")
+        if n_neg
+        else F.lit(None).cast("long")
+    )
+    return cum.select(
+        "score", "n_ge", "tp", "fp",
+        tpr.alias("tpr_u"), fpr.alias("fpr_u"),
+    )
+
+
 def average_precision(
     df: DataFrame,
     score_col: str = "score_u",

@@ -1463,6 +1463,141 @@ def pack_batches(
     )
 
 
+def pk_batches(
+    df: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    p: int = 4,
+    k: int = 4,
+    seed: int = 0,
+    epoch: int = 0,
+) -> DataFrame:
+    """P×K class-balanced batch plan — the metric-learning sampler
+    (batch-hard triplet / InfoNCE training needs every batch to hold
+    exactly ``p`` DISTINCT classes × ``k`` samples each, so in-batch
+    positives AND hard negatives both exist; pairs with the
+    hard_negatives miner). Deterministic and engine-replayable:
+
+    - stage 1 is ``pack_batches`` on ``(label,)`` buckets at
+      ``batch_size=k`` — per-class k-sample class-batches via the
+      md5(id:seed:epoch) epoch permutation, partial batches dropped;
+    - classes with fewer than ``k`` samples form no class-batch and
+      drop out of the plan entirely (the long-tail rule: one tiny
+      class must not zero the whole epoch); rounds then cap at R =
+      min over the SURVIVING classes of their class-batch count, so
+      every round has all C surviving classes available;
+    - within a round, classes shuffle by
+      md5(label:round:seed:epoch:pk) (row_number over the C-row
+      per-round window — classes are a bounded domain, never corpus-
+      sized) and the first (C div p)·p class-batches group into
+      batches of p; the remainder classes sit the round out.
+
+    Scale shape: the sample table only ever moves through
+    pack_batches' two-level rank; the round assignment joins back as
+    a broadcast of the C·R-row class-batch table — sample rows never
+    reshuffle. Returns (batch_id, class_pos, label, slot, id)."""
+    if p < 1 or k < 1:
+        raise ValueError("p and k must be >= 1")
+    packed = pack_batches(
+        df.select(F.col(label_col), F.col(id_col)),
+        bucket_cols=(label_col,),
+        id_col=id_col,
+        batch_size=k,
+        seed=seed,
+        epoch=epoch,
+        drop_partial=True,
+    )
+    cb = packed.groupBy(label_col, "batch_idx").agg(
+        F.count(F.lit(1)).alias("__ck")
+    )
+    stats = cb.groupBy(label_col).agg(
+        (F.max("batch_idx") + 1).alias("__nb")
+    ).collect()
+    if not stats:
+        spark = df.sparkSession
+        lt = df.schema[label_col].dataType.simpleString()
+        it = df.schema[id_col].dataType.simpleString()
+        return spark.createDataFrame(
+            [],
+            schema=f"batch_id bigint, class_pos int, {label_col} {lt},"
+            f" slot int, {id_col} {it}",
+        )
+    c_classes = len(stats)
+    if c_classes < p:
+        raise ValueError(
+            f"p={p} exceeds the {c_classes} classes with >= k samples"
+        )
+    rounds = min(int(r["__nb"]) for r in stats)
+    grp = (c_classes // int(p)) * int(p)
+    rkey = F.md5(
+        F.concat_ws(
+            ":",
+            F.col(label_col).cast("string"),
+            F.col("batch_idx").cast("string"),
+            F.lit(str(int(seed))),
+            F.lit(str(int(epoch))),
+            F.lit("pk"),
+        )
+    )
+    wr = Window.partitionBy("batch_idx").orderBy(rkey, F.col(label_col))
+    sel = (
+        cb.filter(F.col("batch_idx") < rounds)
+        .withColumn("__rn", F.row_number().over(wr) - 1)
+        .filter(F.col("__rn") < grp)
+        .select(
+            F.col(label_col),
+            "batch_idx",
+            (
+                F.col("batch_idx") * F.lit(grp // int(p))
+                + F.expr(f"__rn div {int(p)}")
+            ).cast("long").alias("batch_id"),
+            (F.col("__rn") % int(p)).cast("int").alias("class_pos"),
+        )
+    )
+    return packed.join(
+        F.broadcast(sel), [label_col, "batch_idx"]
+    ).select("batch_id", "class_pos", label_col, "slot", id_col)
+
+
+def rendezvous_assign(
+    df: DataFrame,
+    id_col: str,
+    workers: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) worker assignment — the
+    elastic alternative to ``plan_loader_shards``' mod-world routing:
+    worker = argmax over w of md5(id:w:seed). When the worker count
+    changes W → W', only ~|W-W'|/max(W,W') of keys move (mod-world
+    reshuffles almost everything) — the property that keeps
+    per-worker caches warm across elastic resizes.
+
+    Row-local and shuffle-free: the W candidate hashes evaluate per
+    row as one array_max over (hash, worker) structs (lexicographic
+    struct max = highest hash, tie → highest worker — the order the
+    oracle replays with ORDER BY h DESC, w DESC). W is a config-sized
+    constant; the expression stays in whole-stage codegen."""
+    if workers < 1:
+        raise ValueError("workers must be >= 1")
+    cand = F.array(
+        *[
+            F.struct(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col(id_col).cast("string"),
+                        F.lit(str(w)),
+                        F.lit(str(int(seed))),
+                    )
+                ).alias("h"),
+                F.lit(w).alias("w"),
+            )
+            for w in range(int(workers))
+        ]
+    )
+    return df.withColumn("worker", F.array_max(cand)["w"])
+
+
 def collate_manifest(
     packed: DataFrame,
     bucket_cols: "tuple[str, ...]" = ("bucket_w", "bucket_h"),

@@ -51,6 +51,34 @@ def exact_dedup(df: DataFrame, cols: Sequence[str], id_col: str) -> DataFrame:
     )
 
 
+def priority_dedup(
+    df: DataFrame,
+    cols: Sequence[str],
+    id_col: str,
+    priority_col: str,
+) -> DataFrame:
+    """Cross-source canonical-copy dedup: among exact duplicates on
+    ``cols``, keep the row with the LOWEST ``priority_col`` value
+    (tie → lowest id) — the multi-source corpus rule where curated
+    sources outrank crawls for the same content. Same scale shape as
+    exact_dedup (the 128-bit digest shuffles, never the text); the
+    winner per group is ONE ``min(struct(priority, id))`` aggregate —
+    lexicographic struct ordering gives the arg-min without a window.
+    Priority must be non-NULL (NULL sorts first in Spark and last in
+    SQL engines — the kmv NULL rule); raise upstream defaults
+    explicitly rather than relying on engine NULL order."""
+    fp = F.md5(F.to_json(F.struct(*[F.col(c) for c in cols])))
+    hashed = df.withColumn("__fp", fp)
+    reps = hashed.groupBy("__fp").agg(
+        F.min(F.struct(F.col(priority_col), F.col(id_col))).alias("__w")
+    )
+    return (
+        hashed.join(reps, on="__fp", how="inner")
+        .filter(F.col(id_col) == F.col("__w")[id_col])
+        .drop("__w", "__fp")
+    )
+
+
 def dedup_paragraphs(
     df: DataFrame,
     text_col: str = "text",

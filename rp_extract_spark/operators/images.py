@@ -2169,3 +2169,72 @@ def image_pair_sse(
             )
 
     return j.mapInPandas(run, PAIR_SSE_SCHEMA)
+
+
+AUTOCONTRAST_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), True),
+        T.StructField("w", T.IntegerType(), True),
+        T.StructField("h", T.IntegerType(), True),
+        T.StructField("lo", T.IntegerType(), True),
+        T.StructField("hi", T.IntegerType(), True),
+        T.StructField("fmt", T.StringType(), True),
+        T.StructField("err", T.StringType(), True),
+    ]
+)
+
+
+def image_autocontrast(images: DataFrame) -> DataFrame:
+    """Exact-integer autocontrast (the PIL/RandAugment cutoff=0 form;
+    sibling of image_equalize): stretch each image's value range
+    [lo, hi] = [min, max] linearly onto [0, 255] with ONE floor
+    division per pixel — ``v' = (v - lo) * 255 // (hi - lo)`` over
+    non-negative ints only (the color_jitter rule), identity when the
+    image is flat (hi == lo). Every output pixel is recomputable in
+    SQL from the per-image min/max, so the transform oracles end to
+    end (the equalize LUT precedent).
+
+    One Arrow decode scan, no shuffle, error-isolated."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for iid, data, fmt in zip(
+                b["image_id"].values, b["bytes"].values, b["fmt"].values
+            ):
+                try:
+                    px = to_gray(decode_image(bytes(data), fmt)).astype(
+                        np.int64
+                    )
+                    h, w = px.shape
+                    lo = int(px.min())
+                    hi = int(px.max())
+                    if hi > lo:
+                        out = ((px - lo) * 255) // (hi - lo)
+                    else:
+                        out = px
+                    rows.append(
+                        {
+                            "image_id": iid,
+                            "bytes": encode_png(out.astype(np.uint8)),
+                            "w": w, "h": h, "lo": lo, "hi": hi,
+                            "fmt": "png", "err": None,
+                        }
+                    )
+                except Exception as e:  # noqa: BLE001
+                    rows.append(
+                        {
+                            "image_id": iid, "bytes": None, "w": None,
+                            "h": None, "lo": None, "hi": None,
+                            "fmt": None,
+                            "err": f"{type(e).__name__}: {e}",
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUTOCONTRAST_SCHEMA.fields]
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        run, AUTOCONTRAST_SCHEMA
+    )

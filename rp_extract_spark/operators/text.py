@@ -614,3 +614,75 @@ def span_corruption_plan(
         F.sum(F.when(F.col("__r") > F.col("__nm"), F.col("__chars"))
               .otherwise(0)).cast("long").alias("visible_chars"),
     )
+
+
+def mlm_mask_plan(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mask_num: int = 15,
+    mask_den: int = 100,
+    seed: int = 11,
+) -> DataFrame:
+    """Deterministic BERT-style MLM masking PLAN (Devlin et al. 2018):
+    EXACTLY ``(n_tokens * mask_num) // mask_den`` tokens per document
+    are selected — the first in the document's md5 token permutation
+    (exact-count realization, never expectation-only) — and each
+    selected token draws its action from two md5 hex digits of an
+    independent ``:a``-suffixed key: d%10 < 8 → [MASK], == 8 → random
+    replacement, == 9 → keep (the 80/10/10 split). Reshuffle-stable
+    per seed, recomputable by any worker or engine; the trainer
+    consumes the plan, text is never rewritten here. Zero-token docs
+    produce no row.
+
+    Scale shape: one posexplode (row-local), a per-doc token window
+    (bounded by document length — never corpus-wide; the
+    span_corruption_plan shape), one group-back. Returns per doc:
+    (id, n_tokens, n_masked, n_mask_tok, n_rand_tok, n_keep_tok,
+    masked_chars)."""
+    if not 0 <= mask_num <= mask_den or mask_den < 1:
+        raise ValueError("bad mask parameters")
+    from pyspark.sql.window import Window
+
+    tok = df.select(
+        F.col(id_col),
+        F.posexplode(nonempty_tokens_col(F.col(text_col)))
+        .alias("pos", "w"),
+    )
+    key = F.md5(
+        F.concat(
+            F.col(id_col).cast("string"), F.lit(":"),
+            F.col("pos").cast("string"), F.lit(f":{int(seed)}"),
+        )
+    )
+    akey = F.md5(
+        F.concat(
+            F.col(id_col).cast("string"), F.lit(":"),
+            F.col("pos").cast("string"), F.lit(f":{int(seed)}:a"),
+        )
+    )
+    wperm = Window.partitionBy(id_col).orderBy(key, F.col("pos"))
+    wc = Window.partitionBy(id_col)
+    ranked = (
+        tok.withColumn("__r", F.row_number().over(wperm))
+        .withColumn("__nt", F.count(F.lit(1)).over(wc))
+        .withColumn(
+            "__nm",
+            F.expr(f"(__nt * {int(mask_num)}) div {int(mask_den)}"))
+        .withColumn(
+            "__act",
+            F.conv(F.substring(akey, 1, 2), 16, 10).cast("int") % 10)
+    )
+    m = F.col("__r") <= F.col("__nm")
+    return ranked.groupBy(id_col).agg(
+        F.max("__nt").cast("long").alias("n_tokens"),
+        F.max("__nm").cast("long").alias("n_masked"),
+        F.sum(F.when(m & (F.col("__act") < 8), 1).otherwise(0))
+        .cast("long").alias("n_mask_tok"),
+        F.sum(F.when(m & (F.col("__act") == 8), 1).otherwise(0))
+        .cast("long").alias("n_rand_tok"),
+        F.sum(F.when(m & (F.col("__act") == 9), 1).otherwise(0))
+        .cast("long").alias("n_keep_tok"),
+        F.sum(F.when(m, F.length("w")).otherwise(0))
+        .cast("long").alias("masked_chars"),
+    )

@@ -7184,6 +7184,344 @@ QUERIES["hard_negatives"] = q_hard_negatives
 ORACLES["hard_negatives"] = ORACLE_HARD_NEGATIVES
 
 
+def q_roc_points(spark, sf):
+    """Exact ROC operating points (one row per distinct score,
+    descending), fully ORACLED: same md5 score/label derivation as the
+    auc_roc fixture so the curve integrates to that AUC; counts come
+    from value-computed bucket prefix sums (no range exchange — the
+    deterministic-lineage variant of the two-level shape) and each
+    rate is one integer floor division at the 1e-6 grain."""
+    from ..operators.classify import roc_points
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id").isNotNull())
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":auc")))
+    s = d.select(
+        (F.conv(F.substring(key, 1, 5), 16, 10).cast("long") % 1000001)
+        .alias("score_u"),
+        F.conv(F.substring(key, 6, 2), 16, 10).cast("long").alias("__v"),
+    ).select(
+        "score_u",
+        F.when(F.col("__v") * 3922 < F.col("score_u"), F.lit(1))
+        .otherwise(F.lit(0)).alias("label"),
+    )
+    return roc_points(s, "score_u", "label").orderBy(
+        F.col("score").desc()
+    )
+
+
+ORACLE_ROC_POINTS = """
+WITH s AS (SELECT
+             CAST('0x' || substr(md5(doc_id || ':auc'), 1, 5) AS BIGINT)
+               % 1000001 AS sc,
+             CAST('0x' || substr(md5(doc_id || ':auc'), 6, 2) AS BIGINT)
+               AS v
+           FROM documents WHERE doc_id IS NOT NULL),
+p AS (SELECT sc, CASE WHEN v * 3922 < sc THEN 1 ELSE 0 END AS y FROM s),
+g AS (SELECT sc, count(*) AS n, sum(y) AS np FROM p GROUP BY sc),
+t AS (SELECT sum(n) AS nt, sum(np) AS pp FROM g),
+c AS (SELECT sc,
+             sum(n) OVER (ORDER BY sc DESC ROWS UNBOUNDED PRECEDING)
+               AS n_ge,
+             sum(np) OVER (ORDER BY sc DESC ROWS UNBOUNDED PRECEDING)
+               AS tp
+      FROM g)
+SELECT CAST(sc AS BIGINT) AS score, CAST(n_ge AS BIGINT) AS n_ge,
+       CAST(tp AS BIGINT) AS tp, CAST(n_ge - tp AS BIGINT) AS fp,
+       CAST(tp * 1000000 // t.pp AS BIGINT) AS tpr_u,
+       CAST((n_ge - tp) * 1000000 // (t.nt - t.pp) AS BIGINT) AS fpr_u
+FROM c, t ORDER BY score DESC
+"""
+
+
+QUERIES["roc_points"] = q_roc_points
+ORACLES["roc_points"] = ORACLE_ROC_POINTS
+
+
+def q_mlm_plan(spark, sf):
+    """BERT-style MLM masking plan (exact 15% per doc, 80/10/10
+    actions), fully ORACLED: the token permutation rank, the exact
+    masked count, and every action digit replay in DuckDB over the
+    shared whitespace tokenizer CTE (the span_corruption precedent);
+    masked-char sums witness the exact mask set."""
+    from ..operators.text import mlm_mask_plan
+
+    d = _t(spark, sf, "documents")
+    return mlm_mask_plan(d, "text", "doc_id", seed=11).orderBy("doc_id")
+
+
+ORACLE_MLM_PLAN = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(trim(text)),
+                                                 '\s+', ' ', 'g'), ' '),
+                     x -> x <> '') AS t
+  FROM documents),
+tok AS (SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS w
+        FROM toks WHERE len(t) > 0),
+rk AS (SELECT doc_id, pos, w,
+              row_number() OVER (
+                PARTITION BY doc_id
+                ORDER BY md5(doc_id || ':' || pos || ':11'), pos) AS r,
+              count(*) OVER (PARTITION BY doc_id) AS nt
+       FROM tok),
+m AS (SELECT rk.*, (nt * 15) // 100 AS nm,
+             CAST('0x' || substr(md5(doc_id || ':' || pos || ':11:a'),
+                                 1, 2) AS INT) % 10 AS act
+      FROM rk)
+SELECT doc_id,
+       CAST(max(nt) AS BIGINT) AS n_tokens,
+       CAST(max(nm) AS BIGINT) AS n_masked,
+       CAST(sum(CASE WHEN r <= nm AND act < 8 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_mask_tok,
+       CAST(sum(CASE WHEN r <= nm AND act = 8 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_rand_tok,
+       CAST(sum(CASE WHEN r <= nm AND act = 9 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_keep_tok,
+       CAST(sum(CASE WHEN r <= nm THEN length(w) ELSE 0 END)
+            AS BIGINT) AS masked_chars
+FROM m GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+QUERIES["mlm_plan"] = q_mlm_plan
+ORACLES["mlm_plan"] = ORACLE_MLM_PLAN
+
+
+def q_pk_batches(spark, sf):
+    """P×K class-balanced batch plan (3 classes × 4 samples per
+    batch over the embeddings labels), fully ORACLED: DuckDB replays
+    the per-class epoch permutation (pack_batches' md5(id:seed:epoch)
+    rank), the round cap at the minimum per-class batch count, the
+    per-round class shuffle, and the batch/slot arithmetic — every
+    assignment is exact integer."""
+    from ..operators.curation import pk_batches
+
+    e = _t(spark, sf, "embeddings").filter(F.col("label").isNotNull())
+    out = pk_batches(
+        e, label_col="label", id_col="vec_id", p=3, k=4, seed=2, epoch=1
+    )
+    return out.orderBy("batch_id", "class_pos", "slot")
+
+
+ORACLE_PK_BATCHES = """
+WITH e AS (SELECT vec_id, label FROM embeddings
+           WHERE label IS NOT NULL),
+rk AS (SELECT label, vec_id,
+              row_number() OVER (
+                PARTITION BY label
+                ORDER BY md5(vec_id || ':2:1'), vec_id) - 1 AS rn,
+              count(*) OVER (PARTITION BY label) AS n
+       FROM e),
+kept AS (SELECT label, vec_id, rn // 4 AS batch_idx, rn % 4 AS slot
+         FROM rk WHERE rn < (n // 4) * 4),
+nbs AS (SELECT label, max(batch_idx) + 1 AS nb FROM kept GROUP BY label),
+r AS (SELECT min(nb) AS rounds FROM nbs),
+cs AS (SELECT count(*) AS c FROM nbs),
+grp AS (SELECT (c // 3) * 3 AS g FROM cs),
+cb AS (SELECT DISTINCT label, batch_idx FROM kept
+       WHERE batch_idx < (SELECT rounds FROM r)),
+selr AS (SELECT label, batch_idx,
+               row_number() OVER (
+                 PARTITION BY batch_idx
+                 ORDER BY md5(label || ':' || batch_idx || ':2:1:pk'),
+                          label) - 1 AS rn2
+        FROM cb),
+sel AS (SELECT label, batch_idx,
+               batch_idx * ((SELECT g FROM grp) // 3) + rn2 // 3
+                 AS batch_id,
+               rn2 % 3 AS class_pos
+        FROM selr WHERE rn2 < (SELECT g FROM grp))
+SELECT CAST(sel.batch_id AS BIGINT) AS batch_id,
+       CAST(sel.class_pos AS INT) AS class_pos,
+       kept.label AS label, CAST(kept.slot AS INT) AS slot,
+       kept.vec_id AS vec_id
+FROM kept JOIN sel ON kept.label = sel.label
+                  AND kept.batch_idx = sel.batch_idx
+ORDER BY batch_id, class_pos, slot
+"""
+
+
+QUERIES["pk_batches"] = q_pk_batches
+ORACLES["pk_batches"] = ORACLE_PK_BATCHES
+
+
+def q_autocontrast(spark, sf):
+    """Exact-integer autocontrast over posterized inputs (the
+    photometric pass narrows the dynamic range so the stretch is
+    non-trivial), fully ORACLED pixel-by-pixel: DuckDB replays the
+    photometric CASE chain, takes per-image min/max, applies the one
+    floor-division stretch, and recomputes position-sensitive
+    moments."""
+    from ..operators.images import (
+        image_autocontrast,
+        image_moments,
+        photometric_images,
+    )
+    from ..sources.images import formula_images_df
+
+    out = image_moments(
+        image_autocontrast(
+            photometric_images(formula_images_df(spark, 12), seed=4, epoch=1)
+        ),
+        carry_cols=("lo", "hi"),
+    )
+    return out.select(
+        "image_id", "lo", "hi", "w", "h", "m0", "mx", "my"
+    ).orderBy("image_id")
+
+
+ORACLE_AUTOCONTRAST = """
+WITH ids AS (SELECT unnest(range(12)) AS i),
+""" + _SQL_FORMULA_DIMS + """,
+pl AS (SELECT i, w, h,
+         CAST('0x' || substring(k, 1, 1) AS INT) % 2 AS sol,
+         CAST('0x' || substring(k, 2, 2) AS INT) AS thr,
+         CASE WHEN CAST('0x' || substring(k, 4, 1) AS INT) % 2 = 1
+              THEN 3 + CAST('0x' || substring(k, 5, 1) AS INT) % 2
+              ELSE 0 END AS pb,
+         CAST('0x' || substring(k, 6, 1) AS INT) % 2 AS inv
+       FROM (SELECT i, w, h,
+               md5(printf('img%08d', i) || ':4:1:pm') AS k FROM dims)),
+cells AS (SELECT i, w, h, sol, thr, pb, inv, x.g AS x, y.g AS y,
+            (i*31 + x.g*7 + y.g*13) % 256 AS v0
+          FROM pl, (SELECT unnest(range(256)) AS g) x,
+               (SELECT unnest(range(128)) AS g) y
+          WHERE x.g < w AND y.g < h),
+c1 AS (SELECT *, CASE WHEN sol = 1 AND v0 >= thr THEN 255 - v0
+                      ELSE v0 END AS v1 FROM cells),
+c2 AS (SELECT *, CASE WHEN pb = 3 THEN (v1 // 32) * 32
+                      WHEN pb = 4 THEN (v1 // 16) * 16
+                      ELSE v1 END AS v2 FROM c1),
+c3 AS (SELECT *, CASE WHEN inv = 1 THEN 255 - v2 ELSE v2 END AS v FROM c2),
+mm AS (SELECT i, min(v) AS lo, max(v) AS hi FROM c3 GROUP BY i),
+st AS (SELECT c3.i, c3.w, c3.h, c3.x, c3.y, mm.lo, mm.hi,
+              CASE WHEN mm.hi > mm.lo
+                   THEN ((c3.v - mm.lo) * 255) // (mm.hi - mm.lo)
+                   ELSE c3.v END AS v
+       FROM c3 JOIN mm ON mm.i = c3.i)
+SELECT printf('img%08d', i) AS image_id,
+       CAST(max(lo) AS INT) AS lo, CAST(max(hi) AS INT) AS hi,
+       CAST(max(w) AS INT) AS w, CAST(max(h) AS INT) AS h,
+       CAST(sum(v) AS BIGINT) AS m0,
+       CAST(sum(v * x) AS BIGINT) AS mx,
+       CAST(sum(v * y) AS BIGINT) AS my
+FROM st GROUP BY i ORDER BY image_id
+"""
+
+
+QUERIES["autocontrast"] = q_autocontrast
+ORACLES["autocontrast"] = ORACLE_AUTOCONTRAST
+
+
+def q_webdataset_index(spark, sf):
+    """Random-access byte-offset index of a WebDataset shard, fully
+    ORACLED: document payloads (utf-8 text) write as ONE ustar shard
+    in doc order, and DuckDB recomputes every member's header/payload
+    offset from the member sizes alone — the 512-block prefix-sum
+    layout arithmetic. A wrong pad, header size, or member order
+    breaks the integer equality. Side effect: writes a shard to a
+    fresh temp dir each run."""
+    import tempfile
+
+    from ..sources.webdataset import index_webdataset, write_webdataset
+
+    d = (
+        _t(spark, sf, "documents")
+        .filter(F.col("text").isNotNull() & (F.col("doc_id") < 40))
+        .select(
+            "doc_id",
+            F.encode(F.col("text"), "utf-8").alias("payload"),
+            F.lit("txt").alias("ext"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+    out_dir = tempfile.mkdtemp(prefix="wds_index_")
+    write_webdataset(
+        d, out_dir, id_col="doc_id", data_col="payload",
+        ext_col="ext", shard_rows=1_000_000,
+    ).count()
+    idx = index_webdataset(spark, out_dir + "/*.tar")
+    return idx.filter(F.col("err").isNull()).select(
+        "member", "offset", "data_offset", "size"
+    ).orderBy("offset")
+
+
+ORACLE_WEBDATASET_INDEX = """
+WITH d AS (SELECT doc_id, octet_length(encode(text)) AS sz
+           FROM documents WHERE text IS NOT NULL AND doc_id < 40),
+o AS (SELECT doc_id, sz,
+             sum(512 + ((sz + 511) // 512) * 512)
+               OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+             - (512 + ((sz + 511) // 512) * 512) AS header
+      FROM d)
+SELECT doc_id || '.txt' AS member, CAST(header AS BIGINT) AS "offset",
+       CAST(header + 512 AS BIGINT) AS data_offset,
+       CAST(sz AS BIGINT) AS "size"
+FROM o ORDER BY "offset"
+"""
+
+
+QUERIES["webdataset_index"] = q_webdataset_index
+ORACLES["webdataset_index"] = ORACLE_WEBDATASET_INDEX
+
+
+def q_priority_dedup(spark, sf):
+    """Cross-source canonical-copy dedup (lowest source, then lowest
+    id, wins each exact-duplicate group), fully ORACLED: the
+    min-struct arg-min replays as one SQL row_number over
+    (text PARTITION, source/id ORDER)."""
+    from ..operators.dedup import priority_dedup
+
+    d = _t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    out = priority_dedup(d, ["text"], "doc_id", "source")
+    return out.select("doc_id", "source", "n_chars").orderBy("doc_id")
+
+
+ORACLE_PRIORITY_DEDUP = """
+WITH d AS (SELECT * FROM documents WHERE text IS NOT NULL),
+r AS (SELECT doc_id, source, n_chars,
+             row_number() OVER (
+               PARTITION BY text ORDER BY source, doc_id) AS rn
+      FROM d)
+SELECT doc_id, source, n_chars FROM r WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+QUERIES["priority_dedup"] = q_priority_dedup
+ORACLES["priority_dedup"] = ORACLE_PRIORITY_DEDUP
+
+
+def q_rendezvous(spark, sf):
+    """Rendezvous (highest-random-weight) worker routing, fully
+    ORACLED: the per-row argmax over md5(id:w:seed) candidates
+    replays as a row_number over (h DESC, w DESC) — the exact
+    tiebreak order of Spark's lexicographic struct array_max."""
+    from ..operators.curation import rendezvous_assign
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    return rendezvous_assign(d, "doc_id", workers=7, seed=3).orderBy(
+        "doc_id"
+    )
+
+
+ORACLE_RENDEZVOUS = """
+WITH c AS (SELECT doc_id, g.g AS w,
+                  md5(doc_id || ':' || g.g || ':3') AS h
+           FROM documents, (SELECT unnest(range(7)) AS g) g),
+r AS (SELECT doc_id, w,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY h DESC, w DESC) AS rn
+      FROM c)
+SELECT doc_id, CAST(w AS INT) AS worker FROM r WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+QUERIES["rendezvous"] = q_rendezvous
+ORACLES["rendezvous"] = ORACLE_RENDEZVOUS
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #

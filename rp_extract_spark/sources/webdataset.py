@@ -265,3 +265,66 @@ def verify_webdataset(
                        F.col("__expect").cast("string")))
         .otherwise(F.col("err")).alias("err"),
     )
+
+
+INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.StringType(), False),
+        T.StructField("member", T.StringType(), True),
+        T.StructField("offset", T.LongType(), True),
+        T.StructField("data_offset", T.LongType(), True),
+        T.StructField("size", T.LongType(), True),
+        T.StructField("err", T.StringType(), True),
+    ]
+)
+
+
+def index_webdataset(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Byte-offset index of WebDataset shards — the random-access
+    sidecar a loader needs to fetch one sample without streaming the
+    whole tar (wids/tarindex analog): one row per member with the
+    header offset, payload offset, and payload size. For the plain
+    ustar members ``write_webdataset`` emits (short ASCII names,
+    mtime 0) the layout is pure 512-block arithmetic — header at the
+    running sum of ``512 + ceil(size/512)*512`` over preceding
+    members, payload at header + 512 — which is exactly how the
+    oracle replays it from the member sizes alone. Corrupt shards
+    yield one err row (per-file isolation)."""
+    files = spark.read.format("binaryFile").load(path_glob)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for path, content in zip(b["path"].values, b["content"].values):
+                shard = os.path.basename(str(path))
+                try:
+                    with tarfile.open(
+                        fileobj=io.BytesIO(bytes(content)), mode="r"
+                    ) as tf:
+                        for m in tf.getmembers():
+                            if not m.isfile():
+                                continue
+                            rows.append(
+                                {
+                                    "shard": shard,
+                                    "member": m.name,
+                                    "offset": int(m.offset),
+                                    "data_offset": int(m.offset_data),
+                                    "size": int(m.size),
+                                    "err": None,
+                                }
+                            )
+                except Exception as e:  # noqa: BLE001
+                    rows.append(
+                        {
+                            "shard": shard, "member": None,
+                            "offset": None, "data_offset": None,
+                            "size": None,
+                            "err": f"{type(e).__name__}: {e}",
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in INDEX_SCHEMA.fields]
+            )
+
+    return files.select("path", "content").mapInPandas(run, INDEX_SCHEMA)

@@ -195,3 +195,73 @@ def streaming_enrich_asof(
     return u.groupBy(key).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_sessionize(
+    events: DataFrame,
+    entity_col: str = "entity_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Streaming gap-based sessionization — the online form of
+    ``operators.windows.sessionize`` (north_rule W8): a new session
+    starts when the gap to the entity's previous event exceeds
+    ``gap_seconds``; session_id is the 0-based running boundary count
+    per entity. Keyed state carries (last event epoch, current
+    session index) across micro-batches, so the id sequence over an
+    in-order stream is IDENTICAL to the batch operator's — the parity
+    test replays the same events through both paths.
+
+    Assumes event-time-ordered arrival per entity (the same contract
+    as the batch cumsum — a late row would extend the session it
+    lands in, not rewrite history; enforce upstream with a watermark
+    + sort within the micro-batch source if needed). Rows within one
+    micro-batch are sorted by event time before gap evaluation.
+
+    Emits every event with its session id (append mode)."""
+    out_schema = (
+        f"{entity_col} string, {ts_col} timestamp, session_id bigint"
+    )
+    state_schema = "last_epoch bigint, session bigint"
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:  # pragma: no cover - no TTL configured
+            state.remove()
+            return iter(())
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if not len(rows):
+            return iter(())
+        rows = rows.sort_values(ts_col, kind="mergesort")
+        if state.exists:
+            last_epoch, session = state.get
+        else:
+            last_epoch, session = None, 0
+        epochs = (
+            rows[ts_col].astype("datetime64[ns]").astype("int64") // 10**9
+        )
+        out_sessions = []
+        for e in epochs:
+            e = int(e)
+            if last_epoch is not None and e - last_epoch > gap_seconds:
+                session += 1
+            out_sessions.append(session)
+            last_epoch = e
+        state.update((last_epoch, session))
+        yield pd.DataFrame(
+            {
+                entity_col: rows[entity_col].values,
+                ts_col: rows[ts_col].values,
+                "session_id": out_sessions,
+            }
+        )
+
+    return (
+        events.select(entity_col, ts_col)
+        .groupBy(entity_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -349,3 +349,71 @@ def test_shard_packing_window_partitioned_over_data(spark):
     assert max(r["start_offset"] + r["size"] for r in rows) == total
     last_start = max(r["start_offset"] for r in rows)
     assert max(r["shard_id"] for r in rows) == last_start // 4096
+
+
+def test_rendezvous_is_shuffle_free_codegen(spark):
+    """rendezvous_assign is pure row-local expression work — the W
+    candidate hashes live inside whole-stage codegen: no Exchange, no
+    Join, no Python stage of any kind."""
+    from rp_extract_spark.operators.curation import rendezvous_assign
+
+    df = spark.range(64).select(F.col("id").alias("doc_id"))
+    plan = _plan(rendezvous_assign(df, "doc_id", 8, seed=1))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    # formatted plans mark codegen stages with "[codegen id : N]"
+    assert "codegen id" in plan
+
+
+def test_priority_dedup_shuffles_digest_not_text(spark):
+    """priority_dedup must aggregate on the 16-byte digest and join
+    back on it — the raw text column never feeds an Exchange's
+    partitioning expression (the exact_dedup scale rule)."""
+    from rp_extract_spark.operators.dedup import priority_dedup
+
+    df = spark.range(64).select(
+        F.col("id"),
+        F.concat(F.lit("text "), (F.col("id") % 8).cast("string")).alias(
+            "text"
+        ),
+        (F.col("id") % 3).alias("prio"),
+    )
+    plan = _plan(priority_dedup(df, ["text"], "id", "prio"))
+    ex_lines = [ln for ln in plan.splitlines()
+                if "Arguments" in ln and "hashpartitioning" in ln]
+    assert ex_lines, "expected a hash exchange on the digest"
+    assert all("__fp" in ln for ln in ex_lines)
+    assert not any("text#" in ln for ln in ex_lines)
+
+
+def test_pk_batches_assignment_joins_as_broadcast(spark):
+    """The C·R-row class-batch assignment must come back to the sample
+    table as a broadcast join — sample rows reshuffle only inside
+    pack_batches' rank, never for the round assignment."""
+    from rp_extract_spark.operators.curation import pk_batches
+
+    df = spark.range(120).select(
+        F.col("id").alias("vec_id"), (F.col("id") % 5).alias("label")
+    )
+    plan = _plan(pk_batches(df, p=2, k=3, seed=1, epoch=0))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_roc_points_no_range_exchange(spark):
+    """roc_points' bucket id is a pure function of the score — the
+    plan must contain NO rangepartitioning exchange (whose sampled
+    placement would need pinning) and no global one-partition window."""
+    from rp_extract_spark.operators.classify import roc_points
+
+    df = spark.range(500).select(
+        (F.col("id") % 97).cast("long").alias("score_u"),
+        (F.col("id") % 3 == 0).cast("int").alias("label"),
+    )
+    plan = _plan(roc_points(df, "score_u", "label", n_buckets=8))
+    assert "rangepartitioning" not in plan.lower()
+    # every window spec is partitioned by the bucket id
+    spec_lines = [ln for ln in plan.splitlines()
+                  if "windowspecdefinition" in ln]
+    assert spec_lines and all("__bk" in ln for ln in spec_lines)

@@ -165,6 +165,11 @@ RELATIONAL = [
     "webdataset_index",
     "priority_dedup",
     "rendezvous",
+    # round 5, sixteenth batch (int8 quantization, dedup audit,
+    # group-aware folds)
+    "int8_quantize",
+    "dedup_report",
+    "group_folds",
 ]
 
 

@@ -1559,6 +1559,38 @@ def pk_batches(
     ).select("batch_id", "class_pos", label_col, "slot", id_col)
 
 
+def group_folds(
+    df: DataFrame,
+    group_col: str,
+    k: int = 5,
+    seed: int = 7,
+    fold_col: str = "fold",
+) -> DataFrame:
+    """Leakage-safe k-fold assignment by GROUP — the cross-validation
+    complement of ``group_split`` (and the duplicate-aware form of
+    ``classify.assign_folds``, which hashes row ids): every row whose
+    ``group_col`` matches lands in the SAME fold, so composing with a
+    near-duplicate component label (phash_dedup / semdedup rep ids)
+    guarantees no duplicate pair ever straddles a train/validation
+    boundary during CV. fold = conv(md5(group:seed) 15-hex) mod k —
+    F.conv on 15 hex chars == DuckDB CAST('0x'||..) (the assign_folds
+    md5 discipline); zero-shuffle stateless projection."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col(group_col).cast("string"), F.lit(f":{int(seed)}")
+                )
+            ),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    return df.withColumn(fold_col, F.pmod(h, F.lit(int(k))).cast("int"))
+
+
 def rendezvous_assign(
     df: DataFrame,
     id_col: str,

@@ -51,6 +51,36 @@ def exact_dedup(df: DataFrame, cols: Sequence[str], id_col: str) -> DataFrame:
     )
 
 
+def cluster_size_report(
+    labels: DataFrame,
+    rep_col: str = "rep_id",
+) -> DataFrame:
+    """Duplicate-cluster audit over any component labeling
+    (phash_dedup / minhash_dedup / semdedup output): the cluster-size
+    histogram that tells you whether dedup found a long tail of pairs
+    or a few giant near-dup families — the first thing to read before
+    trusting a dedup pass at corpus scale. Two narrow map-side-
+    combined aggregations (rows → per-rep sizes → per-size histogram);
+    nothing wide ever shuffles. Returns one row per distinct cluster
+    size: (size, n_clusters, n_rows, n_dup_rows) where n_dup_rows =
+    (size-1)·n_clusters is the removable excess."""
+    sizes = labels.groupBy(F.col(rep_col)).agg(
+        F.count(F.lit(1)).alias("size")
+    )
+    return sizes.groupBy("size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.count(F.lit(1)) * F.col("size").cast("long"))
+        .alias("n_rows"),
+        (F.count(F.lit(1)) * (F.col("size").cast("long") - 1))
+        .alias("n_dup_rows"),
+    ).select(
+        F.col("size").cast("long").alias("size"),
+        "n_clusters",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_dup_rows").cast("long").alias("n_dup_rows"),
+    )
+
+
 def priority_dedup(
     df: DataFrame,
     cols: Sequence[str],

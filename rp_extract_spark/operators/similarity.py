@@ -212,6 +212,58 @@ def hard_negatives(
     )
 
 
+def quantize_embeddings_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    grain: int = 1_000_000,
+) -> DataFrame:
+    """Symmetric per-dimension int8 quantization of an embedding
+    column — the 4× storage/bandwidth compression an ANN serving tier
+    applies before PQ-level loss is acceptable — kept EXACT end to
+    end so any engine replays every code: embeddings land on the
+    integer grain first (x_u = floor(x·grain + 0.5), the established
+    half-up rule), per-dim scale is the exact integer max-abs, and
+    the code is ``sign(x_u) · (|x_u|·127 div amax_u)`` — sign split
+    out so no negative value ever meets a floor division (the
+    color_jitter negative-div rule). Dequantized error
+    ``err_u = |x_u - sign·(|q|·amax_u div 127)|`` rides along as the
+    loss audit.
+
+    Scale shape: one posexplode to narrow (id, dim, x_u) ints, a
+    map-side-combined per-dim max (dim rows), one broadcast join back
+    — the wide vectors never cross an exchange twice. Returns the
+    relational form (id, dim, x_u, amax_u, q, err_u); pack to arrays
+    with array_sort((dim, q)) structs when a columnar layout is
+    needed (the collate_manifest rule — no window)."""
+    g = int(grain)
+    t = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.col(vec_col).cast("array<double>"),
+                lambda x: F.floor(x * g + F.lit(0.5)).cast("long"),
+            )
+        ).alias("dim", "x_u"),
+    )
+    amax = t.groupBy("dim").agg(F.max(F.abs(F.col("x_u"))).alias("amax_u"))
+    q = F.when(
+        F.col("amax_u") > 0,
+        F.signum("x_u").cast("long")
+        * F.expr("(abs(x_u) * 127) div amax_u"),
+    ).otherwise(F.lit(0)).cast("int")
+    out = t.join(F.broadcast(amax), "dim").withColumn("q", q)
+    err = F.abs(
+        F.col("x_u")
+        - F.signum("q").cast("long")
+        * F.expr("(abs(q) * amax_u) div 127")
+    )
+    return out.select(
+        id_col, "dim", "x_u", "amax_u",
+        "q", err.cast("long").alias("err_u"),
+    )
+
+
 def hyperplanes(dim: int, n_planes: int = 16, seed: int = 13) -> np.ndarray:
     return np.random.default_rng(seed).normal(size=(n_planes, dim))
 

@@ -7522,6 +7522,135 @@ QUERIES["rendezvous"] = q_rendezvous
 ORACLES["rendezvous"] = ORACLE_RENDEZVOUS
 
 
+def q_int8_quantize(spark, sf):
+    """Symmetric per-dim int8 embedding quantization, fully ORACLED:
+    grain landing (floor(x·1e6 + 0.5), the established half-up rule),
+    exact integer per-dim max-abs scales, sign-split floor-division
+    codes, and the dequantization error audit all replay value-for-
+    value in DuckDB."""
+    from ..operators.similarity import quantize_embeddings_int8
+
+    e = _t(spark, sf, "embeddings")
+    return quantize_embeddings_int8(e).orderBy("vec_id", "dim")
+
+
+ORACLE_INT8_QUANTIZE = """
+WITH t AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+                  unnest(embedding::DOUBLE[]) AS x
+           FROM embeddings),
+u AS (SELECT vec_id, dim,
+             CAST(floor(x * 1000000 + 0.5) AS BIGINT) AS x_u FROM t),
+a AS (SELECT dim, max(abs(x_u)) AS amax_u FROM u GROUP BY dim),
+qq AS (SELECT vec_id, u.dim, x_u, amax_u,
+              CASE WHEN amax_u > 0 THEN
+                CASE WHEN x_u < 0 THEN -((abs(x_u) * 127) // amax_u)
+                     ELSE (x_u * 127) // amax_u END
+              ELSE 0 END AS q
+       FROM u JOIN a ON a.dim = u.dim)
+SELECT vec_id, CAST(dim AS INT) AS dim, x_u,
+       CAST(amax_u AS BIGINT) AS amax_u, CAST(q AS INT) AS q,
+       CAST(abs(x_u - (CASE WHEN q < 0
+                            THEN -((abs(q) * amax_u) // 127)
+                            ELSE (q * amax_u) // 127 END))
+            AS BIGINT) AS err_u
+FROM qq ORDER BY vec_id, dim
+"""
+
+
+QUERIES["int8_quantize"] = q_int8_quantize
+ORACLES["int8_quantize"] = ORACLE_INT8_QUANTIZE
+
+
+def q_dedup_report(spark, sf):
+    """Duplicate-cluster size histogram over the dHash near-dup
+    components, fully ORACLED: DuckDB replays the complete dedup
+    chain (band candidates, bit_count verify, recursive-CTE
+    components) and then the two-level size histogram — the audit
+    that distinguishes a long tail of pairs from a few giant
+    families."""
+    from ..operators.dedup import cluster_size_report
+    from ..operators.images import phash_dedup
+    from ..sources.images import near_dup_images_df
+
+    out = phash_dedup(
+        near_dup_images_df(spark, 18), hash_type="dhash", max_hamming=2
+    )
+    return cluster_size_report(out, "rep_id").orderBy("size")
+
+
+ORACLE_DEDUP_REPORT = """
+WITH RECURSIVE """ + _SQL_NEAR_DUP_HASHES + """,
+bands AS (SELECT i, bnd.g AS band, substr(bits, 1 + 16*bnd.g, 16) AS val,
+                 bits
+          FROM hashes, (SELECT unnest(range(4)) AS g) bnd),
+pairs AS (SELECT DISTINCT a.i AS id_a, b.i AS id_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.val = b.val
+                                    AND b.i < a.i
+          WHERE bit_count(xor(a.bits::BIT, b.bits::BIT)) <= 2),
+sym AS (SELECT id_a AS s, id_b AS d FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach(a, r) AS (
+  SELECT i, i FROM ids
+  UNION
+  SELECT sym.s, reach.r FROM sym JOIN reach ON reach.a = sym.d),
+comp AS (SELECT a AS i, min(r) AS rep FROM reach GROUP BY a),
+sizes AS (SELECT rep, count(*) AS sz FROM comp GROUP BY rep)
+SELECT CAST(sz AS BIGINT) AS size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(count(*) * sz AS BIGINT) AS n_rows,
+       CAST(count(*) * (sz - 1) AS BIGINT) AS n_dup_rows
+FROM sizes GROUP BY sz ORDER BY size
+"""
+
+
+QUERIES["dedup_report"] = q_dedup_report
+ORACLES["dedup_report"] = ORACLE_DEDUP_REPORT
+
+
+def q_group_folds(spark, sf):
+    """Leakage-safe k-fold CV assignment by near-dup component, fully
+    ORACLED: the dedup chain plus one conv(md5 15-hex) mod k per
+    component rep — no duplicate pair ever straddles a CV fold."""
+    from ..operators.curation import group_folds
+    from ..operators.images import phash_dedup
+    from ..sources.images import near_dup_images_df
+
+    out = phash_dedup(
+        near_dup_images_df(spark, 18), hash_type="dhash", max_hamming=2
+    )
+    out = group_folds(out, "rep_id", k=3, seed=5)
+    return out.select("image_id", "rep_id", "fold").orderBy("image_id")
+
+
+ORACLE_GROUP_FOLDS = """
+WITH RECURSIVE """ + _SQL_NEAR_DUP_HASHES + """,
+bands AS (SELECT i, bnd.g AS band, substr(bits, 1 + 16*bnd.g, 16) AS val,
+                 bits
+          FROM hashes, (SELECT unnest(range(4)) AS g) bnd),
+pairs AS (SELECT DISTINCT a.i AS id_a, b.i AS id_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.val = b.val
+                                    AND b.i < a.i
+          WHERE bit_count(xor(a.bits::BIT, b.bits::BIT)) <= 2),
+sym AS (SELECT id_a AS s, id_b AS d FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach(a, r) AS (
+  SELECT i, i FROM ids
+  UNION
+  SELECT sym.s, reach.r FROM sym JOIN reach ON reach.a = sym.d),
+comp AS (SELECT a AS i, min(r) AS rep FROM reach GROUP BY a)
+SELECT printf('img%08d', comp.i) AS image_id,
+       printf('img%08d', comp.rep) AS rep_id,
+       CAST(CAST('0x' || substr(md5(printf('img%08d', comp.rep)
+                                    || ':5'), 1, 15) AS BIGINT) % 3
+            AS INT) AS fold
+FROM comp ORDER BY image_id
+"""
+
+
+QUERIES["group_folds"] = q_group_folds
+ORACLES["group_folds"] = ORACLE_GROUP_FOLDS
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #

@@ -170,6 +170,9 @@ RELATIONAL = [
     "int8_quantize",
     "dedup_report",
     "group_folds",
+    # round 5, seventeenth batch (coreset selection, temporal split)
+    "coreset",
+    "temporal_split",
 ]
 
 

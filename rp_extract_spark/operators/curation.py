@@ -1559,6 +1559,36 @@ def pk_batches(
     ).select("batch_id", "class_pos", label_col, "slot", id_col)
 
 
+def temporal_split(
+    df: DataFrame,
+    ts_col: str,
+    cutoff: str,
+    embargo_seconds: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Time-based train/test split with an embargo gap — the temporal
+    leakage rule (finance CV / forecast eval): train strictly BEFORE
+    ``cutoff - embargo``, test at/after ``cutoff``, and the embargo
+    band between them EXCLUDED from both (rows whose influence spans
+    the boundary — label lookahead, session spillover — poison either
+    side). The as-of joins keep features leak-free; this keeps the
+    split itself leak-free. Stateless zero-shuffle projection; rows
+    get 'train' / 'test' / 'embargo' labels, filter downstream."""
+    if embargo_seconds < 0:
+        raise ValueError("embargo_seconds must be >= 0")
+    cut = F.lit(cutoff).cast("timestamp")
+    tr_edge = F.expr(
+        f"CAST('{cutoff}' AS TIMESTAMP)"
+        f" - INTERVAL {int(embargo_seconds)} SECOND"
+    )
+    return df.withColumn(
+        split_col,
+        F.when(F.col(ts_col) < tr_edge, F.lit("train"))
+        .when(F.col(ts_col) >= cut, F.lit("test"))
+        .otherwise(F.lit("embargo")),
+    )
+
+
 def group_folds(
     df: DataFrame,
     group_col: str,

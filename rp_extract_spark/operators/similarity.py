@@ -264,6 +264,77 @@ def quantize_embeddings_int8(
     )
 
 
+def coreset_kcenter(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    grain: int = 1_000_000,
+) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez farthest-point —
+    the data-pruning / active-learning selection rule: pick the point
+    farthest from everything already picked, k times), kept EXACT so
+    any engine replays every pick: embeddings land on the integer
+    grain, distances are exact int64 squared-L2 over the grain ints,
+    the seed is the minimum id, and each round's argmax breaks ties
+    by id ASC. Returns (rank, id, d2) where d2 is the selected
+    point's min squared distance to the prior picks (the coverage
+    radius sequence; 0 for the seed).
+
+    Scale shape: k bounded rounds, each ONE distributed scan — the
+    ≤k selected vectors ride the plan as literals (the pq-codebook
+    inlining rule), min-over-selected is a LEAST chain, the argmax is
+    orderBy+limit (TakeOrdered — never a global window), and each
+    round's plan depth is constant (literals only, no growing
+    lineage). O(k·N) total work; k is config-sized."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    g = int(grain)
+    spark = df.sparkSession
+    e = df.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.floor(x * g + F.lit(0.5)).cast("long"),
+        ).alias("__v"),
+    )
+    seed_row = e.orderBy(F.col(id_col).asc()).limit(1).collect()
+    if not seed_row:
+        it = df.schema[id_col].dataType.simpleString()
+        return spark.createDataFrame(
+            [], schema=f"rank int, {id_col} {it}, d2 bigint"
+        )
+    selected = [(seed_row[0][id_col], list(seed_row[0]["__v"]))]
+    picks = [(0, selected[0][0], 0)]
+
+    def _sq(vec_lit):
+        arr = F.array(*[F.lit(int(x)).cast("long") for x in vec_lit])
+        return F.aggregate(
+            F.zip_with(F.col("__v"), arr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, d: acc + d,
+        )
+
+    for rank in range(1, int(k)):
+        dmin = _sq(selected[0][1])
+        for _, v in selected[1:]:
+            dmin = F.least(dmin, _sq(v))
+        nxt = (
+            e.select(F.col(id_col), F.col("__v"), dmin.alias("__d"))
+            .orderBy(F.col("__d").desc(), F.col(id_col).asc())
+            .limit(1)
+            .collect()
+        )
+        if not nxt or int(nxt[0]["__d"]) == 0:
+            break  # fewer than k distinct points
+        selected.append((nxt[0][id_col], list(nxt[0]["__v"])))
+        picks.append((rank, nxt[0][id_col], int(nxt[0]["__d"])))
+    it = df.schema[id_col].dataType.simpleString()
+    return spark.createDataFrame(
+        picks, schema=f"rank int, {id_col} {it}, d2 bigint"
+    )
+
+
 def hyperplanes(dim: int, n_planes: int = 16, seed: int = 13) -> np.ndarray:
     return np.random.default_rng(seed).normal(size=(n_planes, dim))
 

@@ -7651,6 +7651,95 @@ QUERIES["group_folds"] = q_group_folds
 ORACLES["group_folds"] = ORACLE_GROUP_FOLDS
 
 
+def q_coreset(spark, sf):
+    """Greedy k-center coreset selection (6 picks), fully ORACLED:
+    every pick unrolls as a DuckDB CTE pair (min-distance table +
+    argmax pick — the ivf_topk fixed-iteration technique, CTEs
+    MATERIALIZED because each distance table feeds two consumers),
+    distances are exact int64 squared-L2 over grain-landed ints, and
+    ties break by id on both engines."""
+    from ..operators.similarity import coreset_kcenter
+
+    e = _t(spark, sf, "embeddings")
+    return coreset_kcenter(e, k=6).orderBy("rank")
+
+
+def _coreset_oracle(k: int) -> str:
+    parts = [
+        "WITH e AS MATERIALIZED (SELECT vec_id,"
+        " list_transform(embedding::DOUBLE[],"
+        " x -> CAST(floor(x*1000000 + 0.5) AS BIGINT)) AS v"
+        " FROM embeddings)",
+        "s0 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1)",
+    ]
+    for i in range(1, k):
+        src = "e" if i == 1 else f"d{i - 1}"
+        sq = (
+            f"list_sum(list_transform(list_zip({src}.v,"
+            f" (SELECT v FROM s{i - 1})),"
+            " p -> (p[1]-p[2])*(p[1]-p[2])))"
+        )
+        if i == 1:
+            parts.append(
+                f"d1 AS MATERIALIZED (SELECT vec_id, v, {sq} AS dmin"
+                " FROM e)"
+            )
+        else:
+            parts.append(
+                f"d{i} AS MATERIALIZED (SELECT vec_id, v,"
+                f" LEAST(dmin, {sq}) AS dmin FROM d{i - 1})"
+            )
+        parts.append(
+            f"s{i} AS (SELECT vec_id, v, dmin FROM d{i}"
+            " ORDER BY dmin DESC, vec_id ASC LIMIT 1)"
+        )
+    union = [
+        "SELECT CAST(0 AS INT) AS rank, vec_id,"
+        " CAST(0 AS BIGINT) AS d2 FROM s0"
+    ]
+    for i in range(1, k):
+        union.append(
+            f"SELECT CAST({i} AS INT), vec_id, CAST(dmin AS BIGINT)"
+            f" FROM s{i}"
+        )
+    return (
+        ",\n".join(parts) + "\n" + "\nUNION ALL ".join(union)
+        + "\nORDER BY rank"
+    )
+
+
+QUERIES["coreset"] = q_coreset
+ORACLES["coreset"] = _coreset_oracle(6)
+
+
+def q_temporal_split(spark, sf):
+    """Time-based train/test split with a 2-day embargo band, fully
+    ORACLED: both engines compare the same NTZ timestamps against the
+    same literal edges — train strictly before cutoff-embargo, test
+    at/after cutoff, the band between excluded from both."""
+    from ..operators.curation import temporal_split
+
+    ev = _t(spark, sf, "events")
+    out = temporal_split(
+        ev, "ts", "2024-01-20 00:00:00", embargo_seconds=172800
+    )
+    return out.select("event_id", "split").orderBy("event_id")
+
+
+ORACLE_TEMPORAL_SPLIT = """
+SELECT event_id,
+       CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00'
+                     - INTERVAL 172800 SECOND THEN 'train'
+            WHEN ts >= TIMESTAMP '2024-01-20 00:00:00' THEN 'test'
+            ELSE 'embargo' END AS split
+FROM events ORDER BY event_id
+"""
+
+
+QUERIES["temporal_split"] = q_temporal_split
+ORACLES["temporal_split"] = ORACLE_TEMPORAL_SPLIT
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #

@@ -546,8 +546,17 @@ def roc_points(
         .groupBy(F.col(score_col).cast("long").alias("score"))
         .agg(
             F.count(F.lit(1)).alias("__n"),
-            F.sum(F.col(label_col).cast("long")).alias("__np"),
+            # coalesce: sum over all-NULL labels is NULL, which would
+            # poison the running tp cumsum
+            F.coalesce(
+                F.sum(F.col(label_col).cast("long")), F.lit(0)
+            ).alias("__np"),
         )
+        .persist()  # three consumers (min/max, bucket totals, the
+        # returned cumsum) of the corpus-wide aggregation; the
+        # per-score table is domain-bounded — leak-until-evict, the
+        # documented pack_sequences policy (determinism never depends
+        # on the cache: the bucket id is value-computed)
     )
     mm = s.agg(
         F.min("score").alias("__lo"), F.max("score").alias("__hi")
@@ -564,11 +573,12 @@ def roc_points(
     bkt = F.expr(f"CAST(({hi} - score) div {width} AS INT)")
     b = s.withColumn("__bk", bkt)
     btots = {
-        int(r["__bk"]): (int(r["__bn"]), int(r["__bp"]))
+        int(r["__bk"]): (int(r["__bn"] or 0), int(r["__bp"] or 0))
         for r in b.groupBy("__bk")
         .agg(F.sum("__n").alias("__bn"), F.sum("__np").alias("__bp"))
         .collect()
-    }
+    }  # __bp is NULL when every label in a bucket is NULL (sum over
+    # all-NULL) — the auc_roc `or 0` guard
     base_n = base_p = 0
     bases = []
     for bk in sorted(btots):

@@ -1498,15 +1498,22 @@ def pk_batches(
     reshuffle. Returns (batch_id, class_pos, label, slot, id)."""
     if p < 1 or k < 1:
         raise ValueError("p and k must be >= 1")
+    # NULL labels are excluded up front: they would count toward the
+    # class axis and the rounds cap but never match the final
+    # null-rejecting equi-join — silently under-filling every batch
     packed = pack_batches(
-        df.select(F.col(label_col), F.col(id_col)),
+        df.filter(F.col(label_col).isNotNull()).select(
+            F.col(label_col), F.col(id_col)
+        ),
         bucket_cols=(label_col,),
         id_col=id_col,
         batch_size=k,
         seed=seed,
         epoch=epoch,
         drop_partial=True,
-    )
+    ).persist()  # two consumers: the class-batch stats collect and the
+    # returned join (leak-until-evict, the documented pack_sequences
+    # policy — the caller's action reads from cache)
     cb = packed.groupBy(label_col, "batch_idx").agg(
         F.count(F.lit(1)).alias("__ck")
     )

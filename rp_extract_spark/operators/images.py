@@ -2125,7 +2125,10 @@ def image_pair_sse(
         F.col("bytes").alias("__bb"),
         F.col("fmt").alias("__bf"),
     )
-    j = ja.join(jb, "image_id")
+    # FULL outer: an image present on only one side is an err row, not
+    # a silently smaller audit sample (per-record isolation covers
+    # missing counterparts, not just decode failures)
+    j = ja.join(jb, "image_id", "full")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -2136,6 +2139,9 @@ def image_pair_sse(
                 batch["__bf"].values,
             ):
                 try:
+                    if ab is None or bb is None:
+                        side = "a" if ab is None else "b"
+                        raise ValueError(f"missing in {side}")
                     pa = to_gray(decode_image(bytes(ab), af)).astype(
                         np.int64
                     )

@@ -182,16 +182,20 @@ def hard_negatives(
     ranks deterministic and SQL-replayable; scores stay float and are
     NOT emitted (the 1e-6-grain boundary risk of arbitrary cosines —
     ranks are margin-protected, grid values are not)."""
+    # zero-norm embeddings (padding / failed-encode rows) cannot be
+    # ranked and would hit cosine_col's division under ANSI mode
+    # (Spark 4 default: DIVIDE_BY_ZERO aborts the job) — exclude them
+    # from both sides
     q = queries.select(
         F.col(query_id),
         F.col(query_label).alias("__ql"),
         F.col(vec_col).cast("array<double>").alias("__qv"),
-    )
+    ).filter(_norm(F.col("__qv")) > 0)
     c = corpus.select(
         F.col(corpus_id),
         F.col(corpus_label).alias("__cl"),
         F.col(vec_col).cast("array<double>").alias("__cv"),
-    )
+    ).filter(_norm(F.col("__cv")) > 0)
     joined = c.crossJoin(F.broadcast(q)).filter(
         (F.col("__cl") != F.col("__ql"))
         & (F.col(corpus_id).cast("string") != F.col(query_id).cast("string"))

@@ -219,8 +219,15 @@ def streaming_sessionize(
     micro-batch are sorted by event time before gap evaluation.
 
     Emits every event with its session id (append mode)."""
-    out_schema = (
-        f"{entity_col} string, {ts_col} timestamp, session_id bigint"
+    in_schema = events.schema
+    # entity/ts types come from the input (the streaming_dedup rule:
+    # numeric entity ids must not be silently stringified)
+    out_schema = T.StructType(
+        [
+            T.StructField(entity_col, in_schema[entity_col].dataType),
+            T.StructField(ts_col, in_schema[ts_col].dataType),
+            T.StructField("session_id", T.LongType()),
+        ]
     )
     state_schema = "last_epoch bigint, session bigint"
 

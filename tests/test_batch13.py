@@ -255,3 +255,29 @@ def test_hard_negatives_excludes_same_label_entirely(spark):
         F.col("vec_id").alias("q_id"), "label", "embedding")
     got = hard_negatives(q, e, query_id="q_id", corpus_id="vec_id", k=20)
     assert all(r.neg_label == 1 for r in got.collect())
+
+
+def test_hard_negatives_zero_norm_rows_excluded(spark):
+    # a zero embedding (padding/failed-encode row) must not crash the
+    # ANSI-mode cosine division; it is excluded from both sides
+    rows = [(0, 0, [1.0, 0.0]), (1, 1, [0.0, 1.0]),
+            (2, 1, [0.0, 0.0]), (3, 0, [0.7, 0.7])]
+    e = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), "label", "embedding")
+    got = hard_negatives(q, e, query_id="q_id", corpus_id="vec_id",
+                         k=5).collect()
+    assert [r.vec_id for r in got] == [1]  # zero-norm row 2 excluded
+
+
+def test_pair_sse_one_sided_rows_become_err(spark):
+    a = formula_images_df(spark, 3)
+    b = formula_images_df(spark, 2)  # img00000002 missing in b
+    out = {r.image_id: r for r in image_pair_sse(a, b).collect()}
+    assert len(out) == 3
+    assert out["img00000002"].err == "ValueError: missing in b"
+    assert out["img00000000"].err is None
+    # and the reverse direction reports the other side
+    rev = {r.image_id: r for r in image_pair_sse(b, a).collect()}
+    assert rev["img00000002"].err == "ValueError: missing in a"

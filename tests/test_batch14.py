@@ -265,3 +265,51 @@ def test_streaming_sessionize_parity_with_batch(spark, tmp_path):
     }
     assert got == want
     assert len(got) == 7
+
+
+def test_roc_points_all_null_labels(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "score_u long, label int")
+    rows = roc_points(df, "score_u", "label").collect()
+    assert len(rows) == 2
+    assert all(r.tp == 0 and r.fp == r.n_ge for r in rows)
+
+
+def test_pk_batches_null_labels_excluded(spark):
+    rows = [(i, 0 if i < 8 else (1 if i < 16 else None))
+            for i in range(24)]
+    df = spark.createDataFrame(rows, "vec_id long, label int")
+    out = pk_batches(df, p=2, k=4, seed=3, epoch=0).collect()
+    assert out and all(r.label in (0, 1) for r in out)
+    by_batch = {}
+    for r in out:
+        by_batch.setdefault(r.batch_id, []).append(r)
+    for rows_b in by_batch.values():
+        assert len(rows_b) == 8 and {r.label for r in rows_b} == {0, 1}
+
+
+def test_streaming_sessionize_long_entity_ids(spark, tmp_path):
+    from rp_extract_spark.streaming.stateful import streaming_sessionize
+
+    src = str(tmp_path / "s")
+    out = str(tmp_path / "o")
+    ckpt = str(tmp_path / "c")
+    spark.createDataFrame(
+        [(7, BASE), (7, BASE + timedelta(seconds=5000)), (9, BASE)],
+        "entity_id long, ts timestamp",
+    ).write.parquet(src)
+    stream = spark.readStream.schema("entity_id long, ts timestamp").parquet(src)
+    q = (
+        streaming_sessionize(stream, gap_seconds=600)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert dict(got.dtypes)["entity_id"] == "bigint"
+    rows = {(r.entity_id, r.session_id) for r in got.collect()}
+    assert rows == {(7, 0), (7, 1), (9, 0)}

@@ -173,6 +173,11 @@ RELATIONAL = [
     # round 5, seventeenth batch (coreset selection, temporal split)
     "coreset",
     "temporal_split",
+    # round 5, eighteenth batch (truncation audit, vocab coverage,
+    # row-level CDC diff)
+    "truncation_report",
+    "vocab_coverage",
+    "row_diff",
 ]
 
 

@@ -257,3 +257,41 @@ def snapshot_diff(
         # empty delta with the to-snapshot's schema
         return base.parquet(*snaps[i_to]["files"]).limit(0)
     return base.parquet(*new_files)
+
+
+def row_diff(
+    old: DataFrame,
+    new: DataFrame,
+    cols: "list[str]",
+    id_col: str,
+) -> DataFrame:
+    """Content-level table diff by id — the row-granularity complement
+    of ``snapshot_diff`` (which diffs pinned FILE lists): counts of
+    added (id only in new), removed (id only in old), changed (same id,
+    different content on ``cols``), and unchanged rows. Content
+    compares as a 128-bit md5 digest of the compared columns, so only
+    (id, 16-byte digest) ever crosses the exchange — the exact_dedup
+    scale rule; the wide columns stay at their scan. All four category
+    rows are always present (n=0 when empty), so downstream checks can
+    key on them unconditionally."""
+    dig = F.md5(F.to_json(F.struct(*[F.col(c) for c in cols])))
+    a = old.select(F.col(id_col).alias("__id"), dig.alias("__da"))
+    b = new.select(F.col(id_col).alias("__id"), dig.alias("__db"))
+    j = a.join(b, "__id", "full")
+    cat = (
+        F.when(F.col("__da").isNull(), F.lit("added"))
+        .when(F.col("__db").isNull(), F.lit("removed"))
+        .when(F.col("__da") != F.col("__db"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    counts = j.select(cat.alias("category")).groupBy("category").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    spark = old.sparkSession
+    frame = spark.createDataFrame(
+        [("added",), ("removed",), ("changed",), ("unchanged",)],
+        schema="category string",
+    )
+    return frame.join(counts, "category", "left").select(
+        "category", F.coalesce("__n", F.lit(0)).cast("long").alias("n")
+    )

@@ -686,3 +686,102 @@ def mlm_mask_plan(
         F.sum(F.when(m, F.length("w")).otherwise(0))
         .cast("long").alias("masked_chars"),
     )
+
+
+def truncation_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 64,
+    bucket_width: int = 16,
+) -> DataFrame:
+    """Sequence-length histogram + truncation-loss audit — the report
+    that picks a context length BEFORE committing a 100-TB
+    tokenization run: per length bucket (n div bucket_width), the doc
+    count, total token mass, how many docs a ``max_tokens`` cutoff
+    would truncate, and exactly how many tokens it would discard.
+    Token counts come from the shared whitespace tokenizer via length
+    arithmetic only (no explode — nothing wide ever materializes);
+    one map-side-combined groupBy onto the bounded bucket axis.
+    Returns (bucket, n_docs, total_tokens, truncated_docs,
+    lost_tokens)."""
+    if max_tokens < 1 or bucket_width < 1:
+        raise ValueError("max_tokens and bucket_width must be >= 1")
+    n = token_count(F.col(text_col)).cast("long")
+    t = df.filter(F.col(text_col).isNotNull()).select(n.alias("__n"))
+    m = int(max_tokens)
+    return (
+        t.groupBy(F.expr(f"__n div {int(bucket_width)}").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n").alias("total_tokens"),
+            F.sum(F.when(F.col("__n") > m, 1).otherwise(0))
+            .alias("truncated_docs"),
+            F.sum(F.when(F.col("__n") > m, F.col("__n") - m).otherwise(0))
+            .alias("lost_tokens"),
+        )
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            "n_docs",
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            F.col("truncated_docs").cast("long").alias("truncated_docs"),
+            F.col("lost_tokens").cast("long").alias("lost_tokens"),
+        )
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    token_col: str = "token",
+    top_n: int = 10,
+    grain: int = 1_000_000,
+) -> DataFrame:
+    """Tokenizer-coverage audit: the share of corpus token OCCURRENCES
+    a vocabulary covers, plus the top-N out-of-vocabulary tokens by
+    count — the check that catches a domain-mismatched tokenizer
+    before training. Tokens explode row-local, the vocab joins
+    broadcast (vocabularies are config-sized), OOV heads come from a
+    TakeOrdered top-N, and the global totals ride every row from a
+    1-row broadcast (the skew_report shape). coverage_u is one integer
+    floor division at ``grain``. Returns top_n rows: (rank, token, n,
+    n_tokens, n_oov, coverage_u)."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.explode(nonempty_tokens_col(F.col(text_col))).alias("__w")
+    )
+    v = vocab.select(
+        F.col(token_col).alias("__w")
+    ).distinct().withColumn("__in", F.lit(1))
+    j = toks.join(F.broadcast(v), "__w", "left")
+    tot = j.agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.coalesce(F.sum("__in"), F.lit(0)).cast("long").alias("__hits"),
+    ).select(
+        "n_tokens",
+        (F.col("n_tokens") - F.col("__hits")).alias("n_oov"),
+        F.expr(
+            f"(__hits * CAST({int(grain)} AS BIGINT)) div n_tokens"
+        ).alias("coverage_u"),
+    )
+    oov = (
+        j.filter(F.col("__in").isNull())
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("__w").asc())
+        .limit(int(top_n))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("__w").asc())
+    ranked = oov.withColumn("rank", F.row_number().over(w))
+    # the unpartitioned window runs over <= top_n rows (post-limit) —
+    # the documented K-row exception to the no-global-window rule
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "rank",
+        F.col("__w").alias("token"),
+        "n",
+        "n_tokens",
+        "n_oov",
+        "coverage_u",
+    )

@@ -7740,6 +7740,144 @@ QUERIES["temporal_split"] = q_temporal_split
 ORACLES["temporal_split"] = ORACLE_TEMPORAL_SPLIT
 
 
+def q_truncation_report(spark, sf):
+    """Sequence-length histogram + exact truncation-loss audit at a
+    64-token cutoff, fully ORACLED: token counts come from the shared
+    whitespace-tokenizer length arithmetic on both engines, every
+    bucket/loss value is an integer."""
+    from ..operators.text import truncation_report
+
+    d = _t(spark, sf, "documents")
+    return truncation_report(
+        d, max_tokens=64, bucket_width=16
+    ).orderBy("bucket")
+
+
+ORACLE_TRUNCATION_REPORT = f"""
+WITH n AS (SELECT {_SQL_NTOK} AS nt FROM documents
+           WHERE text IS NOT NULL)
+SELECT CAST(nt // 16 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN nt > 64 THEN 1 ELSE 0 END) AS BIGINT)
+         AS truncated_docs,
+       CAST(sum(CASE WHEN nt > 64 THEN nt - 64 ELSE 0 END) AS BIGINT)
+         AS lost_tokens
+FROM n GROUP BY nt // 16 ORDER BY bucket
+"""
+
+
+QUERIES["truncation_report"] = q_truncation_report
+ORACLES["truncation_report"] = ORACLE_TRUNCATION_REPORT
+
+
+def q_vocab_coverage(spark, sf):
+    """Tokenizer-coverage audit, fully ORACLED: the vocab keeps only
+    corpus tokens whose md5 leads with hex < 'c' (a deterministic
+    ~3/4 subset — the corpus token pool is tiny by construction, so a
+    doc-derived vocab would cover everything and audit nothing); token
+    explode, broadcast vocab join, OOV top-10 with (count DESC, token
+    ASC) tiebreak, and the one floor-division coverage rate all replay
+    in DuckDB."""
+    from ..operators.text import nonempty_tokens_col, vocab_coverage
+
+    d = _t(spark, sf, "documents")
+    vocab = (
+        d.select(
+            F.explode(nonempty_tokens_col(F.col("text"))).alias("token")
+        )
+        .filter(F.substring(F.md5(F.col("token")), 1, 1) < "c")
+    )
+    return vocab_coverage(d, vocab, top_n=10).orderBy("rank")
+
+
+ORACLE_VOCAB_COVERAGE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(trim(text)),
+                                                 '\s+', ' ', 'g'), ' '),
+                     x -> x <> '') AS t
+  FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS w FROM toks WHERE len(t) > 0),
+v AS (SELECT DISTINCT w FROM tok WHERE substr(md5(w), 1, 1) < 'c'),
+j AS (SELECT tok.w, CASE WHEN v.w IS NULL THEN 0 ELSE 1 END AS hit
+      FROM tok LEFT JOIN v ON v.w = tok.w),
+tot AS (SELECT count(*) AS n_tokens, sum(hit) AS hits FROM j),
+oov AS (SELECT w, count(*) AS n FROM j WHERE hit = 0 GROUP BY w
+        ORDER BY n DESC, w ASC LIMIT 10),
+r AS (SELECT row_number() OVER (ORDER BY n DESC, w ASC) AS rank, w, n
+      FROM oov)
+SELECT CAST(r.rank AS INT) AS rank, r.w AS token,
+       CAST(r.n AS BIGINT) AS n,
+       CAST(tot.n_tokens AS BIGINT) AS n_tokens,
+       CAST(tot.n_tokens - tot.hits AS BIGINT) AS n_oov,
+       CAST(tot.hits * 1000000 // tot.n_tokens AS BIGINT) AS coverage_u
+FROM r, tot ORDER BY rank
+"""
+
+
+QUERIES["vocab_coverage"] = q_vocab_coverage
+ORACLES["vocab_coverage"] = ORACLE_VOCAB_COVERAGE
+
+
+def q_row_diff(spark, sf):
+    """Content-level CDC diff (added / removed / changed / unchanged
+    counts) between documents and a deterministic perturbation of it,
+    fully ORACLED: Spark compares 16-byte md5(to_json) digests, DuckDB
+    compares the raw values null-safely — identical categories as
+    long as the digest is collision-free per id."""
+    from ..operators.resume import row_diff
+
+    d = _t(spark, sf, "documents")
+    changed = d.filter(F.col("doc_id") % 17 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.col("text"), F.lit(" EDIT")),
+        ).otherwise(F.col("text")),
+    )
+    added = d.filter(F.col("doc_id") % 19 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    new = changed.unionByName(added)
+    return row_diff(d, new, ["text", "n_chars"], "doc_id").orderBy(
+        "category"
+    )
+
+
+ORACLE_ROW_DIFF = """
+WITH old_t AS (SELECT doc_id, text, n_chars FROM documents),
+new_t AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN text || ' EDIT' ELSE text END
+           AS text,
+         n_chars
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, text, n_chars FROM documents
+  WHERE doc_id % 19 = 0),
+j AS (SELECT o.doc_id AS oid, n.doc_id AS nid, o.text AS ot,
+             n.text AS nt, o.n_chars AS oc, n.n_chars AS nc
+      FROM old_t o FULL JOIN new_t n ON n.doc_id = o.doc_id),
+c AS (SELECT CASE WHEN oid IS NULL THEN 'added'
+                  WHEN nid IS NULL THEN 'removed'
+                  WHEN (ot IS DISTINCT FROM nt)
+                       OR (oc IS DISTINCT FROM nc) THEN 'changed'
+                  ELSE 'unchanged' END AS category
+      FROM j),
+cats AS (SELECT unnest(['added', 'removed', 'changed', 'unchanged'])
+           AS category),
+cnt AS (SELECT category, count(*) AS n FROM c GROUP BY category)
+SELECT cats.category AS category, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n
+FROM cats LEFT JOIN cnt ON cnt.category = cats.category
+ORDER BY cats.category
+"""
+
+
+QUERIES["row_diff"] = q_row_diff
+ORACLES["row_diff"] = ORACLE_ROW_DIFF
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #

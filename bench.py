@@ -178,6 +178,11 @@ RELATIONAL = [
     "truncation_report",
     "vocab_coverage",
     "row_diff",
+    # round 5, nineteenth batch (JSON extraction, embedding drift,
+    # near-dup lookup serve path)
+    "json_props",
+    "embedding_drift",
+    "image_lookup",
 ]
 
 

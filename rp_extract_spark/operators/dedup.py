@@ -950,6 +950,63 @@ def hamming64_candidates(
     )
 
 
+def hamming64_lookup(
+    queries: DataFrame,
+    gallery: DataFrame,
+    hash_col: str,
+    id_col: str,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Near-duplicate SERVE path over 64-bit perceptual hashes: for
+    each query hash, every gallery row within Hamming distance
+    ``max_hamming`` (1-3) — the "is this image already in the corpus"
+    probe an ingestion gate runs per batch, where the dedup operators
+    relabel the whole corpus. Same pigeonhole as hamming64_candidates:
+    the gallery bands once (4x16-bit), the query bands BROADCAST
+    (query batches are small by definition — corpus-sized probes are
+    dedup, not lookup), verification is one bit_count. Same-id pairs
+    are excluded (a query drawn from the gallery must not match
+    itself). Returns distinct (q_id, match_id, dist)."""
+    if not 1 <= max_hamming <= 3:
+        raise ValueError("4 bands guarantee recall only up to max_hamming=3")
+
+    def _bands(df: DataFrame, ida: str, ha: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(ida),
+            F.col(hash_col).alias(ha),
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(hash_col, 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for i in range(4)
+                ])
+            ).alias("b"),
+        ).select(
+            ida, ha, F.col("b.band").alias("band"),
+            F.col("b.val").alias("val"),
+        )
+
+    qb = _bands(queries, "q_id", "__hq")
+    gb = _bands(gallery, "match_id", "__hg")
+    return (
+        gb.join(F.broadcast(qb), ["band", "val"])
+        .filter(F.col("match_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "match_id",
+            F.bit_count(
+                F.col("__hq").bitwiseXOR(F.col("__hg"))
+            ).alias("dist"),
+        )
+        .filter(F.col("dist") <= max_hamming)
+        .distinct()
+    )
+
+
 def hamming64_dedup(
     hashed: DataFrame,
     hash_col: str,

@@ -268,6 +268,64 @@ def quantize_embeddings_int8(
     )
 
 
+def embedding_drift(
+    a: DataFrame,
+    b: DataFrame,
+    vec_col: str = "embedding",
+    grain: int = 1_000_000,
+) -> DataFrame:
+    """Per-dimension distribution drift between two embedding
+    snapshots — the embedding-space complement of psi_drift (which
+    monitors scalar features): exact integer grain sums/counts per
+    dim, means as SIGN-SPLIT floor divisions (a negative sum must
+    never meet ``div`` — truncation toward zero, identical in SQL),
+    and ``drift_u = |mean_a_u - mean_b_u|``. A retrained encoder or a
+    shifted corpus shows up as per-dim mean displacement long before
+    retrieval metrics degrade.
+
+    Scale shape: one posexplode per side to narrow ints, map-side-
+    combined per-dim aggregates (dim rows), one dim-row join. Returns
+    (dim, n_a, n_b, sum_a, sum_b, mean_a_u, mean_b_u, drift_u)."""
+    g = int(grain)
+
+    def _per_dim(df: DataFrame, n_al: str, s_al: str) -> DataFrame:
+        return (
+            df.select(
+                F.posexplode(
+                    F.transform(
+                        F.col(vec_col).cast("array<double>"),
+                        lambda x: F.floor(x * g + F.lit(0.5)).cast("long"),
+                    )
+                ).alias("dim", "__x")
+            )
+            .groupBy("dim")
+            .agg(
+                F.count(F.lit(1)).alias(n_al),
+                F.sum("__x").alias(s_al),
+            )
+        )
+
+    def _mean(s: str, n: str) -> Column:
+        # the sums are ALREADY at the grain (x_u = floor(x·g)), so the
+        # mean at the grain is one plain division — multiplying by g
+        # again would yield grain² units
+        return F.signum(F.col(s)).cast("long") * F.expr(
+            f"abs({s}) div {n}"
+        )
+
+    da = _per_dim(a, "n_a", "sum_a")
+    db = _per_dim(b, "n_b", "sum_b")
+    j = da.join(db, "dim")
+    return j.select(
+        "dim", "n_a", "n_b", "sum_a", "sum_b",
+        _mean("sum_a", "n_a").alias("mean_a_u"),
+        _mean("sum_b", "n_b").alias("mean_b_u"),
+        F.abs(
+            _mean("sum_a", "n_a") - _mean("sum_b", "n_b")
+        ).alias("drift_u"),
+    )
+
+
 def coreset_kcenter(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -7878,6 +7878,129 @@ QUERIES["row_diff"] = q_row_diff
 ORACLES["row_diff"] = ORACLE_ROW_DIFF
 
 
+def q_json_props(spark, sf):
+    """Typed JSON field extraction over the events props payload +
+    per-type aggregates, fully ORACLED: Spark's get_json_object+cast
+    and DuckDB's json_extract_string+TRY_CAST agree on every value
+    and on NULL isolation for absent/mistyped fields."""
+    from ..sources.jsoncol import extract_json_fields
+
+    ev = _t(spark, sf, "events")
+    out = extract_json_fields(ev, "props", {"k": "long"})
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+            .cast("long").alias("n_null"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_JSON_PROPS = """
+WITH e AS (SELECT event_type,
+                  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                    AS k
+           FROM events)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k
+FROM e GROUP BY event_type ORDER BY event_type
+"""
+
+
+QUERIES["json_props"] = q_json_props
+ORACLES["json_props"] = ORACLE_JSON_PROPS
+
+
+def q_embedding_drift(spark, sf):
+    """Per-dim embedding drift between two label-split snapshots,
+    fully ORACLED: exact integer grain sums, sign-split floor-division
+    means (truncation toward zero, identical in SQL), absolute drift
+    per dimension."""
+    from ..operators.similarity import embedding_drift
+
+    e = _t(spark, sf, "embeddings").filter(F.col("label").isNotNull())
+    a = e.filter(F.col("label") < 5)
+    b = e.filter(F.col("label") >= 5)
+    return embedding_drift(a, b).orderBy("dim")
+
+
+ORACLE_EMBEDDING_DRIFT = """
+WITH t AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+                  unnest(embedding::DOUBLE[]) AS x
+           FROM embeddings WHERE label IS NOT NULL),
+u AS (SELECT label, dim,
+             CAST(floor(x * 1000000 + 0.5) AS BIGINT) AS xu FROM t),
+a AS (SELECT dim, count(*) AS n_a, sum(xu) AS sum_a FROM u
+      WHERE label < 5 GROUP BY dim),
+b AS (SELECT dim, count(*) AS n_b, sum(xu) AS sum_b FROM u
+      WHERE label >= 5 GROUP BY dim),
+m AS (SELECT a.dim, n_a, n_b, sum_a, sum_b,
+             CASE WHEN sum_a < 0 THEN -(abs(sum_a) // n_a)
+                  ELSE sum_a // n_a END AS ma,
+             CASE WHEN sum_b < 0 THEN -(abs(sum_b) // n_b)
+                  ELSE sum_b // n_b END AS mb
+      FROM a JOIN b ON b.dim = a.dim)
+SELECT CAST(dim AS INT) AS dim, CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b, CAST(sum_a AS BIGINT) AS sum_a,
+       CAST(sum_b AS BIGINT) AS sum_b, CAST(ma AS BIGINT) AS mean_a_u,
+       CAST(mb AS BIGINT) AS mean_b_u,
+       CAST(abs(ma - mb) AS BIGINT) AS drift_u
+FROM m ORDER BY dim
+"""
+
+
+QUERIES["embedding_drift"] = q_embedding_drift
+ORACLES["embedding_drift"] = ORACLE_EMBEDDING_DRIFT
+
+
+def q_image_lookup(spark, sf):
+    """Near-dup image lookup (serve path: broadcast query hashes
+    probe the gallery's band buckets, bit_count verify), fully
+    ORACLED through the dHash pixel formula — every (query, match,
+    distance) triple replays in DuckDB."""
+    from ..operators.dedup import hamming64_lookup
+    from ..operators.images import image_hashes
+    from ..sources.images import near_dup_images_df
+
+    h = (
+        image_hashes(near_dup_images_df(spark, 18))
+        .filter(F.col("err").isNull())
+        .select("image_id", "dhash")
+    )
+    q = h.filter(F.substring("image_id", 4, 8).cast("int") % 3 == 0)
+    out = hamming64_lookup(q, h, "dhash", "image_id", max_hamming=2)
+    return out.orderBy("q_id", "match_id")
+
+
+ORACLE_IMAGE_LOOKUP = """
+WITH """ + _SQL_NEAR_DUP_HASHES + """,
+bands AS (SELECT i, bnd.g AS band, substr(bits, 1 + 16*bnd.g, 16) AS val,
+                 bits
+          FROM hashes, (SELECT unnest(range(4)) AS g) bnd),
+p AS (SELECT q.i AS qi, g.i AS gi,
+             bit_count(xor(q.bits::BIT, g.bits::BIT)) AS dist
+      FROM bands q JOIN bands g ON g.band = q.band AND g.val = q.val
+      WHERE q.i % 3 = 0 AND g.i <> q.i),
+d AS (SELECT DISTINCT qi, gi, dist FROM p WHERE dist <= 2)
+SELECT printf('img%08d', qi) AS q_id, printf('img%08d', gi) AS match_id,
+       CAST(dist AS INT) AS dist
+FROM d ORDER BY q_id, match_id
+"""
+
+
+QUERIES["image_lookup"] = q_image_lookup
+ORACLES["image_lookup"] = ORACLE_IMAGE_LOOKUP
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #

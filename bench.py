@@ -183,6 +183,9 @@ RELATIONAL = [
     "json_props",
     "embedding_drift",
     "image_lookup",
+    # round 5, twentieth batch (JL projection, cohort retention)
+    "random_projection",
+    "cohort_retention",
 ]
 
 

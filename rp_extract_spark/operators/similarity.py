@@ -326,6 +326,65 @@ def embedding_drift(
     )
 
 
+def random_projection(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    in_dim: int = 64,
+    out_dim: int = 8,
+    seed: int = 0,
+    grain: int = 1_000_000,
+) -> DataFrame:
+    """Signed random projection (the ±1 Achlioptas/JL sketch — the
+    cheap dimensionality reduction before LSH or clustering), kept
+    EXACT: inputs land on the integer grain, the sign matrix is
+    md5(i:j:seed) parity (engine-recomputable — no RNG state), and
+    each output coordinate is a plain integer dot product
+    ``y_j = Σ_i s_ij · x_u_i``. The 1/√k normalization is left to the
+    caller — a constant factor that would leave the integer domain.
+
+    Scale shape: the sign matrix inlines as out_dim literal arrays
+    (config-sized, the pq-codebook rule) and each y_j is one
+    zip_with/aggregate over the row's own array — whole-stage
+    codegen, zero shuffle, vectors never explode. Returns the
+    relational form (id, j, y_u)."""
+    import hashlib as _hl
+
+    g = int(grain)
+    if in_dim < 1 or out_dim < 1:
+        raise ValueError("dims must be >= 1")
+    signs = [
+        [
+            1
+            if int(
+                _hl.md5(f"{i}:{j}:{int(seed)}".encode()).hexdigest()[0],
+                16,
+            ) % 2 == 0
+            else -1
+            for i in range(int(in_dim))
+        ]
+        for j in range(int(out_dim))
+    ]
+    xu = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.floor(x * g + F.lit(0.5)).cast("long"),
+    )
+    cols = []
+    for j, srow in enumerate(signs):
+        sarr = F.array(*[F.lit(s).cast("long") for s in srow])
+        yj = F.aggregate(
+            F.zip_with(xu, sarr, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        cols.append(F.struct(F.lit(j).alias("j"), yj.alias("y_u")))
+    return df.select(
+        F.col(id_col), F.explode(F.array(*cols)).alias("__p")
+    ).select(
+        id_col, F.col("__p.j").alias("j"), F.col("__p.y_u").alias("y_u")
+    )
+
+
 def coreset_kcenter(
     df: DataFrame,
     vec_col: str = "embedding",

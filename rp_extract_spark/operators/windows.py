@@ -104,3 +104,64 @@ def rolling_stats(
         .withColumn(f"{col}_rmin{n}", F.min(col).over(w))
         .withColumn(f"{col}_rmax{n}", F.max(col).over(w))
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_seconds: int = 604_800,
+    grain: int = 1_000_000,
+) -> DataFrame:
+    """Cohort retention matrix — the activation/retention report a
+    product or data-freshness dashboard runs over an event stream:
+    cohort = the user's FIRST activity period (epoch-seconds div
+    period, engine-identical integer arithmetic — never calendar
+    weekofyear, whose ISO rules differ across engines), offset =
+    periods since the cohort, and per (cohort, offset) the distinct
+    returning users plus ``retention_u = n_users·grain div
+    cohort_size`` (one deferred floor division).
+
+    Scale shape: one distinct on the narrow (user, period) pair (the
+    only corpus-sized shuffle), a per-user min (map-side combined),
+    one broadcast of the cohort-size table (cohorts are calendar-
+    bounded, never corpus-sized). Returns (cohort, offset, n_users,
+    cohort_size, retention_u)."""
+    if period_seconds < 1:
+        raise ValueError("period_seconds must be >= 1")
+    # period index by integer epoch div (NTZ needs the double cast —
+    # the documented TIMESTAMP_NTZ trap)
+    t = events.filter(
+        F.col(ts_col).isNotNull() & F.col(user_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("__u"),
+        F.expr(
+            f"CAST(CAST({ts_col} AS TIMESTAMP) AS BIGINT)"
+            f" div {int(period_seconds)}"
+        ).alias("__w"),
+    )
+    active = t.distinct()
+    cohorts = active.groupBy("__u").agg(F.min("__w").alias("__c"))
+    sizes = cohorts.groupBy("__c").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    j = active.join(cohorts, "__u").select(
+        F.col("__c").alias("cohort"),
+        (F.col("__w") - F.col("__c")).alias("offset"),
+        "__u",
+    )
+    agg = j.groupBy("cohort", "offset").agg(
+        F.count_distinct("__u").alias("n_users")
+    )
+    g = int(grain)
+    return agg.join(
+        F.broadcast(sizes.withColumnRenamed("__c", "cohort")), "cohort"
+    ).select(
+        F.col("cohort").cast("long").alias("cohort"),
+        F.col("offset").cast("long").alias("offset"),
+        "n_users",
+        F.col("cohort_size").cast("long").alias("cohort_size"),
+        F.expr(
+            f"(n_users * CAST({g} AS BIGINT)) div cohort_size"
+        ).alias("retention_u"),
+    )

@@ -8001,6 +8001,78 @@ QUERIES["image_lookup"] = q_image_lookup
 ORACLES["image_lookup"] = ORACLE_IMAGE_LOOKUP
 
 
+def q_random_projection(spark, sf):
+    """Signed (±1) random projection to 8 dims, fully ORACLED: the
+    sign matrix is md5(i:j:seed) parity recomputed inside DuckDB, and
+    every output coordinate is an exact integer dot product over
+    grain-landed inputs."""
+    from ..operators.similarity import random_projection
+
+    e = _t(spark, sf, "embeddings")
+    return random_projection(
+        e, in_dim=64, out_dim=8, seed=3
+    ).orderBy("vec_id", "j")
+
+
+ORACLE_RANDOM_PROJECTION = """
+WITH t AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+                  unnest(embedding::DOUBLE[]) AS x
+           FROM embeddings),
+u AS (SELECT vec_id, i,
+             CAST(floor(x * 1000000 + 0.5) AS BIGINT) AS xu FROM t),
+s AS (SELECT u.vec_id, u.i, u.xu, j.g AS j,
+             CASE WHEN CAST('0x' || substr(
+                          md5(u.i || ':' || j.g || ':3'), 1, 1)
+                       AS INT) % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM u, (SELECT unnest(range(8)) AS g) j)
+SELECT vec_id, CAST(j AS INT) AS j,
+       CAST(sum(sgn * xu) AS BIGINT) AS y_u
+FROM s GROUP BY vec_id, j ORDER BY vec_id, j
+"""
+
+
+QUERIES["random_projection"] = q_random_projection
+ORACLES["random_projection"] = ORACLE_RANDOM_PROJECTION
+
+
+def q_cohort_retention(spark, sf):
+    """Weekly cohort retention matrix over the events stream, fully
+    ORACLED: period = integer epoch div (never calendar weekofyear —
+    ISO rules differ across engines), cohort = per-user min period,
+    retention as one deferred floor division. DuckDB's epoch() keeps
+    fractional seconds — floor() first (the zorder rule)."""
+    from ..operators.windows import cohort_retention
+
+    ev = _t(spark, sf, "events")
+    return cohort_retention(ev).orderBy("cohort", "offset")
+
+
+ORACLE_COHORT_RETENTION = """
+WITH t AS (SELECT DISTINCT user_id AS u,
+                  CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS w
+           FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+c AS (SELECT u, min(w) AS cw FROM t GROUP BY u),
+sz AS (SELECT cw, count(*) AS cohort_size FROM c GROUP BY cw),
+j AS (SELECT c.cw AS cohort, t.w - c.cw AS off, t.u
+      FROM t JOIN c ON c.u = t.u),
+a AS (SELECT cohort, off, count(DISTINCT u) AS n_users
+      FROM j GROUP BY cohort, off)
+SELECT CAST(a.cohort AS BIGINT) AS cohort, CAST(a.off AS BIGINT)
+         AS "offset",
+       CAST(a.n_users AS BIGINT) AS n_users,
+       CAST(sz.cohort_size AS BIGINT) AS cohort_size,
+       CAST(a.n_users * 1000000 // sz.cohort_size AS BIGINT)
+         AS retention_u
+FROM a JOIN sz ON sz.cw = a.cohort
+ORDER BY cohort, "offset"
+"""
+
+
+QUERIES["cohort_retention"] = q_cohort_retention
+ORACLES["cohort_retention"] = ORACLE_COHORT_RETENTION
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #

@@ -186,6 +186,7 @@ RELATIONAL = [
     # round 5, twentieth batch (JL projection, cohort retention)
     "random_projection",
     "cohort_retention",
+    "wordpiece",
 ]
 
 

@@ -2015,3 +2015,93 @@ def mix_schedule(
     return exploded.withColumn(
         "step", F.row_number().over(w).cast("long")
     ).select("step", "source", "copy_idx").orderBy("step")
+
+
+def wordpiece_apply(
+    df: DataFrame,
+    vocab: "list[str]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unk: str = "[UNK]",
+) -> DataFrame:
+    """Greedy longest-match-first WordPiece tokenization (the BERT
+    apply rule, Devlin et al. 2018): per whitespace word, repeatedly
+    take the LONGEST vocab piece matching a prefix of the remainder —
+    ``##``-prefixed pieces continue a word — and any failure turns the
+    WHOLE word into ``unk`` (never a partial emission). Completes the
+    tokenizer family next to the BPE train/apply/id surfaces.
+
+    Scale shape: the word split happens JVM-side via the shared
+    tokenizer (posexplode — split parity with every oracle), then ONE
+    Arrow-batched per-word stage applies the max-munch loop (pure
+    Python per word, the apply_bpe >64-merge precedent; the
+    config-sized vocab rides the task closure as a set + max-length
+    bound). No shuffle. Returns relational rows
+    (id, wpos, pos, piece)."""
+    from .text import nonempty_tokens_col
+
+    if not vocab:
+        raise ValueError("vocab must be non-empty")
+    if any(p.startswith("##") and len(p) == 2 for p in vocab):
+        raise ValueError("empty continuation piece")
+    vset = frozenset(vocab)
+    max_len = max(
+        len(p) - 2 if p.startswith("##") else len(p) for p in vocab
+    )
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(nonempty_tokens_col(F.col(text_col)))
+        .alias("wpos", "__w"),
+    )
+    id_type = df.schema[id_col].dataType
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("wpos", T.IntegerType()),
+            T.StructField("pos", T.IntegerType()),
+            T.StructField("piece", T.StringType()),
+        ]
+    )
+
+    def encode(word: str) -> "list[str]":
+        pieces = []
+        rest = word
+        first = True
+        while rest:
+            hit = None
+            for ln in range(min(len(rest), max_len), 0, -1):
+                cand = rest[:ln]
+                key = cand if first else "##" + cand
+                if key in vset:
+                    hit = (key, ln)
+                    break
+            if hit is None:
+                return [unk]
+            pieces.append(hit[0])
+            rest = rest[hit[1]:]
+            first = False
+        return pieces
+
+    def run(batches):
+        for b in batches:
+            rows = []
+            for did, wpos, w in zip(
+                b[id_col].values, b["wpos"].values, b["__w"].values
+            ):
+                for pos, piece in enumerate(encode(str(w))):
+                    rows.append(
+                        {
+                            id_col: did,
+                            "wpos": int(wpos),
+                            "pos": pos,
+                            "piece": piece,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in out_schema.fields]
+            )
+
+    return words.mapInPandas(run, out_schema)

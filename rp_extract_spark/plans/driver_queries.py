@@ -8073,6 +8073,82 @@ QUERIES["cohort_retention"] = q_cohort_retention
 ORACLES["cohort_retention"] = ORACLE_COHORT_RETENTION
 
 
+# WordPiece fixture vocab, shared verbatim by the Spark query and the
+# DuckDB oracle: all single letters as word-initial pieces, all
+# continuations EXCEPT ##w (so words with a non-initial 'w' — row,
+# slow, window — exercise the whole-word [UNK] rule), plus multi-char
+# pieces that exercise longest-match-first.
+_WP_LETTERS = "abcdefghijklmnopqrstuvwxyz"
+_WP_VOCAB = (
+    list(_WP_LETTERS)
+    + ["##" + c for c in _WP_LETTERS if c != "w"]
+    + ["th", "##ble", "##er", "##ue"]
+)
+
+
+def q_wordpiece(spark, sf):
+    """Greedy WordPiece tokenization over every 5th document, fully
+    ORACLED: DuckDB replays the max-munch loop as a recursive CTE
+    with a LEFT JOIN LATERAL longest-prefix pick per step (length
+    DESC, piece ASC — the operator's deterministic order), including
+    the whole-word [UNK] failure rule."""
+    from ..operators.curation import wordpiece_apply
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") % 5 == 0)
+    return wordpiece_apply(d, _WP_VOCAB).orderBy(
+        "doc_id", "wpos", "pos"
+    )
+
+
+ORACLE_WORDPIECE = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(trim(text)),
+                                                 '\s+', ' ', 'g'), ' '),
+                     x -> x <> '') AS t
+  FROM documents WHERE doc_id % 5 = 0),
+words AS (SELECT doc_id, generate_subscripts(t, 1) - 1 AS wpos,
+                 unnest(t) AS w
+          FROM toks WHERE len(t) > 0),
+vocab(piece) AS (SELECT unnest(['__VOCAB__'])),
+v AS (SELECT piece,
+             CASE WHEN piece LIKE '##%' THEN substr(piece, 3)
+                  ELSE piece END AS core,
+             (piece LIKE '##%') AS cont
+      FROM vocab),
+step(doc_id, wpos, k, rest, piece, fail) AS (
+  SELECT doc_id, wpos, 0, w, CAST(NULL AS VARCHAR), FALSE FROM words
+  UNION ALL
+  SELECT s.doc_id, s.wpos, s.k + 1,
+         CASE WHEN b.piece IS NULL THEN ''
+              ELSE substr(s.rest, length(b.core) + 1) END,
+         b.piece,
+         b.piece IS NULL
+  FROM step s LEFT JOIN LATERAL (
+    SELECT v.piece AS piece, v.core AS core
+    FROM v WHERE v.cont = (s.k > 0) AND starts_with(s.rest, v.core)
+    ORDER BY length(v.core) DESC, v.piece LIMIT 1
+  ) b ON TRUE
+  WHERE s.rest <> '' AND NOT s.fail
+),
+failset AS (SELECT DISTINCT doc_id, wpos FROM step WHERE fail),
+pieces AS (SELECT doc_id, wpos, k - 1 AS pos, piece FROM step
+           WHERE piece IS NOT NULL),
+ok AS (SELECT p.* FROM pieces p LEFT JOIN failset f
+        ON f.doc_id = p.doc_id AND f.wpos = p.wpos
+       WHERE f.doc_id IS NULL)
+SELECT doc_id, CAST(wpos AS INT) AS wpos, CAST(pos AS INT) AS pos,
+       piece FROM ok
+UNION ALL
+SELECT doc_id, CAST(wpos AS INT), CAST(0 AS INT), '[UNK]' FROM failset
+ORDER BY doc_id, wpos, pos
+""".replace("'__VOCAB__'", ", ".join(f"'{p}'" for p in _WP_VOCAB))
+
+
+QUERIES["wordpiece"] = q_wordpiece
+ORACLES["wordpiece"] = ORACLE_WORDPIECE
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #

@@ -106,3 +106,50 @@ def test_cohort_retention_null_rows_excluded(spark):
     assert len(out) == 1 and out[0].n_users == 1
     with pytest.raises(ValueError):
         cohort_retention(df, period_seconds=0)
+
+
+# ------------------------------------------------------ wordpiece_apply
+
+
+def test_wordpiece_greedy_and_unk(spark):
+    from rp_extract_spark.operators.curation import wordpiece_apply
+
+    vocab = (list("abcdefghijklmnopqrstuv") + ["w"]
+             + ["##" + c for c in "abcdefghijklmnopqrstuvy" ]
+             + ["th", "##ble", "##er"])
+    df = spark.createDataFrame(
+        [(1, "table the row")], "doc_id long, text string")
+    out = sorted(
+        wordpiece_apply(df, vocab).collect(),
+        key=lambda r: (r.wpos, r.pos),
+    )
+    got = [(r.wpos, r.pos, r.piece) for r in out]
+    # 'row' reaches r, ##o, then 'w' has no continuation piece ->
+    # the WHOLE word becomes [UNK] (never a partial emission)
+    assert got == [
+        (0, 0, "t"), (0, 1, "##a"), (0, 2, "##ble"),
+        (1, 0, "th"), (1, 1, "##e"),
+        (2, 0, "[UNK]"),
+    ]
+
+
+def test_wordpiece_longest_match_first(spark):
+    from rp_extract_spark.operators.curation import wordpiece_apply
+
+    # both 'a' and 'ab' initial; 'abc' must take 'ab' then '##c'
+    vocab = ["a", "ab", "##b", "##c"]
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    got = [r.piece for r in wordpiece_apply(df, vocab)
+           .orderBy("pos").collect()]
+    assert got == ["ab", "##c"]
+
+
+def test_wordpiece_validates_vocab(spark):
+    from rp_extract_spark.operators.curation import wordpiece_apply
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        wordpiece_apply(df, [])
+    with _pt.raises(ValueError):
+        wordpiece_apply(df, ["a", "##"])

@@ -187,6 +187,9 @@ RELATIONAL = [
     "random_projection",
     "cohort_retention",
     "wordpiece",
+    # round 5, twenty-second batch (content fingerprint, label spread)
+    "dataset_fingerprint",
+    "label_spread",
 ]
 
 

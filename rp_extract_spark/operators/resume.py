@@ -295,3 +295,51 @@ def row_diff(
     return frame.join(counts, "category", "left").select(
         "category", F.coalesce("__n", F.lit(0)).cast("long").alias("n")
     )
+
+
+def dataset_fingerprint(
+    df: DataFrame,
+    cols: Sequence[str],
+    grain_bits: int = 60,
+) -> DataFrame:
+    """Order-independent dataset content fingerprint — the cheap
+    equality audit between two pipeline outputs (did the rewrite
+    produce byte-identical content, regardless of partitioning or
+    row order?): per-row digest = md5 over the columns joined with
+    explicit separators (unit separator \\x1f between fields, a
+    \\x00NULL\\x00 marker for NULLs — concat_ws would silently SKIP
+    nulls and collide ('a', NULL) with ('a',); the sentinel collision
+    risk is documented and negligible for non-binary text), first 15
+    hex chars as int64 (the conv/CAST parity width), summed mod
+    2**grain_bits. The sum runs in DECIMAL(38,0) (int64 overflows at
+    ~10^4 rows x 2^60) and the modulo happens driver-side on Python
+    big ints (HUGEINT in the oracle — the kmv rule). Also counts rows
+    and per-column NULLs. Returns ONE row:
+    (n, fp_u, null_<col>...)."""
+    sep = F.lit("\x1f")
+    nul = F.lit("\x00NULL\x00")
+    parts = []
+    for i, c in enumerate(cols):
+        if i:
+            parts.append(sep)
+        parts.append(F.coalesce(F.col(c).cast("string"), nul))
+    dig = F.conv(
+        F.substring(F.md5(F.concat(*parts)), 1, 15), 16, 10
+    ).cast("long")
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dig.cast("decimal(38,0)")).alias("__s"),
+    ] + [
+        F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+        .cast("long").alias(f"null_{c}")
+        for c in cols
+    ]
+    row = df.agg(*aggs).collect()[0]
+    n = int(row["n"] or 0)
+    fp = int(row["__s"] or 0) % (1 << int(grain_bits))
+    spark = df.sparkSession
+    nulls = [int(row[f"null_{c}"] or 0) for c in cols]
+    schema = "n bigint, fp_u bigint, " + ", ".join(
+        f"null_{c} bigint" for c in cols
+    )
+    return spark.createDataFrame([(n, fp, *nulls)], schema=schema)

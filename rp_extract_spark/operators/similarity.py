@@ -1298,3 +1298,63 @@ def retrieval_recall(
         out.append((k, n_q, h, (h * grain) // n_q if n_q else 0))
     return queries.sparkSession.createDataFrame(
         out, schema="k int, n_queries long, n_hits long, recall_u long")
+
+
+def knn_label_spread(
+    unlabeled: DataFrame,
+    labeled: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    k: int = 7,
+) -> DataFrame:
+    """One-hop kNN label propagation (the semi-supervised bootstrap /
+    pseudo-labeling step): each unlabeled point takes the MAJORITY
+    label of its k cosine-nearest labeled neighbors; ties break by
+    (count DESC, label ASC) and neighbor ranks break by (cosine DESC,
+    id ASC) — both deterministic and SQL-replayable. Scores are never
+    emitted (the hard_negatives grain-boundary rule; ranks and counts
+    are margin-protected).
+
+    Scale shape: the unlabeled side is broadcast per serving batch
+    (the knn_join contract — corpus-sized relabeling routes through
+    the IVF/PQ candidates instead); per-query windows span k rows,
+    the vote groupBy spans <= distinct-label rows per query. Zero-norm
+    rows are excluded on both sides (the ANSI division rule). Returns
+    (id, pred_label, votes, n_neighbors)."""
+    q = unlabeled.select(
+        F.col(id_col).alias("__qid"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    ).filter(_norm(F.col("__qv")) > 0)
+    c = labeled.select(
+        F.col(id_col).alias("__cid"),
+        F.col(label_col).alias("__cl"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    ).filter(_norm(F.col("__cv")) > 0)
+    score = cosine_col(F.col("__cv"), F.col("__qv"))
+    w = Window.partitionBy("__qid").orderBy(
+        score.desc(), F.col("__cid").asc()
+    )
+    nn = (
+        c.crossJoin(F.broadcast(q))
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= int(k))
+    )
+    votes = nn.groupBy("__qid", "__cl").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    wv = Window.partitionBy("__qid").orderBy(
+        F.col("votes").desc(), F.col("__cl").asc()
+    )
+    tot = nn.groupBy("__qid").agg(F.count(F.lit(1)).alias("n_neighbors"))
+    return (
+        votes.withColumn("__vr", F.row_number().over(wv))
+        .filter(F.col("__vr") == 1)
+        .join(tot, "__qid")
+        .select(
+            F.col("__qid").alias(id_col),
+            F.col("__cl").alias("pred_label"),
+            "votes",
+            "n_neighbors",
+        )
+    )

@@ -8149,6 +8149,89 @@ QUERIES["wordpiece"] = q_wordpiece
 ORACLES["wordpiece"] = ORACLE_WORDPIECE
 
 
+def q_dataset_fingerprint(spark, sf):
+    """Order-independent dataset content fingerprint, fully ORACLED:
+    per-row md5 over sentinel-joined columns (explicit NULL marker —
+    concat_ws would skip nulls and collide), 15-hex conv/CAST parity,
+    DECIMAL(38,0)/HUGEINT sums, driver-side big-int modulo."""
+    from ..operators.resume import dataset_fingerprint
+
+    d = _t(spark, sf, "documents")
+    return dataset_fingerprint(d, ["text", "lang", "source"])
+
+
+ORACLE_DATASET_FINGERPRINT = """
+WITH d AS (SELECT text, lang, source,
+                  coalesce(text, chr(0) || 'NULL' || chr(0))
+                  || chr(31) ||
+                  coalesce(lang, chr(0) || 'NULL' || chr(0))
+                  || chr(31) ||
+                  coalesce(source, chr(0) || 'NULL' || chr(0)) AS s
+           FROM documents),
+h AS (SELECT text, lang, source,
+             CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS v FROM d)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(v AS HUGEINT))
+            % CAST('1152921504606846976' AS HUGEINT) AS BIGINT) AS fp_u,
+       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_text,
+       CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_lang,
+       CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_source
+FROM h
+"""
+
+
+QUERIES["dataset_fingerprint"] = q_dataset_fingerprint
+ORACLES["dataset_fingerprint"] = ORACLE_DATASET_FINGERPRINT
+
+
+def q_label_spread(spark, sf):
+    """One-hop kNN label propagation (pseudo-labeling), ORACLED on
+    ranks and votes: neighbor ranks are float-cosine compares with
+    fixture margins far above cross-engine drift (the
+    retrieval_recall precedent), the majority vote and its
+    (count DESC, label ASC) tiebreak are pure integers."""
+    from ..operators.similarity import knn_label_spread
+
+    e = _t(spark, sf, "embeddings")
+    unl = e.filter(F.col("vec_id") < 50).select("vec_id", "embedding")
+    lab = e.filter(F.col("vec_id") >= 50)
+    return knn_label_spread(unl, lab, k=7).orderBy("vec_id")
+
+
+ORACLE_LABEL_SPREAD = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+           FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 50),
+c AS (SELECT vec_id, label, v FROM e WHERE vec_id >= 50),
+r AS (SELECT q.qid, c.label,
+             row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY list_cosine_similarity(c.v, q.qv) DESC,
+                        c.vec_id ASC) AS rk
+      FROM q, c),
+nn AS (SELECT qid, label FROM r WHERE rk <= 7),
+vt AS (SELECT qid, label, count(*) AS votes FROM nn GROUP BY qid, label),
+tot AS (SELECT qid, count(*) AS n_neighbors FROM nn GROUP BY qid),
+pick AS (SELECT qid, label, votes,
+                row_number() OVER (
+                  PARTITION BY qid
+                  ORDER BY votes DESC, label ASC) AS pr
+         FROM vt)
+SELECT pick.qid AS vec_id, CAST(pick.label AS INT) AS pred_label,
+       CAST(pick.votes AS BIGINT) AS votes,
+       CAST(tot.n_neighbors AS BIGINT) AS n_neighbors
+FROM pick JOIN tot ON tot.qid = pick.qid
+WHERE pick.pr = 1 ORDER BY vec_id
+"""
+
+
+QUERIES["label_spread"] = q_label_spread
+ORACLES["label_spread"] = ORACLE_LABEL_SPREAD
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #

@@ -8254,16 +8254,23 @@ ORACLES["label_spread"] = ORACLE_LABEL_SPREAD
 # ---------------------------------------------------------------------------
 
 _PRIORITY: list[str] = [
-    # round-5 image-curation additions
-    "image_hashes",
+    # round-5 image-curation additions (ninth wave demoted
+    # image_hashes / image_quality_gate / image_aspect_buckets — all
+    # three are composed AND graded inside the window by
+    # image_curation, which chains gate → hash dedup → aspect buckets
+    # end to end — to admit the second session's never-graded anchors:
+    # auc_roc (the exact-eval family), int8_quantize (embedding
+    # compression), wordpiece (the non-BPE tokenizer; bpe_ids keeps
+    # the BPE side inside)
     "image_dedup",
     "image_dedup_verified",
-    "image_quality_gate",
-    "image_aspect_buckets",
     "image_gradients",
     "image_equalize",
     "image_decontaminate",
     "image_curation",
+    "auc_roc",
+    "int8_quantize",
+    "wordpiece",
     "webdataset_roundtrip",
     "epoch_shuffle",
     "audio_quality_gate",
@@ -8333,6 +8340,10 @@ _PRIORITY: list[str] = [
     "redact_pii",
     "bm25_rank",
     "stratified_split",
+    # Ninth wave demotions (see the window header comment):
+    "image_hashes",
+    "image_quality_gate",
+    "image_aspect_buckets",
     # representative core. Moved past the 50-window to make room for
     # the round-5 image block, each with its family still represented
     # inside the window: asof_merge/asof_forward/asof_tolerance/ffill/

@@ -6,12 +6,12 @@ oracled name must also be a registered query."""
 from rp_extract_spark.plans.driver_queries import ORACLES, QUERIES, _PRIORITY
 
 HIGH_RISK = [
-    "image_hashes",
     "image_dedup",
     "image_dedup_verified",
-    "image_quality_gate",
-    "image_aspect_buckets",
     "image_curation",
+    "auc_roc",
+    "int8_quantize",
+    "wordpiece",
     "webdataset_roundtrip",
     "epoch_shuffle",
     "audio_quality_gate",
@@ -65,6 +65,11 @@ HIGH_RISK = [
 # never-driver-graded queries; family coverage inside it is asserted by
 # HIGH_RISK membership, and the long-green core rests on its grades +
 # pytest.
+# Ninth wave demotes image_hashes / image_quality_gate /
+# image_aspect_buckets — all three stages are composed AND graded
+# inside the window by image_curation (gate → hash dedup → aspect
+# buckets end to end) — to admit the second session's anchors:
+# auc_roc, int8_quantize, wordpiece.
 CORE: list[str] = []
 
 

@@ -190,6 +190,9 @@ RELATIONAL = [
     # round 5, twenty-second batch (content fingerprint, label spread)
     "dataset_fingerprint",
     "label_spread",
+    # round 5, twenty-third batch (fuzzy join, tf-idf keywords)
+    "fuzzy_match",
+    "tfidf_keywords",
 ]
 
 

@@ -785,3 +785,62 @@ def vocab_coverage(
         "n_oov",
         "coverage_u",
     )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 3,
+    grain: int = 1_000_000,
+) -> DataFrame:
+    """Per-document top-k keywords by an integer tf-idf surrogate —
+    the retrieval/labeling primer next to bm25_rank (which scores a
+    QUERY against docs; this extracts each doc's own salient terms):
+    ``score_u = (tf · N · grain) div df`` (reciprocal-df weighting,
+    one deferred floor division — the log-idf variant would put a
+    float in the compare), ranked per doc by (score_u DESC, token
+    ASC).
+
+    Scale shape: tf = one (doc, token) groupBy; df = one distinct +
+    token groupBy (vocab-bounded result, broadcast back); N = one
+    count collected driver-side; the rank window is per-doc (bounded
+    by the doc's distinct-token count, never corpus-wide). Returns
+    (id, rank, token, tf, df, score_u)."""
+    from pyspark.sql.window import Window
+
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    g = int(grain)
+    tok = df.select(
+        F.col(id_col),
+        F.explode(nonempty_tokens_col(F.col(text_col))).alias("__w"),
+    )
+    tf = tok.groupBy(id_col, "__w").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        tok.distinct()
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = int(
+        df.filter(F.col(text_col).isNotNull())
+        .select(id_col).distinct().count()
+    )
+    scored = tf.join(F.broadcast(dfreq), "__w").select(
+        id_col,
+        F.col("__w").alias("token"),
+        "tf",
+        "df",
+        F.expr(
+            f"(tf * CAST({n_docs} AS BIGINT) * CAST({g} AS BIGINT))"
+            " div df"
+        ).alias("score_u"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_u").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(top_k))
+        .select(id_col, "rank", "token", "tf", "df", "score_u")
+    )

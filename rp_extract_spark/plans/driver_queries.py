@@ -8232,6 +8232,105 @@ QUERIES["label_spread"] = q_label_spread
 ORACLES["label_spread"] = ORACLE_LABEL_SPREAD
 
 
+def q_fuzzy_match(spark, sf):
+    """Edit-distance join of the corpus vocabulary against
+    deterministically corrupted variants (one md5-chosen char
+    dropped), fully ORACLED — and the oracle computes ground truth as
+    the UNBLOCKED all-pairs levenshtein, so a false negative in the
+    length-band blocking would fail the compare, not just a value
+    mismatch."""
+    from ..operators.dedup import fuzzy_join
+    from ..operators.text import nonempty_tokens_col
+
+    d = _t(spark, sf, "documents")
+    vocab = d.select(
+        F.explode(nonempty_tokens_col(F.col("text"))).alias("w")
+    ).distinct()
+    p = (
+        F.conv(F.substring(F.md5(F.concat(F.col("w"), F.lit(":fz"))),
+                           1, 1), 16, 10).cast("int")
+        % F.length("w")
+    )
+    corrupted = vocab.filter(F.length("w") >= 2).select(
+        F.col("w").alias("src_token"),
+        F.concat(
+            F.substring(F.col("w"), 1, p),
+            F.col("w").substr(p + 2, F.lit(100)),
+        ).alias("cw"),
+    )
+    left = vocab.select(F.col("w").alias("vocab_token"),
+                        F.col("w").alias("lv"))
+    right = corrupted.select("src_token", F.col("cw").alias("rv"))
+    out = fuzzy_join(left, right, "lv", "rv", "vocab_token",
+                     "src_token", max_dist=2)
+    return out.orderBy("vocab_token", "src_token")
+
+
+ORACLE_FUZZY_MATCH = r"""
+WITH toks AS (
+  SELECT list_filter(string_split(regexp_replace(lower(trim(text)),
+                                                 '\s+', ' ', 'g'), ' '),
+                     x -> x <> '') AS t
+  FROM documents),
+vocab AS (SELECT DISTINCT unnest(t) AS w FROM toks WHERE len(t) > 0),
+corr AS (SELECT w AS src_token,
+                substr(w, 1, CAST('0x' || substr(md5(w || ':fz'), 1, 1)
+                                  AS INT) % length(w))
+                || substr(w, CAST('0x' || substr(md5(w || ':fz'), 1, 1)
+                                  AS INT) % length(w) + 2) AS cw
+         FROM vocab WHERE length(w) >= 2)
+SELECT v.w AS vocab_token, c.src_token,
+       CAST(levenshtein(v.w, c.cw) AS INT) AS dist
+FROM vocab v, corr c
+WHERE levenshtein(v.w, c.cw) <= 2
+ORDER BY vocab_token, src_token
+"""
+
+
+QUERIES["fuzzy_match"] = q_fuzzy_match
+ORACLES["fuzzy_match"] = ORACLE_FUZZY_MATCH
+
+
+def q_tfidf_keywords(spark, sf):
+    """Per-doc top-3 keywords by the integer tf-idf surrogate
+    (tf·N·grain div df — the log-idf variant would put a float in the
+    compare), fully ORACLED: tf/df counts, the one deferred division,
+    and the (score DESC, token ASC) rank all replay in DuckDB."""
+    from ..operators.text import tfidf_keywords
+
+    d = _t(spark, sf, "documents")
+    return tfidf_keywords(d, top_k=3).orderBy("doc_id", "rank")
+
+
+ORACLE_TFIDF_KEYWORDS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(trim(text)),
+                                                 '\s+', ' ', 'g'), ' '),
+                     x -> x <> '') AS t
+  FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS w FROM toks WHERE len(t) > 0),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+dfq AS (SELECT w, count(DISTINCT doc_id) AS df FROM tok GROUP BY w),
+n AS (SELECT count(*) AS nd FROM documents WHERE text IS NOT NULL),
+s AS (SELECT tf.doc_id, tf.w, tf.tf, dfq.df,
+             (tf.tf * (SELECT nd FROM n) * 1000000) // dfq.df
+               AS score_u
+      FROM tf JOIN dfq ON dfq.w = tf.w),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score_u DESC, w ASC) AS rank
+      FROM s)
+SELECT doc_id, CAST(rank AS INT) AS rank, w AS token,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(score_u AS BIGINT) AS score_u
+FROM r WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+
+QUERIES["tfidf_keywords"] = q_tfidf_keywords
+ORACLES["tfidf_keywords"] = ORACLE_TFIDF_KEYWORDS
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #

@@ -193,6 +193,10 @@ RELATIONAL = [
     # round 5, twenty-third batch (fuzzy join, tf-idf keywords)
     "fuzzy_match",
     "tfidf_keywords",
+    # round 5, twenty-fourth batch (MMR, rate limiting, shuffle audit)
+    "mmr_select",
+    "rate_limit",
+    "shuffle_audit",
 ]
 
 

@@ -456,6 +456,86 @@ def coreset_kcenter(
     )
 
 
+def mmr_select(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    rel_col: str = "rel_u",
+    k: int = 5,
+    grain: int = 1_000_000,
+) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein
+    1998) at λ = 1/2, kept EXACT: pick k rows maximizing
+    ``2·rel_u - max_sim_u`` where rel_u is the caller's integer-grain
+    relevance and sim_u is the exact int64 dot product of grain-landed
+    embeddings against the already-selected set — the diverse-top-k
+    that retrieval serving and dataset subset selection both need
+    (relevance alone returns k near-duplicates). λ = 1/2 is realized
+    by DOUBLING the relevance term so the objective never leaves the
+    integer domain; the first pick is pure argmax relevance (empty
+    selected set), ties break by id ASC everywhere.
+
+    Scale shape — the coreset_kcenter loop: k bounded rounds of ONE
+    scan each, selected vectors inlined as literals, max-sim as a
+    GREATEST chain, argmax via TakeOrdered, selected ids excluded by
+    literal list. Returns (rank, id, objective_u)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    g = int(grain)
+    spark = df.sparkSession
+    e = df.select(
+        F.col(id_col),
+        F.col(rel_col).cast("long").alias("__rel"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.floor(x * g + F.lit(0.5)).cast("long"),
+        ).alias("__v"),
+    )
+    first = (
+        e.orderBy(F.col("__rel").desc(), F.col(id_col).asc())
+        .limit(1)
+        .collect()
+    )
+    if not first:
+        it = df.schema[id_col].dataType.simpleString()
+        return spark.createDataFrame(
+            [], schema=f"rank int, {id_col} {it}, objective_u bigint"
+        )
+    selected = [(first[0][id_col], list(first[0]["__v"]))]
+    picks = [(0, selected[0][0], 2 * int(first[0]["__rel"]))]
+
+    def _dot_lit(vec_lit):
+        arr = F.array(*[F.lit(int(x)).cast("long") for x in vec_lit])
+        return F.aggregate(
+            F.zip_with(F.col("__v"), arr, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    for rank in range(1, int(k)):
+        maxsim = _dot_lit(selected[0][1])
+        for _, v in selected[1:]:
+            maxsim = F.greatest(maxsim, _dot_lit(v))
+        obj = F.lit(2).cast("long") * F.col("__rel") - maxsim
+        nxt = (
+            e.filter(
+                ~F.col(id_col).isin([i for i, _ in selected])
+            )
+            .select(F.col(id_col), F.col("__v"), obj.alias("__o"))
+            .orderBy(F.col("__o").desc(), F.col(id_col).asc())
+            .limit(1)
+            .collect()
+        )
+        if not nxt:
+            break
+        selected.append((nxt[0][id_col], list(nxt[0]["__v"])))
+        picks.append((rank, nxt[0][id_col], int(nxt[0]["__o"])))
+    it = df.schema[id_col].dataType.simpleString()
+    return spark.createDataFrame(
+        picks, schema=f"rank int, {id_col} {it}, objective_u bigint"
+    )
+
+
 def hyperplanes(dim: int, n_planes: int = 16, seed: int = 13) -> np.ndarray:
     return np.random.default_rng(seed).normal(size=(n_planes, dim))
 

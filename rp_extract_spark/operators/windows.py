@@ -165,3 +165,81 @@ def cohort_retention(
             f"(n_users * CAST({g} AS BIGINT)) div cohort_size"
         ).alias("retention_u"),
     )
+
+
+def rate_limit_plan(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    window_seconds: int = 60,
+    quota: int = 5,
+) -> DataFrame:
+    """Deterministic rate-limit audit/plan over an event log: within
+    each (user, fixed time window) the first ``quota`` events by
+    (ts, tiebreak) are ``allowed``, the rest ``denied`` — the batch
+    replay of a token-bucket gate (what WOULD the limiter have done),
+    used to size quotas before deploying one and to backfill abuse
+    labels. Window index = integer epoch div (the cohort_retention
+    rule — never calendar functions).
+
+    Scale shape: one row_number per (user, window) — groups are
+    time-bounded (one user-window), so a hot user spreads across
+    windows; a single pathological user-window is the caller's salt
+    case. Returns the input plus (win, rank_in_window, allowed)."""
+    if window_seconds < 1 or quota < 0:
+        raise ValueError("bad window/quota")
+    win = F.expr(
+        f"CAST(CAST({ts_col} AS TIMESTAMP) AS BIGINT)"
+        f" div {int(window_seconds)}"
+    )
+    w = Window.partitionBy(F.col(user_col), win).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    return (
+        events.withColumn("win", win.cast("long"))
+        .withColumn("rank_in_window", F.row_number().over(w))
+        .withColumn(
+            "allowed",
+            (F.col("rank_in_window") <= int(quota)).cast("int"),
+        )
+    )
+
+
+def shard_shuffle_audit(
+    df: DataFrame,
+    shard_col: str,
+    order_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Shuffle-quality audit per shard: the longest same-label run and
+    the run count in each shard's serving order — a shuffle plan that
+    leaves long single-source runs trains on correlated batches (the
+    reason loaders shuffle at all), and this is the measurement that
+    catches it before an epoch burns. Runs are detected with the
+    classic lag + change-flag cumulative sum; every window is
+    partitioned by shard (shards are capacity-bounded by
+    construction — never a global order). Returns one row per shard:
+    (shard, n_rows, n_runs, max_run)."""
+    w = Window.partitionBy("shard").orderBy(F.col("__o").asc())
+    prev = F.lag("__l").over(w)
+    flagged = df.select(
+        F.col(shard_col).alias("shard"),
+        F.col(order_col).alias("__o"),
+        F.col(label_col).alias("__l"),
+    ).withColumn(
+        "__chg",
+        F.when(prev.isNull() | (prev != F.col("__l")), 1).otherwise(0),
+    )
+    wrun = Window.partitionBy("shard").orderBy(F.col("__o").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    runs = flagged.withColumn("__run", F.sum("__chg").over(wrun))
+    per_run = runs.groupBy("shard", "__run").agg(
+        F.count(F.lit(1)).alias("__len")
+    )
+    return per_run.groupBy("shard").agg(
+        F.sum("__len").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_runs"),
+        F.max("__len").cast("long").alias("max_run"),
+    )

@@ -8331,6 +8331,149 @@ QUERIES["tfidf_keywords"] = q_tfidf_keywords
 ORACLES["tfidf_keywords"] = ORACLE_TFIDF_KEYWORDS
 
 
+def q_mmr_select(spark, sf):
+    """Maximal-Marginal-Relevance diverse top-5 (λ=1/2, doubled so the
+    objective stays integer), fully ORACLED: every pick unrolls as a
+    MATERIALIZED CTE pair (the coreset technique) with the same
+    GREATEST-of-dots redundancy term, literal-id exclusion, and
+    (objective DESC, id ASC) tiebreak."""
+    from ..operators.similarity import mmr_select
+
+    e = _t(spark, sf, "embeddings")
+    key = F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(":mmr")))
+    scored = e.withColumn(
+        "rel_u",
+        F.conv(F.substring(key, 1, 5), 16, 10).cast("long") % 1000001,
+    )
+    return mmr_select(scored, k=5).orderBy("rank")
+
+
+def _mmr_oracle(k: int) -> str:
+    parts = [
+        "WITH e AS MATERIALIZED (SELECT vec_id,"
+        " CAST('0x' || substr(md5(vec_id || ':mmr'), 1, 5) AS BIGINT)"
+        " % 1000001 AS rel,"
+        " list_transform(embedding::DOUBLE[],"
+        " x -> CAST(floor(x*1000000 + 0.5) AS BIGINT)) AS v"
+        " FROM embeddings)",
+        "s0 AS (SELECT vec_id, rel, v FROM e"
+        " ORDER BY rel DESC, vec_id ASC LIMIT 1)",
+    ]
+    for i in range(1, k):
+        dots = [
+            "list_sum(list_transform(list_zip(e.v,"
+            f" (SELECT v FROM s{j})), p -> p[1]*p[2]))"
+            for j in range(i)
+        ]
+        ms = dots[0] if len(dots) == 1 else (
+            "GREATEST(" + ", ".join(dots) + ")"
+        )
+        excl = " AND ".join(
+            f"e.vec_id <> (SELECT vec_id FROM s{j})" for j in range(i)
+        )
+        parts.append(
+            f"m{i} AS MATERIALIZED (SELECT e.vec_id, e.rel, e.v,"
+            f" {ms} AS ms FROM e WHERE {excl})"
+        )
+        parts.append(
+            f"s{i} AS (SELECT vec_id, rel, v, 2*rel - ms AS obj"
+            f" FROM m{i} ORDER BY obj DESC, vec_id ASC LIMIT 1)"
+        )
+    union = [
+        "SELECT CAST(0 AS INT) AS rank, vec_id,"
+        " CAST(2*rel AS BIGINT) AS objective_u FROM s0"
+    ]
+    for i in range(1, k):
+        union.append(
+            f"SELECT CAST({i} AS INT), vec_id, CAST(obj AS BIGINT)"
+            f" FROM s{i}"
+        )
+    return (
+        ",\n".join(parts) + "\n" + "\nUNION ALL ".join(union)
+        + "\nORDER BY rank"
+    )
+
+
+QUERIES["mmr_select"] = q_mmr_select
+ORACLES["mmr_select"] = _mmr_oracle(5)
+
+
+def q_rate_limit(spark, sf):
+    """Deterministic rate-limit replay (5-minute windows, quota 3 per
+    user), fully ORACLED: the window index is integer epoch div, the
+    in-window rank orders by (ts, event_id), and the allow/deny bit is
+    one integer compare."""
+    from ..operators.windows import rate_limit_plan
+
+    ev = _t(spark, sf, "events")
+    out = rate_limit_plan(ev, window_seconds=300, quota=3)
+    return out.select(
+        "event_id", "win", "rank_in_window", "allowed"
+    ).orderBy("event_id")
+
+
+ORACLE_RATE_LIMIT = """
+WITH t AS (SELECT event_id, user_id, ts,
+                  CAST(floor(epoch(ts)) AS BIGINT) // 300 AS win
+           FROM events),
+r AS (SELECT event_id, win,
+             row_number() OVER (
+               PARTITION BY user_id, win
+               ORDER BY ts ASC, event_id ASC) AS rk
+      FROM t)
+SELECT event_id, CAST(win AS BIGINT) AS win,
+       CAST(rk AS INT) AS rank_in_window,
+       CAST(CASE WHEN rk <= 3 THEN 1 ELSE 0 END AS INT) AS allowed
+FROM r ORDER BY event_id
+"""
+
+
+QUERIES["rate_limit"] = q_rate_limit
+ORACLES["rate_limit"] = ORACLE_RATE_LIMIT
+
+
+def q_shuffle_audit(spark, sf):
+    """Shuffle-quality audit (longest same-language run per shard in
+    an md5 serving order), fully ORACLED: the lag + change-flag run
+    cumsum replays per shard in DuckDB."""
+    from ..operators.windows import shard_shuffle_audit
+
+    d = _t(spark, sf, "documents").select(
+        F.pmod(F.col("doc_id"), F.lit(8)).cast("int").alias("shard"),
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":sa"))
+        ).alias("ord"),
+        "lang",
+    )
+    return shard_shuffle_audit(d, "shard", "ord", "lang").orderBy(
+        "shard"
+    )
+
+
+ORACLE_SHUFFLE_AUDIT = """
+WITH t AS (SELECT CAST(doc_id % 8 AS INT) AS shard,
+                  md5(doc_id || ':sa') AS o, lang
+           FROM documents),
+f AS (SELECT shard, o, lang,
+             CASE WHEN lag(lang) OVER w IS NULL
+                    OR lag(lang) OVER w <> lang THEN 1 ELSE 0 END AS chg
+      FROM t WINDOW w AS (PARTITION BY shard ORDER BY o ASC)),
+r AS (SELECT shard,
+             sum(chg) OVER (PARTITION BY shard ORDER BY o ASC
+                            ROWS UNBOUNDED PRECEDING) AS run
+      FROM f),
+pr AS (SELECT shard, run, count(*) AS len FROM r GROUP BY shard, run)
+SELECT shard, CAST(sum(len) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_runs,
+       CAST(max(len) AS BIGINT) AS max_run
+FROM pr GROUP BY shard ORDER BY shard
+"""
+
+
+QUERIES["shuffle_audit"] = q_shuffle_audit
+ORACLES["shuffle_audit"] = ORACLE_SHUFFLE_AUDIT
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #

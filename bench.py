@@ -197,6 +197,12 @@ RELATIONAL = [
     "mmr_select",
     "rate_limit",
     "shuffle_audit",
+    # round 5, twenty-fifth batch (ExactSubstr dedup, D4-orbit hash
+    # dedup, crowd majority vote, video frame thinning)
+    "substring_dedup",
+    "orbit_dedup",
+    "annotator_vote",
+    "frame_dedup",
 ]
 
 

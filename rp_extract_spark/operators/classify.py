@@ -773,3 +773,39 @@ def calibration_bins(
         F.sum("gap_w").alias("__gsum"), F.sum("n").alias("__N")
     ).select(F.expr("__gsum div __N").alias("ece_u"))
     return per.crossJoin(F.broadcast(tot))
+
+
+def majority_vote(
+    df: DataFrame,
+    item_col: str = "item_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Crowd-label aggregation: per item, the label with the most
+    votes (ties -> the smallest label). One count aggregation then a
+    zero-shuffle argmax (sort_array over the per-item <=L-entry count
+    list — never a window over an unpartitioned frame). Returns
+    (item, maj_label, maj_votes, second_votes, total_votes); margin =
+    maj_votes - second_votes is the standard ambiguity signal for
+    label-quality triage."""
+    counts = df.groupBy(item_col, label_col).agg(F.count("*").alias("c"))
+    packed = counts.groupBy(item_col).agg(
+        F.reverse(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("c"), (-F.col(label_col)).alias("nl")
+                    )
+                )
+            )
+        ).alias("a"),
+        F.sum("c").alias("total_votes"),
+    )
+    top = F.get(F.col("a"), 0)
+    second = F.get(F.col("a"), 1)
+    return packed.select(
+        item_col,
+        (-top["nl"]).alias("maj_label"),
+        top["c"].alias("maj_votes"),
+        F.coalesce(second["c"], F.lit(0)).alias("second_votes"),
+        "total_votes",
+    )

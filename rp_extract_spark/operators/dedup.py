@@ -1322,3 +1322,78 @@ def fuzzy_join(
         )
         .filter(F.col("dist") <= d)
     )
+
+
+def dedup_substrings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Corpus-wide exact-substring dedup at token n-gram granularity
+    (the ExactSubstr rule of Lee et al., "Deduplicating Training Data
+    Makes Language Models Better", re-expressed over whitespace
+    tokens): every token n-gram that occurs more than once corpus-wide
+    is removed from all but its FIRST occurrence — ordered by
+    (id, position) — removal spans are unioned per document, and the
+    text is reassembled from the surviving tokens.
+
+    Scale path mirrors dedup_paragraphs: token TEXT never crosses an
+    exchange. Only (id, pos, 16-byte md5 digest) rows shuffle to pick
+    per-digest winners (min struct(id, pos)); loser occurrences explode
+    to covered token positions; ONE id-keyed join back to the
+    one-row-per-doc table re-splits the text locally and filters kept
+    positions with JVM array ops. Adds ``out_col``, ``n_tokens``,
+    ``n_removed``."""
+    toks = F.split(F.col(text_col), " ")
+    ngrams = F.size(toks) - F.lit(n - 1)
+    digests = F.when(
+        ngrams > 0,
+        F.transform(
+            F.sequence(F.lit(0), ngrams - 1),
+            lambda p: F.md5(F.array_join(F.slice(toks, p + 1, n), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = df.select(
+        id_col, F.posexplode(digests).alias("pos", "__d")
+    )
+    # groupBy + join, NOT a window over the digest: a mega-duplicated
+    # gram (boilerplate repeated 10^9 times) would buffer its whole
+    # window group in one task, while the aggregate streams.  Winners
+    # shrink to dup digests only BEFORE the join (the inner join drops
+    # non-dup grams anyway), so the probe side carries ~dup_rate of
+    # the digests.
+    winners = grams.groupBy("__d").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))
+        ).alias("w"),
+        F.count("*").alias("c"),
+    ).filter(F.col("c") > 1)
+    losers = (
+        grams.join(winners, "__d")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col("w.i"))
+                & (F.col("pos") == F.col("w.p"))
+            )
+        )
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("tp"),
+        )
+    )
+    rm = losers.groupBy(id_col).agg(
+        F.sort_array(F.collect_set("tp")).alias("__rm")
+    )
+    joined = df.join(rm, id_col, "left")
+    rmset = F.coalesce(F.col("__rm"), F.array().cast("array<int>"))
+    kept = F.filter(toks, lambda t, i: ~F.array_contains(rmset, i))
+    return (
+        joined.withColumn(out_col, F.array_join(kept, " "))
+        .withColumn("n_tokens", F.size(toks))
+        .withColumn("n_removed", F.size(rmset))
+        .drop("__rm")
+    )

@@ -2244,3 +2244,81 @@ def image_autocontrast(images: DataFrame) -> DataFrame:
     return images.select("image_id", "bytes", "fmt").mapInPandas(
         run, AUTOCONTRAST_SCHEMA
     )
+
+
+# ------------------------------------------------- D4-orbit canonical hash
+
+ORBIT_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("ohash", T.LongType(), True),
+        T.StructField("err", T.StringType(), True),
+    ]
+)
+
+
+def orbit_dhash64(gray: np.ndarray) -> int:
+    """Augmentation-invariant perceptual hash: the minimum (unsigned)
+    dHash over the 8 dihedral transforms of the image (4 rotations x
+    optional horizontal flip). Because the D4 orbit of a transformed
+    copy is the SAME set of arrays, a flipped or rotated duplicate
+    maps to bit-identical canonical hashes — exact group closure, no
+    Hamming tolerance needed for pure geometric copies."""
+    best = None
+    for flip in (False, True):
+        a = gray[:, ::-1] if flip else gray
+        for k in range(4):
+            u = dhash64(np.rot90(a, k)) & 0xFFFFFFFFFFFFFFFF
+            if best is None or u < best:
+                best = u
+    return best - (1 << 64) if best >= 1 << 63 else best
+
+
+def orbit_hashes(images: DataFrame) -> DataFrame:
+    """(image_id, ohash, err) — one shuffle-free Arrow scan computing
+    the D4-canonical dHash per image (8 cheap 8x9 anchor resizes per
+    decode; the decode dominates)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for iid, data, fmt in zip(
+                b["image_id"].values, b["bytes"].values, b["fmt"].values
+            ):
+                try:
+                    px = to_gray(decode_image(bytes(data), fmt)).astype(np.uint8)
+                    rows.append(
+                        {"image_id": iid, "ohash": orbit_dhash64(px),
+                         "err": None}
+                    )
+                except Exception as e:  # noqa: BLE001
+                    rows.append(
+                        {"image_id": iid, "ohash": None,
+                         "err": f"{type(e).__name__}: {e}"}
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in ORBIT_SCHEMA.fields]
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        run, ORBIT_SCHEMA
+    )
+
+
+def orbit_dedup(images: DataFrame) -> DataFrame:
+    """Geometric-duplicate detection: images whose D4-canonical dHash
+    collides group together; the lexicographically-smallest image_id
+    keeps the group. Returns (image_id, obits, keeper_id, is_dup) —
+    hash scan is shuffle-free, the grouping shuffles only the 8-byte
+    canonical hashes (never image bytes)."""
+    hs = orbit_hashes(images).filter(F.col("err").isNull())
+    keep = hs.groupBy("ohash").agg(F.min("image_id").alias("keeper_id"))
+    return (
+        hs.join(keep, "ohash")
+        .select(
+            "image_id",
+            F.lpad(F.bin(F.col("ohash")), 64, "0").alias("obits"),
+            "keeper_id",
+            (F.col("image_id") != F.col("keeper_id")).alias("is_dup"),
+        )
+    )

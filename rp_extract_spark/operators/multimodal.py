@@ -470,3 +470,78 @@ def quality_gate_audio(
         (F.size("__r") == 0).alias("passes"),
         F.concat_ws(",", "__r").alias("reject_reasons"),
     )
+
+
+FRAME_SIG_SCHEMA = T.StructType(
+    [
+        T.StructField("video_id", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), True),
+        T.StructField("g", T.ArrayType(T.IntegerType()), True),
+        T.StructField("err", T.StringType(), True),
+    ]
+)
+
+
+def dedup_frames(
+    videos: DataFrame,
+    every_n: int = 1,
+    grid: int = 8,
+    thr: int = 0,
+) -> DataFrame:
+    """Consecutive-frame near-duplicate detection — the standard
+    keyframe-thinning pass a video training pipeline runs before
+    feature extraction: frame t is a duplicate of t-1 when the SSE
+    between their ``grid x grid`` anchor-resize signatures is <= thr.
+
+    Scale path: ONE decode scan emits per-frame (video_id, frame_idx,
+    grid signature) — frame bytes never shuffle, only the
+    ``grid²``-int signatures cross the exchange into the per-video lag
+    window; the compare is a JVM zip_with/aggregate (no second Python
+    stage). Returns (video_id, frame_idx, grid_sse, keep) where
+    grid_sse is NULL for each video's first sampled frame."""
+    frames = sample_video_frames(videos, every_n=every_n)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for vid, idx, fb, err in zip(
+                b["video_id"].values, b["frame_idx"].values,
+                b["frame_bytes"].values, b["err"].values,
+            ):
+                if err is not None:
+                    rows.append({"video_id": vid, "frame_idx": int(idx),
+                                 "g": None, "err": err})
+                    continue
+                try:
+                    px = to_gray(decode_image(bytes(fb), "jpeg"))
+                    sig = block_mean_resize(px, grid, grid)
+                    rows.append(
+                        {"video_id": vid, "frame_idx": int(idx),
+                         "g": [int(v) for v in sig.ravel()], "err": None}
+                    )
+                except Exception as e:  # noqa: BLE001
+                    rows.append({"video_id": vid, "frame_idx": int(idx),
+                                 "g": None,
+                                 "err": f"{type(e).__name__}: {e}"})
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_SIG_SCHEMA.fields]
+            )
+
+    from pyspark.sql.window import Window
+
+    sigs = frames.mapInPandas(run, FRAME_SIG_SCHEMA).filter(
+        F.col("err").isNull()
+    )
+    w = Window.partitionBy("video_id").orderBy("frame_idx")
+    prev = F.lag("g").over(w)
+    sse = F.aggregate(
+        F.zip_with(F.col("g"), prev, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return sigs.select(
+        "video_id",
+        "frame_idx",
+        sse.alias("grid_sse"),
+        (prev.isNull() | (sse > thr)).alias("keep"),
+    )

@@ -8474,6 +8474,285 @@ QUERIES["shuffle_audit"] = q_shuffle_audit
 ORACLES["shuffle_audit"] = ORACLE_SHUFFLE_AUDIT
 
 
+def q_substring_dedup(spark, sf):
+    """Corpus-wide exact-substring dedup (the ExactSubstr rule of Lee
+    et al. at token 8-gram granularity), fully ORACLED: DuckDB rebuilds
+    every token 8-gram, picks the same (doc_id, pos) winners, unions
+    the removal spans, and reassembles each document token-for-token.
+    Token text never crosses a Spark exchange — only (id, pos, digest)
+    rows shuffle (the dedup_paragraphs scale contract)."""
+    from ..operators.dedup import dedup_substrings
+
+    d = _t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    out = dedup_substrings(d, n=8)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("n_removed").cast("int").alias("n_removed"),
+        "clean_text",
+    ).orderBy("doc_id")
+
+
+ORACLE_SUBSTRING_DEDUP = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l
+              FROM documents WHERE text IS NOT NULL),
+g AS (SELECT doc_id, u.g AS pos,
+             md5(array_to_string(l[u.g+1:u.g+8], ' ')) AS d
+      FROM toks,
+           LATERAL (SELECT unnest(range(greatest(len(l)-7, 0))) AS g) u),
+w AS (SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY d ORDER BY doc_id, pos) AS rn,
+             count(*) OVER (PARTITION BY d) AS c
+      FROM g),
+rm AS (SELECT DISTINCT doc_id, pos + s.g AS tp
+       FROM w, LATERAL (SELECT unnest(range(8)) AS g) s
+       WHERE c > 1 AND rn > 1),
+tok AS (SELECT doc_id, u.g AS p, l[u.g+1] AS tk
+        FROM toks, LATERAL (SELECT unnest(range(len(l))) AS g) u),
+cleaned AS (SELECT t.doc_id, string_agg(tk, ' ' ORDER BY p) AS ct
+            FROM tok t LEFT JOIN rm ON rm.doc_id = t.doc_id AND rm.tp = t.p
+            WHERE rm.tp IS NULL GROUP BY t.doc_id),
+nrm AS (SELECT doc_id, count(*) AS nr FROM rm GROUP BY doc_id)
+SELECT toks.doc_id, CAST(len(l) AS INT) AS n_tokens,
+       CAST(coalesce(nrm.nr, 0) AS INT) AS n_removed,
+       coalesce(cleaned.ct, '') AS clean_text
+FROM toks LEFT JOIN cleaned USING (doc_id) LEFT JOIN nrm USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+QUERIES["substring_dedup"] = q_substring_dedup
+ORACLES["substring_dedup"] = ORACLE_SUBSTRING_DEDUP
+
+
+def q_orbit_dedup(spark, sf):
+    """D4-orbit-canonical dHash dedup (augmentation-invariant image
+    dedup), fully ORACLED: all 8 dihedral dHash variants replay
+    closed-form in DuckDB as anchor coordinate remaps of the pixel
+    formula, the canonical hash is their lexicographic least, and
+    rotated/flipped copies land on the base image's canonical hash by
+    exact group closure (the orbit of a transformed copy is the SAME
+    set of arrays)."""
+    from ..operators.images import orbit_dedup, transform_images
+    from ..sources.images import formula_images_df
+
+    rid = F.regexp_extract("image_id", r"img(\d+)", 1).cast("int")
+    base = formula_images_df(spark, 12).select("image_id", "bytes", "fmt")
+    rot = transform_images(
+        formula_images_df(spark, 12).filter(rid % 4 == 0), "rot90"
+    ).select(
+        F.concat("image_id", F.lit("_r")).alias("image_id"), "bytes", "fmt"
+    )
+    flip = transform_images(
+        formula_images_df(spark, 12).filter(rid % 4 == 1), "flip_h"
+    ).select(
+        F.concat("image_id", F.lit("_f")).alias("image_id"), "bytes", "fmt"
+    )
+    allimgs = base.unionByName(rot).unionByName(flip)
+    return orbit_dedup(allimgs).orderBy("image_id")
+
+
+def _orbit_dedup_oracle_sql() -> str:
+    """Generate the 8-transform dHash replay: per dihedral element the
+    anchor-resize source pixel is a pure coordinate remap of the
+    formula (maps verified numerically against np.rot90/fliplr)."""
+    maps = [
+        ("w", "h", "{AC}", "{AR}"),
+        ("h", "w", "w-1-({AR})", "{AC}"),
+        ("w", "h", "w-1-({AC})", "h-1-({AR})"),
+        ("h", "w", "{AR}", "h-1-({AC})"),
+        ("w", "h", "w-1-({AC})", "{AR}"),
+        ("h", "w", "{AR}", "{AC}"),
+        ("w", "h", "{AC}", "h-1-({AR})"),
+        ("h", "w", "w-1-({AR})", "h-1-({AC})"),
+    ]
+    ctes = []
+    for t, (dw, dh, sx, sy) in enumerate(maps):
+        ac = f"((rx.g*{dw})//9)"
+        ar = f"((ry.g*{dh})//8)"
+        sxe = sx.format(AC=ac, AR=ar)
+        sye = sy.format(AC=ac, AR=ar)
+        ctes.append(
+            f"""
+d{t} AS (SELECT i, ry.g AS r, rx.g AS c,
+              (i*31 + ({sxe})*7 + ({sye})*13) % 256 AS v
+       FROM dims, (SELECT unnest(range(8)) AS g) ry,
+            (SELECT unnest(range(9)) AS g) rx),
+b{t} AS (SELECT a.i, string_agg(CASE WHEN a.v < b.v THEN '1' ELSE '0' END,
+                '' ORDER BY a.r, a.c) AS bits
+       FROM d{t} a JOIN d{t} b ON a.i = b.i AND a.r = b.r AND b.c = a.c + 1
+       WHERE a.c < 8 GROUP BY a.i)"""
+        )
+    joins = " ".join(f"JOIN b{t} ON b{t}.i = b0.i" for t in range(1, 8))
+    least = ", ".join(f"b{t}.bits" for t in range(8))
+    return (
+        "WITH ids AS (SELECT unnest(range(12)) AS i),\n"
+        + _SQL_FORMULA_DIMS
+        + ","
+        + ",".join(ctes)
+        + f""",
+canon AS (SELECT b0.i, least({least}) AS cb FROM b0 {joins}),
+rows_ AS (SELECT printf('img%08d', i) AS image_id, cb FROM canon
+          UNION ALL
+          SELECT printf('img%08d', i) || '_r' AS image_id, cb
+          FROM canon WHERE i % 4 = 0
+          UNION ALL
+          SELECT printf('img%08d', i) || '_f' AS image_id, cb
+          FROM canon WHERE i % 4 = 1),
+keep AS (SELECT cb, min(image_id) AS keeper_id FROM rows_ GROUP BY cb)
+SELECT r.image_id, r.cb AS obits, k.keeper_id,
+       r.image_id <> k.keeper_id AS is_dup
+FROM rows_ r JOIN keep k USING (cb) ORDER BY r.image_id
+"""
+    )
+
+
+QUERIES["orbit_dedup"] = q_orbit_dedup
+ORACLES["orbit_dedup"] = _orbit_dedup_oracle_sql()
+
+
+def q_annotator_vote(spark, sf):
+    """Crowd-label majority-vote aggregation, fully ORACLED: 5
+    md5-seeded noisy annotators per document (flip when the first hex
+    digit < 4), per-item argmax with the (votes DESC, label ASC)
+    tiebreak, runner-up votes, and totals all replay in DuckDB via the
+    row_number rank — Spark's zero-shuffle sort_array(struct) argmax
+    uses the identical order."""
+    from ..operators.classify import majority_vote
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    ann = (
+        d.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(4))).alias("a"),
+        )
+        .select(
+            "doc_id",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"),
+                            F.lit(":"),
+                            F.col("a").cast("string"),
+                        )
+                    ),
+                    1,
+                    1,
+                ),
+                16,
+                10,
+            )
+            .cast("int")
+            .alias("dg"),
+            F.pmod(F.col("doc_id"), F.lit(5)).cast("int").alias("t"),
+        )
+        .select(
+            "doc_id",
+            F.when(
+                F.col("dg") < 4,
+                F.pmod(F.col("t") + 1 + F.col("dg"), F.lit(5)),
+            )
+            .otherwise(F.col("t"))
+            .cast("int")
+            .alias("label"),
+        )
+    )
+    return majority_vote(ann, "doc_id", "label").orderBy("doc_id")
+
+
+ORACLE_ANNOTATOR_VOTE = """
+WITH ann AS (
+  SELECT doc_id, g.g AS a,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                                 CAST(g.g AS VARCHAR)), 1, 1) AS INT) AS dg,
+         CAST(doc_id % 5 AS INT) AS t
+  FROM documents, (SELECT unnest(range(5)) AS g) g),
+lab AS (SELECT doc_id,
+               CASE WHEN dg < 4 THEN (t + 1 + dg) % 5 ELSE t END AS label
+        FROM ann),
+c AS (SELECT doc_id, label, count(*) AS c FROM lab GROUP BY doc_id, label),
+r AS (SELECT doc_id, label, c,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY c DESC, label ASC) AS rn,
+             sum(c) OVER (PARTITION BY doc_id) AS total
+      FROM c)
+SELECT r1.doc_id, CAST(r1.label AS INT) AS maj_label,
+       CAST(r1.c AS BIGINT) AS maj_votes,
+       CAST(coalesce(r2.c, 0) AS BIGINT) AS second_votes,
+       CAST(r1.total AS BIGINT) AS total_votes
+FROM r r1 LEFT JOIN r r2 ON r2.doc_id = r1.doc_id AND r2.rn = 2
+WHERE r1.rn = 1 ORDER BY r1.doc_id
+"""
+
+
+QUERIES["annotator_vote"] = q_annotator_vote
+ORACLES["annotator_vote"] = ORACLE_ANNOTATOR_VOTE
+
+
+def q_frame_dedup(spark, sf):
+    """Consecutive-video-frame near-dup thinning, fully ORACLED: flat
+    MJPEG frames with a plateau value formula (pairs k, k+1 share a
+    value; every third video perturbs odd frames by exactly 1) decode
+    exactly at q97; the 8x8 grid SSE and the keep decision replay
+    closed-form in DuckDB via a lag window over the formula."""
+    import numpy as np
+    import pandas as pd
+
+    from ..codecs.avi import encode_mjpeg_avi
+    from ..operators.multimodal import dedup_frames
+
+    def gen(batches):
+        for b in batches:
+            vids, blobs = [], []
+            for i in b["id"].values:
+                i = int(i)
+                frames = [
+                    np.full(
+                        (16, 16),
+                        (
+                            10 * i
+                            + 7 * (k // 2)
+                            + (1 if (k % 2 == 1 and i % 3 == 0) else 0)
+                        )
+                        % 256,
+                        dtype=np.uint8,
+                    )
+                    for k in range(6)
+                ]
+                vids.append(f"v{i:03d}")
+                blobs.append(encode_mjpeg_avi(frames, fps=10))
+            yield pd.DataFrame({"video_id": vids, "bytes": blobs})
+
+    videos = spark.range(8).mapInPandas(gen, "video_id string, bytes binary")
+    return dedup_frames(videos, every_n=1, grid=8, thr=100).orderBy(
+        "video_id", "frame_idx"
+    )
+
+
+ORACLE_FRAME_DEDUP = """
+WITH v AS (SELECT unnest(range(8)) AS i),
+k AS (SELECT unnest(range(6)) AS k),
+f AS (SELECT i, k,
+             (10*i + 7*(k//2)
+              + CASE WHEN k % 2 = 1 AND i % 3 = 0 THEN 1 ELSE 0 END)
+             % 256 AS val
+      FROM v, k),
+l AS (SELECT i, k, val,
+             lag(val) OVER (PARTITION BY i ORDER BY k) AS pv
+      FROM f)
+SELECT printf('v%03d', i) AS video_id, CAST(k AS INT) AS frame_idx,
+       CAST(CASE WHEN pv IS NULL THEN NULL
+                 ELSE 64*(val-pv)*(val-pv) END AS BIGINT) AS grid_sse,
+       (pv IS NULL OR 64*(val-pv)*(val-pv) > 100) AS keep
+FROM l ORDER BY video_id, frame_idx
+"""
+
+
+QUERIES["frame_dedup"] = q_frame_dedup
+ORACLES["frame_dedup"] = ORACLE_FRAME_DEDUP
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #

@@ -203,6 +203,11 @@ RELATIONAL = [
     "orbit_dedup",
     "annotator_vote",
     "frame_dedup",
+    # round 5, twenty-sixth batch (canonical-URL dedup, bigram LM
+    # perplexity filter, blocklist audit)
+    "url_dedup",
+    "bigram_lm",
+    "blocklist",
 ]
 
 

@@ -844,3 +844,145 @@ def tfidf_keywords(
         .filter(F.col("rank") <= int(top_k))
         .select(id_col, "rank", "token", "tf", "df", "score_u")
     )
+
+
+def _bigrams_over(df: DataFrame, text_col: str, id_col: str = None) -> DataFrame:
+    """Exploded adjacent-token-pair rows: (id, w1, w2) — or (w1, w2)
+    when ``id_col`` is None (training needs no identity). Pure HOF:
+    transform over the first n-1 tokens, indexing the captured token
+    array (0-based Spark indexing; lambda i is the slice position, so
+    __bt[i + 1] is the successor in the ORIGINAL array)."""
+    toks = nonempty_tokens_col(F.col(text_col))
+    ids = [F.col(id_col)] if id_col is not None else []
+    with_t = df.select(*ids, toks.alias("__bt"))
+    pairs = with_t.select(
+        *([id_col] if id_col is not None else []),
+        F.explode(
+            F.expr(
+                "transform(slice(__bt, 1, greatest(size(__bt) - 1, 0)),"
+                " (x, i) -> struct(x AS w1, __bt[i + 1] AS w2))"
+            )
+        ).alias("__p"),
+    )
+    keep = [id_col] if id_col is not None else []
+    return pairs.select(
+        *keep, F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2")
+    )
+
+
+def train_bigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Order-2 LM for the CCNet-style perplexity filter: one corpus pass
+    counts (w1, w2) pairs and w1 context totals, then add-``alpha``
+    smoothing over the observed vocabulary V:
+
+        logp(w2 | w1)   = ln((c(w1,w2) + a) / (c(w1,.) + a*V))
+        logp(OOV | w1)  = ln(a / (c(w1,.) + a*V))     (row w2=OOV)
+        logp(. | OOV)   = ln(1 / V)                   (row w1=w2=OOV)
+
+    Returns (w1, w2, logp) rounded to 6dp at the source (model rows are
+    the cross-engine compare unit). Scale: the shuffle carries pair
+    partial counts only — the model is vocab^2-bounded regardless of
+    corpus size, so it broadcasts."""
+    pairs = _bigrams_over(df, text_col)
+    # vocab size from the unigram pass (1-row probe, never the vocab)
+    toks = df.select(F.explode(nonempty_tokens_col(F.col(text_col))).alias("token"))
+    vrow = toks.agg(F.countDistinct("token").alias("__v")).first()
+    v = int(vrow["__v"]) if vrow and vrow["__v"] else 1
+    pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c12"))
+    ctx = pc.groupBy("w1").agg(F.sum("__c12").alias("__c1"))
+    denom = F.col("__c1") + F.lit(alpha * v)
+    model = pc.join(ctx, "w1").select(
+        "w1",
+        "w2",
+        F.round(F.log((F.col("__c12") + F.lit(alpha)) / denom), 6).alias("logp"),
+    )
+    oov_ctx = ctx.select(
+        "w1",
+        F.lit(OOV_TOKEN).alias("w2"),
+        F.round(F.log(F.lit(alpha) / denom), 6).alias("logp"),
+    )
+    oov_all = df.sparkSession.range(1).select(
+        F.lit(OOV_TOKEN).alias("w1"),
+        F.lit(OOV_TOKEN).alias("w2"),
+        F.round(F.log(F.lit(1.0 / v)), 6).alias("logp"),
+    )
+    return model.unionByName(oov_ctx).unionByName(oov_all)
+
+
+def score_bigram_lm(
+    df: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Mean bigram log-prob per document under a ``train_bigram_lm``
+    model. Three-level backoff resolved with two broadcast joins (pair
+    rows, then per-context OOV rows), the global OOV row fetched as a
+    1-row probe (never the model). Docs with < 2 tokens score 0.0 with
+    n_bigrams = 0. The per-doc sum is an exact micro-integer (the
+    6dp-rounded logps scaled by 1e6) — float summation order cannot
+    flip the 6th decimal between engines."""
+    model = model.persist()
+    g_row = (
+        model.filter((F.col("w1") == OOV_TOKEN) & (F.col("w2") == OOV_TOKEN))
+        .select("logp")
+        .first()
+    )
+    if g_row is None:
+        raise ValueError("model has no global OOV row (not a train_bigram_lm output)")
+    g_logp = float(g_row["logp"])
+    pair_m = model.filter(F.col("w2") != OOV_TOKEN).select("w1", "w2", "logp")
+    ctx_m = (
+        model.filter((F.col("w2") == OOV_TOKEN) & (F.col("w1") != OOV_TOKEN))
+        .select(F.col("w1").alias("w1c"), F.col("logp").alias("logp_ctx"))
+    )
+    bg = _bigrams_over(df.select(id_col, text_col), text_col, id_col)
+    micro = F.round(
+        F.coalesce(F.col("logp"), F.col("logp_ctx"), F.lit(g_logp)) * 1e6
+    ).cast("long")
+    scored = (
+        bg.join(F.broadcast(pair_m), ["w1", "w2"], "left")
+        .join(F.broadcast(ctx_m), F.col("w1") == F.col("w1c"), "left")
+        .groupBy(id_col)
+        .agg(F.sum(micro).alias("__s"), F.count(F.lit(1)).alias("n_bigrams"))
+        .select(
+            id_col,
+            F.round(F.col("__s") / (F.col("n_bigrams") * 1e6), 6).alias("lm2_score"),
+            "n_bigrams",
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("lm2_score", F.lit(0.0)).alias("lm2_score"),
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+        )
+    )
+
+
+def blocklist_hits(
+    df: DataFrame,
+    terms: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-level blocklist audit — the word-filter stage every web
+    corpus runs (C4's bad-words pass). Returns (id, n_hits, hits,
+    blocked) where hits is the sorted deduped comma-joined intersection
+    of the document's tokens with ``terms``. Row-local (the term list is
+    a literal array — no join, no shuffle); NULL text → 0 hits."""
+    toks = nonempty_tokens_col(F.col(text_col))
+    lit_terms = F.array(*[F.lit(t) for t in sorted(set(terms))])
+    inter = F.array_sort(F.array_intersect(toks, lit_terms))
+    return df.select(
+        F.col(id_col),
+        F.coalesce(F.size(inter), F.lit(0)).cast("int").alias("n_hits"),
+        F.coalesce(F.array_join(inter, ","), F.lit("")).alias("hits"),
+        F.coalesce(F.size(inter) > 0, F.lit(False)).cast("int").alias("blocked"),
+    )

@@ -8753,6 +8753,220 @@ QUERIES["frame_dedup"] = q_frame_dedup
 ORACLES["frame_dedup"] = ORACLE_FRAME_DEDUP
 
 
+def _synth_url(did):
+    """Deterministic messy raw URL from a doc_id — the formula-pixels
+    oracle technique applied to web provenance: scheme/host case noise,
+    default and non-default ports, /index.html suffixes, unsorted query
+    params with a utm_ tracker, fragments. The DuckDB oracle builds the
+    IDENTICAL string with || casts and replays the canonicalization."""
+    return F.concat(
+        F.when(did % 3 == 0, F.lit("HTTP"))
+        .when(did % 3 == 1, F.lit("https"))
+        .otherwise(F.lit("hTTp")),
+        F.lit("://WWW.Site"),
+        (did % 7).cast("string"),
+        F.lit(".Example.COM"),
+        F.when(did % 4 == 0, F.lit(":80"))
+        .when(did % 4 == 1, F.lit(":443"))
+        .when(did % 4 == 2, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.lit("/a/"),
+        (did % 5).cast("string"),
+        F.when(did % 6 == 0, F.lit("/index.html")).otherwise(F.lit("")),
+        F.when(did % 2 == 0, F.concat(F.lit("?b=2&utm_source=x&a="), (did % 3).cast("string")))
+        .otherwise(F.concat(F.lit("?a="), (did % 3).cast("string"), F.lit("&b=2"))),
+        F.when(did % 2 == 1, F.lit("#frag")).otherwise(F.lit("")),
+    )
+
+
+def q_url_dedup(spark, sf):
+    """Canonical-URL dedup — the first pass of every web-corpus build
+    (C4/RefinedWeb dedup by canonical URL before any content pass).
+    Raw URLs are synthesized from doc_id (formula technique), then
+    fragment/case/default-port/index.html/utm/param-order noise is
+    normalized away (operators/web.py, pure JVM regexp+HOF — zero
+    exchanges) and docs group on the canonical key: one shuffle of
+    short canonical strings, document text never moves. Fully ORACLED:
+    DuckDB rebuilds the same raw strings and replays every rule."""
+    from ..operators.web import normalize_urls
+
+    d = _t(spark, sf, "documents")
+    t = d.select("doc_id", _synth_url(F.col("doc_id")).alias("url"))
+    n = normalize_urls(t)
+    return (
+        n.groupBy("canonical_url")
+        .agg(
+            F.min("domain").alias("domain"),
+            F.min("host").alias("host"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .orderBy("canonical_url")
+    )
+
+
+ORACLE_URL_DEDUP = r"""
+WITH raw AS (
+  SELECT doc_id,
+         (CASE doc_id % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https'
+               ELSE 'hTTp' END)
+         || '://WWW.Site' || (doc_id % 7) || '.Example.COM'
+         || (CASE doc_id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+                  WHEN 2 THEN ':8080' ELSE '' END)
+         || '/a/' || (doc_id % 5)
+         || (CASE WHEN doc_id % 6 = 0 THEN '/index.html' ELSE '' END)
+         || (CASE WHEN doc_id % 2 = 0
+                  THEN '?b=2&utm_source=x&a=' || (doc_id % 3)
+                  ELSE '?a=' || (doc_id % 3) || '&b=2' END)
+         || (CASE WHEN doc_id % 2 = 1 THEN '#frag' ELSE '' END) AS url
+  FROM documents),
+s1 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS u FROM raw),
+s2 AS (SELECT doc_id,
+              lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1))
+                AS scheme,
+              regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.\-]*://', '') AS rest
+       FROM s1),
+s3 AS (SELECT doc_id, scheme,
+              lower(regexp_extract(rest, '^([^/?]+)', 1)) AS hostport,
+              regexp_replace(rest, '^[^/?]+', '') AS pathq
+       FROM s2),
+s4 AS (SELECT doc_id, scheme, hostport,
+              CASE scheme
+                WHEN 'http' THEN regexp_replace(hostport, ':80$', '')
+                WHEN 'https' THEN regexp_replace(hostport, ':443$', '')
+                ELSE hostport END AS chost,
+              regexp_replace(
+                regexp_extract(pathq, '^([^?]*)', 1),
+                '/index\.html$', '/') AS path0,
+              regexp_extract(pathq, '\?(.*)$', 1) AS q
+       FROM s3),
+s5 AS (SELECT doc_id, scheme, hostport, chost,
+              CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+              array_to_string(
+                list_sort(list_filter(string_split(q, '&'),
+                  p -> p <> '' AND substr(p, 1, 4) <> 'utm_')), '&') AS qs
+       FROM s4),
+s6 AS (SELECT doc_id,
+              scheme || '://' || chost || path
+                || (CASE WHEN qs = '' THEN '' ELSE '?' || qs END)
+                AS canonical_url,
+              regexp_replace(hostport, ':[0-9]+$', '') AS host
+       FROM s5),
+s7 AS (SELECT doc_id, canonical_url, host,
+              CASE WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) = ''
+                   THEN host
+                   ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+                   END AS domain
+       FROM s6)
+SELECT canonical_url, min(domain) AS domain, min(host) AS host,
+       count(*) AS n_docs, min(doc_id) AS keep_id
+FROM s7 GROUP BY canonical_url ORDER BY canonical_url
+"""
+
+QUERIES["url_dedup"] = q_url_dedup
+ORACLES["url_dedup"] = ORACLE_URL_DEDUP
+
+
+_LM2_ALPHA = 0.5
+
+
+def q_bigram_lm(spark, sf):
+    """CCNet-style order-2 LM quality filter: train the add-alpha
+    bigram model on the corpus (one pair-count pass; the shuffle
+    carries (w1,w2) partial counts, never documents) and score every
+    document by mean bigram log-prob with three-level backoff
+    (pair -> per-context OOV -> global). The oracle retrains and
+    rescores from scratch in SQL with the same micro-integer sums."""
+    from ..operators.text import score_bigram_lm, train_bigram_lm
+
+    d = _t(spark, sf, "documents")
+    model = train_bigram_lm(d, alpha=_LM2_ALPHA)
+    return score_bigram_lm(d, model).orderBy("doc_id")
+
+
+ORACLE_BIGRAM_LM = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(trim(text)),
+                                                 '\s+', ' ', 'g'), ' '),
+                     x -> x <> '') AS t
+  FROM documents),
+tk AS (SELECT doc_id, x AS token FROM toks, unnest(toks.t) AS u(x)),
+vv AS (SELECT count(DISTINCT token)::DOUBLE AS V FROM tk),
+bg AS (SELECT doc_id, t[x] AS w1, t[x + 1] AS w2
+       FROM toks, unnest(range(1, len(t))) AS u(x)),
+c12 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
+ctx AS (SELECT w1, sum(c) AS c1 FROM c12 GROUP BY w1),
+model AS (SELECT c12.w1, c12.w2,
+                 round(ln((c12.c + {_LM2_ALPHA})
+                          / (ctx.c1 + {_LM2_ALPHA} * (SELECT V FROM vv))), 6)
+                   AS logp
+          FROM c12 JOIN ctx ON ctx.w1 = c12.w1),
+ctxm AS (SELECT w1,
+                round(ln({_LM2_ALPHA}
+                         / (c1 + {_LM2_ALPHA} * (SELECT V FROM vv))), 6)
+                  AS logp
+         FROM ctx),
+gl AS (SELECT round(ln(1.0 / (SELECT V FROM vv)), 6) AS logp),
+sc AS (
+  SELECT bg.doc_id,
+         round(sum(CAST(round(coalesce(m.logp, c.logp,
+                                       (SELECT logp FROM gl))
+                              * 1000000.0) AS BIGINT))
+               / (count(*) * 1000000.0), 6) AS lm2_score,
+         count(*) AS n_bigrams
+  FROM bg LEFT JOIN model m ON m.w1 = bg.w1 AND m.w2 = bg.w2
+          LEFT JOIN ctxm c ON c.w1 = bg.w1
+  GROUP BY bg.doc_id)
+SELECT d.doc_id,
+       coalesce(sc.lm2_score, 0.0) AS lm2_score,
+       CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams
+FROM documents d LEFT JOIN sc USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+QUERIES["bigram_lm"] = q_bigram_lm
+ORACLES["bigram_lm"] = ORACLE_BIGRAM_LM
+
+
+_BLOCK_TERMS = ["error", "slow", "crash"]
+
+
+def q_blocklist(spark, sf):
+    """Token-level blocklist audit (the C4 bad-words pass): sorted
+    deduped intersection of each document's tokens with a literal term
+    list — row-local JVM array ops, no join, no shuffle. Fully ORACLED
+    (list_filter/list_distinct/list_sort replay byte-wise)."""
+    from ..operators.text import blocklist_hits
+
+    d = _t(spark, sf, "documents")
+    return blocklist_hits(d, _BLOCK_TERMS).orderBy("doc_id")
+
+
+ORACLE_BLOCKLIST = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(trim(text)),
+                                                 '\s+', ' ', 'g'), ' '),
+                     x -> x <> '') AS t
+  FROM documents),
+i AS (SELECT doc_id,
+             list_sort(list_distinct(list_filter(t,
+               x -> list_contains(['crash', 'error', 'slow'], x)))) AS h
+      FROM toks)
+SELECT d.doc_id,
+       CAST(coalesce(len(i.h), 0) AS INT) AS n_hits,
+       coalesce(array_to_string(i.h, ','), '') AS hits,
+       CAST(CASE WHEN coalesce(len(i.h), 0) > 0 THEN 1 ELSE 0 END AS INT)
+         AS blocked
+FROM documents d LEFT JOIN i USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+QUERIES["blocklist"] = q_blocklist
+ORACLES["blocklist"] = ORACLE_BLOCKLIST
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #

@@ -208,6 +208,11 @@ RELATIONAL = [
     "url_dedup",
     "bigram_lm",
     "blocklist",
+    # round 5, twenty-seventh batch (time-series gap-fill, winsorize,
+    # best-of-burst)
+    "gap_fill",
+    "winsorize",
+    "best_of_burst",
 ]
 
 

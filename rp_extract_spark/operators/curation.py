@@ -2105,3 +2105,66 @@ def wordpiece_apply(
             )
 
     return words.mapInPandas(run, out_schema)
+
+
+def winsorize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    lo: tuple = (5, 100),
+    hi: tuple = (95, 100),
+    grain: int = 100,
+) -> DataFrame:
+    """Per-group winsorization at exact discrete quantiles — the robust
+    outlier-clip a feature pipeline applies before normalization (tail
+    sensor glitches / pathological document lengths must not stretch
+    the scale). Quantile rule is integer-exact: with n group rows and
+    q = num/den, the clip bound is the value at 1-based rank
+    ``(n-1)*num div den + 1`` under (value, id) order — the disc
+    quantile, no interpolation, so both engines agree bit-for-bit.
+    Values land on the micro-integer grid floor(v*grain + 1/2).
+
+    Scale path: one row_number window per group partition (the
+    per-group sort; a single dominant group calls for the two-level
+    rank of stratified_split — documented trade), a K-row-per-group
+    bound table joined back broadcast, and the clip itself row-local.
+    Returns (group, id, value_u, lo_u, hi_u, clipped_u).
+    """
+    lo_n, lo_d = int(lo[0]), int(lo[1])
+    hi_n, hi_d = int(hi[0]), int(hi[1])
+    vu = F.floor(F.col(value_col) * grain + F.lit(0.5)).cast("long")
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(id_col).alias("__id"),
+        vu.alias("__v"),
+    ).filter(F.col("__v").isNotNull() & F.col("__g").isNotNull())
+    counts = base.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
+    w = Window.partitionBy("__g").orderBy(
+        F.col("__v").asc(), F.col("__id").asc()
+    )
+    ranked = base.withColumn("__r", F.row_number().over(w)).join(
+        F.broadcast(counts), "__g"
+    )
+    r_lo = F.expr(f"(__n - 1) * {lo_n} div {lo_d}") + F.lit(1)
+    r_hi = F.expr(f"(__n - 1) * {hi_n} div {hi_d}") + F.lit(1)
+    lo_tab = ranked.filter(F.col("__r") == r_lo).select(
+        "__g", F.col("__v").alias("lo_u")
+    )
+    hi_tab = ranked.filter(F.col("__r") == r_hi).select(
+        "__g", F.col("__v").alias("hi_u")
+    )
+    out = (
+        base.join(F.broadcast(lo_tab), "__g")
+        .join(F.broadcast(hi_tab), "__g")
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__id").alias(id_col),
+            F.col("__v").alias("value_u"),
+            "lo_u",
+            "hi_u",
+            F.least(F.greatest(F.col("__v"), F.col("lo_u")), F.col("hi_u"))
+            .alias("clipped_u"),
+        )
+    )
+    return out

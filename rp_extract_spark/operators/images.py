@@ -2322,3 +2322,41 @@ def orbit_dedup(images: DataFrame) -> DataFrame:
             (F.col("image_id") != F.col("keeper_id")).alias("is_dup"),
         )
     )
+
+
+def best_of_burst(images: DataFrame, group_col: str = "burst_id") -> DataFrame:
+    """Sharpest-image-per-group selection — burst dedup: a capture
+    burst (or a crawl's repeated variants of one asset) keeps only the
+    least-blurred member, ranked by the integer Laplacian energy
+    ``lap_sq_sum`` from :func:`image_gradients` with image_id as the
+    deterministic tiebreak. Raw total energy is the right rank within
+    a burst (same camera, same dims); normalize sizes upstream when
+    groups mix resolutions.
+
+    Scale path: the Arrow gradient stage is embarrassingly parallel,
+    the argmax is one groupBy min(struct(-energy, id)) — no window, no
+    per-group sort; decode errors quarantine (never silently win).
+    Returns (group, image_id, lap_sq_sum, n_interior, n_candidates).
+    """
+    g = image_gradients(images).filter(F.col("err").isNull())
+    j = images.select(group_col, "image_id").join(
+        g.select("image_id", "lap_sq_sum", "n_interior"), "image_id"
+    )
+    pick = j.groupBy(group_col).agg(
+        F.min(
+            F.struct(
+                (-F.col("lap_sq_sum")).alias("__neg"),
+                F.col("image_id").alias("image_id"),
+                F.col("lap_sq_sum").alias("lap_sq_sum"),
+                F.col("n_interior").alias("n_interior"),
+            )
+        ).alias("__b"),
+        F.count(F.lit(1)).alias("n_candidates"),
+    )
+    return pick.select(
+        group_col,
+        F.col("__b.image_id").alias("image_id"),
+        F.col("__b.lap_sq_sum").alias("lap_sq_sum"),
+        F.col("__b.n_interior").alias("n_interior"),
+        "n_candidates",
+    )

@@ -243,3 +243,103 @@ def shard_shuffle_audit(
         F.count(F.lit(1)).cast("long").alias("n_runs"),
         F.max("__len").cast("long").alias("max_run"),
     )
+
+
+def gap_fill(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step_s: int = 43200,
+    grain: int = 100,
+) -> DataFrame:
+    """Regularize an irregular per-entity time series onto a fixed
+    ``step_s``-second grid with linear interpolation — the resample
+    stage a feature pipeline runs before any fixed-length model input
+    (the reference's fixed segment grid over a waveform,
+    rp_extract.py:797-800, generalized to entity timelines).
+
+    Exactness contract: observations land on integer epoch seconds and
+    micro-integer values (floor(v*grain + 1/2), half-up — identical in
+    Spark and SQL); duplicate seconds pre-aggregate to max; the
+    interpolated value is
+
+        v = pv + sign(nv-pv) * ((|nv-pv| * (g-pt)) div (nt-pt))
+
+    — the sign-split division rule, so a negative delta never meets
+    integer division (Spark div truncates toward zero, SQL // floors;
+    they agree only on non-negative numerators). Grid points covering
+    an exact observation return it unchanged.
+
+    Scale path: ONE hash exchange on the entity key serves both
+    window passes (prev scan and next scan are in-partition re-sorts);
+    the union carries (entity, second, micro-value) triples only. The
+    grid explodes from per-entity (min, max) bounds — no driver loop,
+    no cross join.
+    """
+    step = int(step_s)
+    if step <= 0:
+        raise ValueError(f"step_s must be positive, got {step_s}")
+    te = F.col(ts_col).cast("timestamp").cast("long")
+    vu = F.floor(F.col(value_col) * grain + F.lit(0.5)).cast("long")
+    obs = (
+        df.select(
+            F.col(entity_col).alias("__e"), te.alias("__t"), vu.alias("__v")
+        )
+        .filter(F.col("__t").isNotNull() & F.col("__v").isNotNull())
+        .groupBy("__e", "__t")
+        .agg(F.max("__v").alias("__v"))
+    )
+    bounds = obs.groupBy("__e").agg(
+        F.min("__t").alias("__mn"), F.max("__t").alias("__mx")
+    )
+    grid = bounds.select(
+        "__e",
+        F.explode(
+            F.sequence(F.col("__mn"), F.col("__mx"), F.lit(step))
+        ).alias("__t"),
+    )
+    gl = grid.select(
+        "__e",
+        "__t",
+        F.lit(None).cast("long").alias("__v"),
+        F.lit(1).alias("__side"),
+    )
+    ol = obs.select("__e", "__t", "__v", F.lit(0).alias("__side"))
+    u = gl.unionByName(ol)
+    # prev: obs (side 0) sorts BEFORE a grid row at the same second,
+    # so an exact hit is picked up by the backward scan
+    wp = (
+        Window.partitionBy("__e")
+        .orderBy(F.col("__t").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # next: side DESC puts the grid row first at equal seconds, so the
+    # forward scan (current..following) still sees the exact-hit obs
+    wn = (
+        Window.partitionBy("__e")
+        .orderBy(F.col("__t").asc(), F.col("__side").desc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_t = F.when(F.col("__side") == 0, F.col("__t"))
+    marked = (
+        u.withColumn("__pv", F.last("__v", ignorenulls=True).over(wp))
+        .withColumn("__pt", F.last(obs_t, ignorenulls=True).over(wp))
+        .withColumn("__nv", F.first("__v", ignorenulls=True).over(wn))
+        .withColumn("__nt", F.first(obs_t, ignorenulls=True).over(wn))
+    )
+    g = marked.filter(F.col("__side") == 1)
+    dv = F.col("__nv") - F.col("__pv")
+    g = g.withColumn("__num", F.abs(dv) * (F.col("__t") - F.col("__pt")))
+    g = g.withColumn("__den", F.col("__nt") - F.col("__pt"))
+    interp = F.when(F.col("__den") == 0, F.col("__pv")).otherwise(
+        F.col("__pv")
+        + F.signum(dv).cast("long") * F.expr("__num div __den")
+    )
+    return g.select(
+        F.col("__e").alias(entity_col),
+        F.col("__t").alias("grid_ts"),
+        interp.alias("value_u"),
+        F.col("__pt").alias("prev_ts"),
+        F.col("__nt").alias("next_ts"),
+    )

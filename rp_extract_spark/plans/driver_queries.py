@@ -8967,6 +8967,130 @@ QUERIES["blocklist"] = q_blocklist
 ORACLES["blocklist"] = ORACLE_BLOCKLIST
 
 
+def q_gap_fill(spark, sf):
+    """Per-user time-series regularization onto a 12-hour grid with
+    exact-integer linear interpolation (micro-cent values, epoch-second
+    axis, sign-split division), fully ORACLED: DuckDB rebuilds the grid
+    with range() and resolves prev/next observations with its native
+    ASOF JOIN in both directions — the nearest-row oracle."""
+    from ..operators.windows import gap_fill
+
+    e = _t(spark, sf, "events")
+    return gap_fill(e, step_s=43200).orderBy("user_id", "grid_ts")
+
+
+ORACLE_GAP_FILL = """
+WITH obs AS (
+  SELECT user_id AS e, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY e, CAST(floor(epoch(ts)) AS BIGINT)),
+b AS (SELECT e, min(t) AS mn, max(t) AS mx FROM obs GROUP BY e),
+grid AS (SELECT e, unnest(range(mn, mx + 1, 43200)) AS g FROM b),
+p AS (SELECT grid.e, grid.g, o.t AS pt, o.v AS pv
+      FROM grid ASOF JOIN obs o ON grid.e = o.e AND grid.g >= o.t),
+n AS (SELECT grid.e, grid.g, o.t AS nt, o.v AS nv
+      FROM grid ASOF JOIN obs o ON grid.e = o.e AND grid.g <= o.t),
+j AS (SELECT p.e, p.g, pt, pv, nt, nv
+      FROM p JOIN n ON n.e = p.e AND n.g = p.g)
+SELECT e AS user_id, g AS grid_ts,
+       CASE WHEN nt = pt THEN pv
+            ELSE pv + (CASE WHEN nv >= pv THEN 1 ELSE -1 END)
+                      * ((abs(nv - pv) * (g - pt)) // (nt - pt)) END
+         AS value_u,
+       pt AS prev_ts, nt AS next_ts
+FROM j ORDER BY user_id, grid_ts
+"""
+
+QUERIES["gap_fill"] = q_gap_fill
+ORACLES["gap_fill"] = ORACLE_GAP_FILL
+
+
+def q_winsorize(spark, sf):
+    """Per-event-type winsorization at the exact disc p05/p95 bounds
+    (rank = (n-1)*q div 1 + 1 under (value, id) order on the micro-cent
+    grid), fully ORACLED: counts, ranks, bound rows and the clip all
+    replay in SQL with identical integer arithmetic."""
+    from ..operators.curation import winsorize
+
+    e = _t(spark, sf, "events")
+    return winsorize(
+        e, group_col="event_type", value_col="value", id_col="event_id"
+    ).orderBy("event_type", "event_id")
+
+
+ORACLE_WINSORIZE = """
+WITH base AS (
+  SELECT event_type AS g, event_id AS id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+c AS (SELECT g, count(*) AS n FROM base GROUP BY g),
+r AS (SELECT base.*, row_number() OVER
+        (PARTITION BY g ORDER BY v ASC, id ASC) AS rk
+      FROM base),
+lo AS (SELECT r.g, r.v AS lo_u FROM r JOIN c ON c.g = r.g
+       WHERE r.rk = (c.n - 1) * 5 // 100 + 1),
+hi AS (SELECT r.g, r.v AS hi_u FROM r JOIN c ON c.g = r.g
+       WHERE r.rk = (c.n - 1) * 95 // 100 + 1)
+SELECT base.g AS event_type, base.id AS event_id, base.v AS value_u,
+       lo.lo_u, hi.hi_u,
+       least(greatest(base.v, lo.lo_u), hi.hi_u) AS clipped_u
+FROM base JOIN lo ON lo.g = base.g JOIN hi ON hi.g = base.g
+ORDER BY event_type, event_id
+"""
+
+QUERIES["winsorize"] = q_winsorize
+ORACLES["winsorize"] = ORACLE_WINSORIZE
+
+
+def q_best_of_burst(spark, sf):
+    """Burst dedup — keep the sharpest member of each 3-image burst by
+    integer Laplacian energy, fully ORACLED: lap_sq_sum replays from
+    the pixel formula at shifted coordinates (the image_gradients
+    oracle), the argmax as a row_number pick with the id tiebreak."""
+    from ..operators.images import best_of_burst
+    from ..sources.images import formula_images_df
+
+    imgs = formula_images_df(spark, 12).withColumn(
+        "burst_id",
+        F.expr(
+            "'b' || CAST(CAST(substring(image_id, 4) AS BIGINT) div 3"
+            " AS STRING)"
+        ),
+    )
+    return best_of_burst(imgs, group_col="burst_id").orderBy("burst_id")
+
+
+ORACLE_BEST_OF_BURST = """
+WITH ids AS (SELECT unnest(range(12)) AS i),
+""" + _SQL_FORMULA_DIMS + """,
+g AS (SELECT i,
+             4 * ((i*31 + x.g*7 + y.g*13) % 256)
+               - (i*31 + (x.g+1)*7 + y.g*13) % 256
+               - (i*31 + (x.g-1)*7 + y.g*13) % 256
+               - (i*31 + x.g*7 + (y.g+1)*13) % 256
+               - (i*31 + x.g*7 + (y.g-1)*13) % 256 AS lap
+      FROM dims, (SELECT unnest(range(256)) AS g) x,
+           (SELECT unnest(range(128)) AS g) y
+      WHERE x.g >= 1 AND x.g < w - 1 AND y.g >= 1 AND y.g < h - 1),
+e AS (SELECT i, count(*) AS n_interior, sum(lap*lap) AS lap_sq
+      FROM g GROUP BY i),
+r AS (SELECT i, n_interior, lap_sq, i // 3 AS burst,
+             row_number() OVER (PARTITION BY i // 3
+               ORDER BY lap_sq DESC, printf('img%08d', i) ASC) AS rk,
+             count(*) OVER (PARTITION BY i // 3) AS n_candidates
+      FROM e)
+SELECT 'b' || burst AS burst_id, printf('img%08d', i) AS image_id,
+       CAST(lap_sq AS BIGINT) AS lap_sq_sum,
+       CAST(n_interior AS BIGINT) AS n_interior,
+       CAST(n_candidates AS BIGINT) AS n_candidates
+FROM r WHERE rk = 1 ORDER BY burst_id
+"""
+
+QUERIES["best_of_burst"] = q_best_of_burst
+ORACLES["best_of_burst"] = ORACLE_BEST_OF_BURST
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #

@@ -213,6 +213,10 @@ RELATIONAL = [
     "gap_fill",
     "winsorize",
     "best_of_burst",
+    # round 5, twenty-eighth batch (audio fingerprint dedup,
+    # conversion attribution)
+    "audio_dedup",
+    "attribution",
 ]
 
 

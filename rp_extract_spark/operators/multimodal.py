@@ -545,3 +545,92 @@ def dedup_frames(
         sse.alias("grid_sse"),
         (prev.isNull() | (sse > thr)).alias("keep"),
     )
+
+
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType(), False),
+        T.StructField("fp", T.LongType(), True),
+        T.StructField("n_samples", T.IntegerType(), True),
+        T.StructField("err", T.StringType(), True),
+    ]
+)
+
+
+def audio_fingerprint64(samples: np.ndarray, n_bands: int = 64) -> int:
+    """64-bit waveform fingerprint, kept integer-exact so SQL replays
+    it bit-for-bit (the dHash-of-band-energies idea): samples quantize
+    to q = floor(x*30000 + 1/2) (the flac_decode grid), band b covers
+    samples [b*n//B, (b+1)*n//B) with energy sum(q*q) (exact int64),
+    and bit b (MSB first) is 1 iff energy[b] > energy[(b+1) % B] —
+    the circular adjacent compare, so a local perturbation flips at
+    most two bits. Returned as a SIGNED 64-bit int (the dhash64 /
+    simhash convention the shared Hamming dedup tail expects)."""
+    x = np.asarray(samples, dtype=np.float64)
+    q = np.floor(x * 30000.0 + 0.5).astype(np.int64)
+    e2 = q * q
+    n = len(q)
+    bounds = [(b * n) // n_bands for b in range(n_bands + 1)]
+    energy = [int(e2[bounds[b]:bounds[b + 1]].sum()) for b in range(n_bands)]
+    v = 0
+    for b in range(n_bands):
+        v = (v << 1) | (1 if energy[b] > energy[(b + 1) % n_bands] else 0)
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
+
+
+def fingerprint_audio(clips: DataFrame, id_col: str = "clip_id") -> DataFrame:
+    """Per-clip 64-bit fingerprint over decoded audio (WAV/FLAC/MP3
+    dispatch), error-isolated per record. The Arrow stage is
+    embarrassingly parallel; only (id, 8-byte fp) leaves it — clip
+    bytes never shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for cid, data in zip(b[id_col].values, b["bytes"].values):
+                try:
+                    _, samples = decode_audio(bytes(data))
+                    rows.append(
+                        {
+                            "clip_id": cid,
+                            "fp": audio_fingerprint64(samples),
+                            "n_samples": int(len(samples)),
+                            "err": None,
+                        }
+                    )
+                except Exception as e:  # noqa: BLE001
+                    rows.append(
+                        {
+                            "clip_id": cid, "fp": None, "n_samples": None,
+                            "err": f"{type(e).__name__}: {e}",
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FP_SCHEMA.fields]
+            )
+
+    return clips.select(F.col(id_col).alias("clip_id"), "bytes").mapInPandas(
+        run, AUDIO_FP_SCHEMA
+    )
+
+
+def audio_dedup(
+    clips: DataFrame,
+    id_col: str = "clip_id",
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Near-duplicate audio dedup: fingerprint (above) then the shared
+    64-bit Hamming tail (dedup.hamming64_dedup — the simhash /
+    image-phash pigeonhole: 4x16-bit bands bucket candidates, never
+    all-pairs; bit_count verify; transitive min-id components).
+    Decode failures quarantine. Returns (clip_id, fp, rep_id)."""
+    from .dedup import hamming64_dedup
+
+    fps = fingerprint_audio(clips, id_col=id_col).filter(
+        F.col("err").isNull()
+    )
+    return hamming64_dedup(
+        fps.select("clip_id", "fp"), "fp", "clip_id", max_hamming=max_hamming
+    )

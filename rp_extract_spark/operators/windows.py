@@ -343,3 +343,65 @@ def gap_fill(
         F.col("__pt").alias("prev_ts"),
         F.col("__nt").alias("next_ts"),
     )
+
+
+def attribute_conversions(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    conversion_type: str = "purchase",
+    touch_types: Sequence[str] = ("click", "view"),
+    window_s: int = 86400,
+) -> DataFrame:
+    """First-touch / last-touch attribution: for every conversion
+    event, the earliest and latest touch event within the preceding
+    ``window_s`` seconds (inclusive of the conversion second) — the
+    label-construction step behind conversion-prediction training
+    sets. Both models, plus the in-window touch count, come from ONE
+    range-frame window over the union of touches and conversions:
+    min/max(struct(epoch, id)) with a RANGE BETWEEN window_s PRECEDING
+    AND CURRENT ROW frame on the integer epoch-second axis, so ties at
+    the same second resolve by id deterministically.
+
+    Scale path: one hash exchange on the entity key, one in-partition
+    range frame; only (entity, second, id) triples enter the window.
+    Conversions with no in-window touch keep NULL touch columns."""
+    te = F.col(ts_col).cast("timestamp").cast("long")
+    types = list(touch_types)
+    base = df.select(
+        F.col(entity_col).alias("__e"),
+        te.alias("__t"),
+        F.col(id_col).alias("__id"),
+        F.col(type_col).alias("__ty"),
+    ).filter(F.col("__ty").isin(types + [conversion_type]))
+    is_touch = F.col("__ty").isin(types)
+    touch_struct = F.when(
+        is_touch, F.struct(F.col("__t").alias("t"), F.col("__id").alias("i"))
+    )
+    w = (
+        Window.partitionBy("__e")
+        .orderBy(F.col("__t").asc())
+        .rangeBetween(-int(window_s), 0)
+    )
+    marked = base.select(
+        "__e",
+        "__t",
+        "__id",
+        "__ty",
+        F.min(touch_struct).over(w).alias("__first"),
+        F.max(touch_struct).over(w).alias("__last"),
+        F.count(touch_struct).over(w).alias("n_touches"),
+    )
+    conv = marked.filter(F.col("__ty") == conversion_type)
+    return conv.select(
+        F.col("__e").alias(entity_col),
+        F.col("__id").alias("conv_id"),
+        F.col("__t").alias("conv_ts"),
+        F.col("n_touches").cast("bigint").alias("n_touches"),
+        F.col("__first.i").alias("first_touch_id"),
+        F.col("__first.t").alias("first_touch_ts"),
+        F.col("__last.i").alias("last_touch_id"),
+        F.col("__last.t").alias("last_touch_ts"),
+    )

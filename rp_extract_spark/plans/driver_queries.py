@@ -9091,6 +9091,128 @@ QUERIES["best_of_burst"] = q_best_of_burst
 ORACLES["best_of_burst"] = ORACLE_BEST_OF_BURST
 
 
+def q_audio_dedup(spark, sf):
+    """Near-duplicate audio dedup, fully ORACLED: embeddings mux into
+    float32 WAVs in pairs (even vec_id = base, odd = one sample scaled
+    by an EXACT power of two), the 64-bit band-energy fingerprint is
+    integer-exact (flac-grid quantization, circular adjacent compares
+    flip <= 2 bits per local perturbation), and the shared Hamming
+    dedup tail replays in DuckDB as all-pairs bit_count verify + a
+    recursive-CTE component merge — equivalent to the 4x16 pigeonhole
+    banding because Hamming <= 2 < 4 bands guarantees a shared band."""
+    import numpy as np
+    import pandas as pd
+
+    from ..codecs.wav import encode_wav
+    from ..operators.multimodal import audio_dedup
+
+    e = _t(spark, sf, "embeddings")
+
+    def gen(batches):
+        for b in batches:
+            ids, blobs = [], []
+            for vid, v in zip(b["vec_id"].values, b["embedding"].values):
+                vid = int(vid)
+                if vid % 2 != 0:
+                    continue
+                a = np.asarray(v, dtype=np.float32)
+                ids.append(str(vid))
+                blobs.append(encode_wav(a, 8000, samplewidth=4))
+                p = a.copy()
+                k = (vid // 2) % len(p)
+                p[k] = p[k] * np.float32(2.0)
+                ids.append(str(vid + 1))
+                blobs.append(encode_wav(p, 8000, samplewidth=4))
+            yield pd.DataFrame({"clip_id": ids, "bytes": blobs})
+
+    clips = e.select("vec_id", "embedding").mapInPandas(
+        gen, "clip_id string, bytes binary"
+    )
+    out = audio_dedup(clips, max_hamming=2)
+    return out.select(
+        "clip_id",
+        F.lpad(F.bin(F.col("fp")), 64, "0").alias("fp_bits"),
+        "rep_id",
+    ).orderBy("clip_id")
+
+
+ORACLE_AUDIO_DEDUP = """
+WITH RECURSIVE base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS s
+  FROM embeddings WHERE vec_id % 2 = 0),
+samp AS (SELECT vec_id, len(s) AS n, u.x AS p, s[u.x] AS v
+         FROM base, unnest(range(1, len(s) + 1)) AS u(x)),
+rows_ AS (
+  SELECT CAST(vec_id AS VARCHAR) AS cid, p, v FROM samp
+  UNION ALL
+  SELECT CAST(vec_id + 1 AS VARCHAR), p,
+         CASE WHEN p - 1 = (vec_id // 2) % n THEN v * 2 ELSE v END
+  FROM samp),
+e AS (SELECT cid, p - 1 AS b,
+             CAST(floor(v * 30000 + 0.5) AS BIGINT)
+               * CAST(floor(v * 30000 + 0.5) AS BIGINT) AS en
+      FROM rows_),
+bits AS (SELECT a.cid,
+                string_agg(CASE WHEN a.en > c.en THEN '1' ELSE '0' END, ''
+                           ORDER BY a.b) AS bits
+         FROM e a JOIN e c ON c.cid = a.cid AND c.b = (a.b + 1) % 64
+         GROUP BY a.cid),
+pairs AS (SELECT a.cid AS ca, b2.cid AS cb
+          FROM bits a JOIN bits b2 ON b2.cid < a.cid
+          WHERE bit_count(xor(a.bits::BIT, b2.bits::BIT)) <= 2),
+sym AS (SELECT ca AS s, cb AS d FROM pairs UNION SELECT cb, ca FROM pairs),
+reach(a, r) AS (
+  SELECT cid, cid FROM bits
+  UNION
+  SELECT sym.s, reach.r FROM sym JOIN reach ON reach.a = sym.d),
+comp AS (SELECT a AS cid, min(r) AS rep FROM reach GROUP BY a)
+SELECT bits.cid AS clip_id, bits.bits AS fp_bits, comp.rep AS rep_id
+FROM bits JOIN comp ON comp.cid = bits.cid ORDER BY clip_id
+"""
+
+QUERIES["audio_dedup"] = q_audio_dedup
+ORACLES["audio_dedup"] = ORACLE_AUDIO_DEDUP
+
+
+def q_attribution(spark, sf):
+    """First/last-touch attribution over a 24 h window (conversion-
+    prediction label construction), fully ORACLED: both touch picks,
+    plus the in-window touch count, come from one RANGE-frame window
+    on the integer epoch axis with struct min/max (t, id) — DuckDB
+    evaluates the identical frame and struct ordering."""
+    from ..operators.windows import attribute_conversions
+
+    e = _t(spark, sf, "events")
+    return attribute_conversions(e, window_s=86400).orderBy(
+        "user_id", "conv_id"
+    )
+
+
+ORACLE_ATTRIBUTION = """
+WITH base AS (
+  SELECT user_id AS e, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         event_id AS id, event_type AS ty
+  FROM events WHERE event_type IN ('click', 'view', 'purchase')),
+m AS (SELECT e, t, id, ty,
+             min(CASE WHEN ty IN ('click', 'view')
+                      THEN struct_pack(t := t, i := id) END) OVER w AS f,
+             max(CASE WHEN ty IN ('click', 'view')
+                      THEN struct_pack(t := t, i := id) END) OVER w AS l,
+             count(CASE WHEN ty IN ('click', 'view') THEN 1 END) OVER w AS n
+      FROM base
+      WINDOW w AS (PARTITION BY e ORDER BY t
+                   RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW))
+SELECT e AS user_id, id AS conv_id, t AS conv_ts,
+       CAST(n AS BIGINT) AS n_touches,
+       f.i AS first_touch_id, f.t AS first_touch_ts,
+       l.i AS last_touch_id, l.t AS last_touch_ts
+FROM m WHERE ty = 'purchase' ORDER BY user_id, conv_id
+"""
+
+QUERIES["attribution"] = q_attribution
+ORACLES["attribution"] = ORACLE_ATTRIBUTION
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #

@@ -217,6 +217,11 @@ RELATIONAL = [
     # conversion attribution)
     "audio_dedup",
     "attribution",
+    # round 5, twenty-ninth batch (session stats, quantile transform,
+    # schema drift)
+    "session_stats",
+    "quantile_transform",
+    "schema_drift",
 ]
 
 

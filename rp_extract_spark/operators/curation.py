@@ -2168,3 +2168,54 @@ def winsorize(
         )
     )
     return out
+
+
+def quantile_transform(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    grain: int = 1_000_000,
+) -> DataFrame:
+    """Per-group rank normalization (the quantile transform a feature
+    pipeline applies to heavy-tailed signals before a scale-sensitive
+    model): value -> exact empirical percentile on the integer grain,
+
+        pct_u = (rank - 1) * grain div (n - 1)
+
+    with rank = row_number under (value, id) order; a single-row group
+    centers at grain div 2. Integer-exact end to end — no float rank
+    arithmetic to drift between engines. One row_number window per
+    group + a broadcast count join (the winsorize scale shape).
+    Returns (group, id, value_u, rank, n, pct_u)."""
+    vu = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(id_col).alias("__id"),
+        vu.alias("__v"),
+    ).filter(F.col("__v").isNotNull() & F.col("__g").isNotNull())
+    counts = base.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
+    w = Window.partitionBy("__g").orderBy(
+        F.col("__v").asc(), F.col("__id").asc()
+    )
+    ranked = base.withColumn("__r", F.row_number().over(w)).join(
+        F.broadcast(counts), "__g"
+    )
+    # keep the division integral: expr div on the pre-multiplied rank.
+    # row_number is INT — widen BEFORE the multiply (ANSI mode throws
+    # on int32 overflow; rank 2148+ would overflow at grain 1e6)
+    pct_u = F.when(
+        F.col("__n") == 1, F.lit(int(grain) // 2)
+    ).otherwise(
+        F.expr(
+            f"(CAST(__r AS BIGINT) - 1) * {int(grain)} div (__n - 1)"
+        )
+    )
+    return ranked.select(
+        F.col("__g").alias(group_col),
+        F.col("__id").alias(id_col),
+        F.col("__v").alias("value_u"),
+        F.col("__r").cast("int").alias("rank"),
+        F.col("__n").alias("n"),
+        pct_u.cast("long").alias("pct_u"),
+    )

@@ -343,3 +343,62 @@ def dataset_fingerprint(
         f"null_{c} bigint" for c in cols
     )
     return spark.createDataFrame([(n, fp, *nulls)], schema=schema)
+
+
+def profile_columns(df: DataFrame) -> list:
+    """Distributed per-column profile in ONE aggregation pass: total
+    rows, non-null count, exact distinct count per column. Only the
+    single stats row reaches the driver; returns a list of
+    (column, n, n_null, n_distinct) tuples sorted by column name."""
+    cols = list(df.columns)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        aggs.append(F.count(F.col(c)).alias(f"__nn_{i}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"__nd_{i}"))
+    row = df.agg(*aggs).first()
+    n = int(row["__n"])
+    out = []
+    for i, c in enumerate(cols):
+        out.append(
+            (c, n, n - int(row[f"__nn_{i}"]), int(row[f"__nd_{i}"]))
+        )
+    return sorted(out)
+
+
+def schema_drift(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Schema + profile drift between two table versions — the
+    data-validation gate a pipeline runs before retraining on a fresh
+    snapshot (a silently dropped column or a null-rate spike is a
+    training outage, not a schema error). Per column: status
+    (added / dropped / type_changed / ok), declared types, and the
+    distributed profile (rows, nulls, exact distincts) on each side.
+
+    Scale path: one aggregation pass per side (profile_columns);
+    the comparison itself is a K-row driver table (the model-table
+    precedent). Statuses use DECLARED schema types (simpleString)."""
+    old_types = {f.name: f.dataType.simpleString() for f in old.schema.fields}
+    new_types = {f.name: f.dataType.simpleString() for f in new.schema.fields}
+    old_prof = {c: (nn, nl, nd) for c, nn, nl, nd in profile_columns(old)}
+    new_prof = {c: (nn, nl, nd) for c, nn, nl, nd in profile_columns(new)}
+    rows = []
+    for c in sorted(set(old_types) | set(new_types)):
+        ot, nt = old_types.get(c), new_types.get(c)
+        if ot is None:
+            status = "added"
+        elif nt is None:
+            status = "dropped"
+        elif ot != nt:
+            status = "type_changed"
+        else:
+            status = "ok"
+        op = old_prof.get(c, (None, None, None))
+        np_ = new_prof.get(c, (None, None, None))
+        rows.append(
+            (c, status, ot, nt, op[0], op[1], op[2], np_[0], np_[1], np_[2])
+        )
+    schema = (
+        "column string, status string, old_type string, new_type string,"
+        " old_n bigint, old_nulls bigint, old_distinct bigint,"
+        " new_n bigint, new_nulls bigint, new_distinct bigint"
+    )
+    return old.sparkSession.createDataFrame(rows, schema)

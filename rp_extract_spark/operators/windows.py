@@ -405,3 +405,47 @@ def attribute_conversions(
         F.col("__last.i").alias("last_touch_id"),
         F.col("__last.t").alias("last_touch_ts"),
     )
+
+
+def session_stats(
+    df: DataFrame,
+    gap_seconds: int = 1800,
+    entity: str = "user_id",
+    ts: str = "ts",
+    tiebreak: Sequence[str] = ("event_id",),
+    type_col: str = "event_type",
+    conversion_type: str = "purchase",
+) -> DataFrame:
+    """Per-session aggregates over gap-based sessions — the engagement
+    feature block (duration, depth, bounce, conversion) a behavioral
+    training set derives per user session. Built on :func:`sessionize`
+    (the canonical cumsum session ids), then ONE groupBy on
+    (entity, session_id): the same hash exchange serves the window and
+    the aggregation, so event rows cross the network once.
+
+    Returns (entity, session_id, start_ts, end_ts, duration_s,
+    n_events, n_types, bounce, converted) — all exact integers."""
+    s = sessionize(
+        df, gap_seconds=gap_seconds, entity=entity, ts=ts, tiebreak=tiebreak
+    )
+    epoch = F.col(ts).cast("timestamp").cast("long")
+    return (
+        s.select(
+            entity,
+            "session_id",
+            epoch.alias("__t"),
+            F.col(type_col).alias("__ty"),
+        )
+        .groupBy(entity, "session_id")
+        .agg(
+            F.min("__t").alias("start_ts"),
+            F.max("__t").alias("end_ts"),
+            (F.max("__t") - F.min("__t")).alias("duration_s"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("__ty").alias("n_types"),
+            (F.count(F.lit(1)) == 1).cast("int").alias("bounce"),
+            F.max(
+                F.when(F.col("__ty") == conversion_type, 1).otherwise(0)
+            ).alias("converted"),
+        )
+    )

@@ -9213,6 +9213,172 @@ QUERIES["attribution"] = q_attribution
 ORACLES["attribution"] = ORACLE_ATTRIBUTION
 
 
+def q_session_stats(spark, sf):
+    """Per-session engagement features (duration/depth/bounce/
+    conversion) over gap-based sessions, fully ORACLED: the flag
+    computation floors epoch seconds on BOTH sides (tighter than the
+    legacy sessionize oracle's fractional diff — exact parity with
+    Spark's long cast), then one groupBy replays in SQL."""
+    from ..operators.windows import session_stats
+
+    e = _t(spark, sf, "events")
+    return session_stats(e).orderBy("user_id", "session_id")
+
+
+ORACLE_SESSION_STATS = """
+WITH e AS (SELECT user_id, event_id, event_type, ts,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS t
+           FROM events),
+f AS (SELECT *, CASE WHEN t - lag(t) OVER w > 1800 THEN 1 ELSE 0 END AS flag
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT *, CAST(sum(flag) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_id
+      FROM f)
+SELECT user_id, session_id,
+       min(t) AS start_ts, max(t) AS end_ts,
+       max(t) - min(t) AS duration_s,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+       CAST(CASE WHEN count(*) = 1 THEN 1 ELSE 0 END AS INT) AS bounce,
+       CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS INT) AS converted
+FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
+"""
+
+QUERIES["session_stats"] = q_session_stats
+ORACLES["session_stats"] = ORACLE_SESSION_STATS
+
+
+def q_quantile_transform(spark, sf):
+    """Per-group exact rank normalization on the integer grain
+    (pct_u = (rank-1)*grain div (n-1), single-row groups center),
+    fully ORACLED: micro-cent values, row_number under (value, id),
+    broadcast counts — all integer arithmetic both engines share."""
+    from ..operators.curation import quantile_transform
+
+    e = _t(spark, sf, "events")
+    return quantile_transform(
+        e, group_col="event_type", value_col="value", id_col="event_id"
+    ).orderBy("event_type", "event_id")
+
+
+ORACLE_QUANTILE_TRANSFORM = """
+WITH base AS (
+  SELECT event_type AS g, event_id AS id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+c AS (SELECT g, count(*) AS n FROM base GROUP BY g),
+r AS (SELECT base.*, row_number() OVER
+        (PARTITION BY g ORDER BY v ASC, id ASC) AS rk
+      FROM base)
+SELECT r.g AS event_type, r.id AS event_id, r.v AS value_u,
+       CAST(rk AS INT) AS rank, c.n AS n,
+       CAST(CASE WHEN c.n = 1 THEN 500000
+                 ELSE (rk - 1) * 1000000 // (c.n - 1) END AS BIGINT)
+         AS pct_u
+FROM r JOIN c ON c.g = r.g ORDER BY event_type, event_id
+"""
+
+QUERIES["quantile_transform"] = q_quantile_transform
+ORACLES["quantile_transform"] = ORACLE_QUANTILE_TRANSFORM
+
+
+def q_schema_drift(spark, sf):
+    """Snapshot-to-snapshot schema + profile drift (the retraining
+    data-validation gate): the new version drops `source`, adds
+    `extra`, narrows `n_chars` to int, and nulls `lang` on every 10th
+    doc. Fully ORACLED: the per-column statuses and the exact
+    null/distinct profiles replay as literal per-column aggregates."""
+    from ..operators.resume import schema_drift
+
+    old = _t(spark, sf, "documents")
+    new = (
+        old.drop("source")
+        .withColumn("extra", (F.col("n_chars") * 2).cast("bigint"))
+        .withColumn("n_chars", F.col("n_chars").cast("int"))
+        .withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 10 == 0, F.lit(None)).otherwise(
+                F.col("lang")
+            ),
+        )
+    )
+    return schema_drift(old, new).orderBy("column")
+
+
+ORACLE_SCHEMA_DRIFT = """
+WITH newt AS (
+  SELECT doc_id, text,
+         CASE WHEN doc_id % 10 = 0 THEN NULL ELSE lang END AS lang,
+         CAST(n_chars AS INT) AS n_chars,
+         CAST(n_chars * 2 AS BIGINT) AS extra
+  FROM documents),
+o AS (SELECT count(*) AS n,
+             count(doc_id) AS nn_id, count(DISTINCT doc_id) AS nd_id,
+             count(text) AS nn_tx, count(DISTINCT text) AS nd_tx,
+             count(lang) AS nn_lg, count(DISTINCT lang) AS nd_lg,
+             count(source) AS nn_sr, count(DISTINCT source) AS nd_sr,
+             count(n_chars) AS nn_nc, count(DISTINCT n_chars) AS nd_nc
+      FROM documents),
+nw AS (SELECT count(*) AS n,
+              count(doc_id) AS nn_id, count(DISTINCT doc_id) AS nd_id,
+              count(text) AS nn_tx, count(DISTINCT text) AS nd_tx,
+              count(lang) AS nn_lg, count(DISTINCT lang) AS nd_lg,
+              count(n_chars) AS nn_nc, count(DISTINCT n_chars) AS nd_nc,
+              count(extra) AS nn_ex, count(DISTINCT extra) AS nd_ex
+       FROM newt)
+SELECT * FROM (
+  SELECT 'doc_id' AS "column", 'ok' AS status,
+         'bigint' AS old_type, 'bigint' AS new_type,
+         CAST(o.n AS BIGINT) AS old_n,
+         CAST(o.n - o.nn_id AS BIGINT) AS old_nulls,
+         CAST(o.nd_id AS BIGINT) AS old_distinct,
+         CAST(nw.n AS BIGINT) AS new_n,
+         CAST(nw.n - nw.nn_id AS BIGINT) AS new_nulls,
+         CAST(nw.nd_id AS BIGINT) AS new_distinct
+  FROM o, nw
+  UNION ALL
+  SELECT 'extra', 'added', CAST(NULL AS VARCHAR), 'bigint',
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         CAST(nw.n AS BIGINT), CAST(nw.n - nw.nn_ex AS BIGINT),
+         CAST(nw.nd_ex AS BIGINT)
+  FROM o, nw
+  UNION ALL
+  SELECT 'lang', 'ok', 'string', 'string',
+         CAST(o.n AS BIGINT), CAST(o.n - o.nn_lg AS BIGINT),
+         CAST(o.nd_lg AS BIGINT),
+         CAST(nw.n AS BIGINT), CAST(nw.n - nw.nn_lg AS BIGINT),
+         CAST(nw.nd_lg AS BIGINT)
+  FROM o, nw
+  UNION ALL
+  SELECT 'n_chars', 'type_changed', 'bigint', 'int',
+         CAST(o.n AS BIGINT), CAST(o.n - o.nn_nc AS BIGINT),
+         CAST(o.nd_nc AS BIGINT),
+         CAST(nw.n AS BIGINT), CAST(nw.n - nw.nn_nc AS BIGINT),
+         CAST(nw.nd_nc AS BIGINT)
+  FROM o, nw
+  UNION ALL
+  SELECT 'source', 'dropped', 'string', CAST(NULL AS VARCHAR),
+         CAST(o.n AS BIGINT), CAST(o.n - o.nn_sr AS BIGINT),
+         CAST(o.nd_sr AS BIGINT),
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+  FROM o, nw
+  UNION ALL
+  SELECT 'text', 'ok', 'string', 'string',
+         CAST(o.n AS BIGINT), CAST(o.n - o.nn_tx AS BIGINT),
+         CAST(o.nd_tx AS BIGINT),
+         CAST(nw.n AS BIGINT), CAST(nw.n - nw.nn_tx AS BIGINT),
+         CAST(nw.nd_tx AS BIGINT)
+  FROM o, nw
+) ORDER BY "column"
+"""
+
+QUERIES["schema_drift"] = q_schema_drift
+ORACLES["schema_drift"] = ORACLE_SCHEMA_DRIFT
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #

@@ -222,6 +222,11 @@ RELATIONAL = [
     "session_stats",
     "quantile_transform",
     "schema_drift",
+    # round 5, thirtieth batch (robust outliers, rolling-origin folds,
+    # composed web-curation pipeline)
+    "robust_outliers",
+    "rolling_folds",
+    "text_curation_v2",
 ]
 
 

@@ -2219,3 +2219,104 @@ def quantile_transform(
         F.col("__n").alias("n"),
         pct_u.cast("long").alias("pct_u"),
     )
+
+
+def robust_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Per-group robust outlier flags via the median/MAD rule — the
+    scale-insensitive anomaly gate (mean/std breaks under the very
+    outliers it hunts). Entirely integer-exact: on the micro-cent grid,
+    med2 = sum of the two central ranks (2x the exact median, so even
+    counts never divide), dev = |2*v - med2| (2x the absolute
+    deviation), mad2 = the same two-central-rank sum over dev (4x the
+    MAD), and the flag cross-multiplies the classic
+    |x - med| > k * 1.4826 * MAD as
+
+        dev * 20000 > k * 14826 * mad2
+
+    — no division anywhere, and a constant group (MAD = 0) flags
+    exactly the rows that deviate at all. Two rank windows per group
+    (value pass + deviation pass) on the same partitioning, bound
+    tables broadcast back. Returns (group, id, value_u, med2, mad2,
+    dev, is_outlier)."""
+    vu = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(id_col).alias("__id"),
+        vu.alias("__v"),
+    ).filter(F.col("__v").isNotNull() & F.col("__g").isNotNull())
+    counts = base.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
+
+    def _central_sum(t: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy("__g").orderBy(
+            F.col(col).asc(), F.col("__id").asc()
+        )
+        ranked = t.withColumn("__r", F.row_number().over(w)).join(
+            F.broadcast(counts), "__g"
+        )
+        r1 = F.expr("(__n + 1) div 2")
+        r2 = F.expr("(__n + 2) div 2")
+        picked = ranked.filter(
+            (F.col("__r") == r1) | (F.col("__r") == r2)
+        )
+        # odd n: r1 == r2 picks ONE row — double it to keep the 2x scale
+        return picked.groupBy("__g").agg(
+            F.when(
+                F.count(F.lit(1)) == 1, F.sum(col) * 2
+            ).otherwise(F.sum(col)).alias(out)
+        )
+    med = _central_sum(base, "__v", "med2")
+    devt = base.join(F.broadcast(med), "__g").withColumn(
+        "dev", F.abs(F.col("__v") * 2 - F.col("med2"))
+    )
+    mad = _central_sum(devt.select("__g", "__id", "dev"), "dev", "mad2")
+    out = devt.join(F.broadcast(mad), "__g")
+    flag = (
+        F.col("dev") * 20000 > F.lit(int(k) * 14826) * F.col("mad2")
+    ).cast("int")
+    return out.select(
+        F.col("__g").alias(group_col),
+        F.col("__id").alias(id_col),
+        F.col("__v").alias("value_u"),
+        "med2",
+        "mad2",
+        "dev",
+        flag.alias("is_outlier"),
+    )
+
+
+def rolling_origin_folds(
+    df: DataFrame,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    n_folds: int = 4,
+) -> DataFrame:
+    """Rolling-origin (forward-chaining) CV fold assignment for time
+    series: fold f trains on folds < f and validates on fold f, so no
+    fold ever sees its future. Boundaries are the EXACT disc quantiles
+    of the epoch-second axis at i/n_folds (exact_order_stats — the
+    two-level rank, never a global sort; n_folds a power of two keeps
+    p*(n-1) exact in binary so the rank replays bit-for-bit in SQL).
+    Rows equal to a boundary second fall in the LOWER fold (strict >
+    compare on the value axis — deterministic under ties).
+
+    Returns (id, t, fold). The (n_folds-1)-row edge table is the only
+    driver round-trip."""
+    te = F.col(ts_col).cast("timestamp").cast("long")
+    base = df.select(F.col(id_col), te.alias("__t")).filter(
+        F.col("__t").isNotNull()
+    )
+    ps = tuple(i / n_folds for i in range(1, n_folds))
+    edges = exact_order_stats(base, "__t", ps=ps, id_col=id_col).collect()
+    evals = sorted(int(r["value"]) for r in edges)
+    fold = F.lit(0)
+    for e in evals:
+        fold = fold + (F.col("__t") > F.lit(e)).cast("int")
+    return base.select(
+        id_col, F.col("__t").alias("t"), fold.cast("int").alias("fold")
+    )

@@ -8805,8 +8805,10 @@ def q_url_dedup(spark, sf):
     )
 
 
-ORACLE_URL_DEDUP = r"""
-WITH raw AS (
+# shared canonicalization CTE chain (raw synth URLs -> s7 with
+# doc_id/canonical_url/host/domain) — used by the url_dedup oracle and
+# the composed text_curation_v2 oracle
+_SQL_URL_CANON = r"""raw AS (
   SELECT doc_id,
          (CASE doc_id % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https'
                ELSE 'hTTp' END)
@@ -8857,11 +8859,15 @@ s7 AS (SELECT doc_id, canonical_url, host,
                    THEN host
                    ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1)
                    END AS domain
-       FROM s6)
+       FROM s6)"""
+
+ORACLE_URL_DEDUP = (
+    "WITH " + _SQL_URL_CANON + """
 SELECT canonical_url, min(domain) AS domain, min(host) AS host,
        count(*) AS n_docs, min(doc_id) AS keep_id
 FROM s7 GROUP BY canonical_url ORDER BY canonical_url
 """
+)
 
 QUERIES["url_dedup"] = q_url_dedup
 ORACLES["url_dedup"] = ORACLE_URL_DEDUP
@@ -9377,6 +9383,145 @@ SELECT * FROM (
 
 QUERIES["schema_drift"] = q_schema_drift
 ORACLES["schema_drift"] = ORACLE_SCHEMA_DRIFT
+
+
+def q_robust_outliers(spark, sf):
+    """Per-group median/MAD outlier flags, fully ORACLED: med2/mad2 are
+    two-central-rank sums (2x median, 4x MAD — even counts never
+    divide) and the k=3 robust-z flag cross-multiplies
+    dev*20000 > 3*14826*mad2 — pure integers both engines."""
+    from ..operators.curation import robust_outliers
+
+    e = _t(spark, sf, "events")
+    return robust_outliers(
+        e, group_col="event_type", value_col="value", id_col="event_id"
+    ).orderBy("event_type", "event_id")
+
+
+ORACLE_ROBUST_OUTLIERS = """
+WITH base AS (
+  SELECT event_type AS g, event_id AS id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+c AS (SELECT g, count(*) AS n FROM base GROUP BY g),
+r1 AS (SELECT base.*, row_number() OVER
+         (PARTITION BY g ORDER BY v ASC, id ASC) AS rk
+       FROM base),
+med AS (SELECT r1.g,
+               CASE WHEN count(*) = 1 THEN sum(v) * 2 ELSE sum(v) END
+                 AS med2
+        FROM r1 JOIN c ON c.g = r1.g
+        WHERE rk = (n + 1) // 2 OR rk = (n + 2) // 2
+        GROUP BY r1.g),
+d AS (SELECT base.g, base.id, base.v,
+             abs(base.v * 2 - med.med2) AS dev
+      FROM base JOIN med ON med.g = base.g),
+r2 AS (SELECT d.*, row_number() OVER
+         (PARTITION BY g ORDER BY dev ASC, id ASC) AS rk
+       FROM d),
+mad AS (SELECT r2.g,
+               CASE WHEN count(*) = 1 THEN sum(dev) * 2 ELSE sum(dev) END
+                 AS mad2
+        FROM r2 JOIN c ON c.g = r2.g
+        WHERE rk = (n + 1) // 2 OR rk = (n + 2) // 2
+        GROUP BY r2.g)
+SELECT d.g AS event_type, d.id AS event_id, d.v AS value_u,
+       med.med2, mad.mad2, d.dev,
+       CAST(CASE WHEN d.dev * 20000 > 3 * 14826 * mad.mad2
+                 THEN 1 ELSE 0 END AS INT) AS is_outlier
+FROM d JOIN med ON med.g = d.g JOIN mad ON mad.g = d.g
+ORDER BY event_type, event_id
+"""
+
+QUERIES["robust_outliers"] = q_robust_outliers
+ORACLES["robust_outliers"] = ORACLE_ROBUST_OUTLIERS
+
+
+def q_rolling_folds(spark, sf):
+    """Rolling-origin CV fold assignment (forward-chaining, 4 folds),
+    fully ORACLED: the fold edges are exact disc quantiles of the
+    epoch axis at i/4 (p*(n-1) exact in binary for power-of-two
+    denominators), rows equal to an edge fall in the lower fold."""
+    from ..operators.curation import rolling_origin_folds
+
+    e = _t(spark, sf, "events")
+    return rolling_origin_folds(e, n_folds=4).orderBy("event_id")
+
+
+ORACLE_ROLLING_FOLDS = """
+WITH base AS (
+  SELECT event_id AS id, CAST(floor(epoch(ts)) AS BIGINT) AS t
+  FROM events WHERE ts IS NOT NULL),
+n AS (SELECT count(*) AS n FROM base),
+r AS (SELECT base.*, row_number() OVER (ORDER BY t, id) AS rn FROM base),
+ks AS (SELECT CAST(floor(CAST(v.p AS DOUBLE) * (n.n - 1)) + 1 AS BIGINT)
+         AS k
+       FROM n, (VALUES (0.25), (0.5), (0.75)) AS v(p)),
+edges AS (SELECT r.t AS e FROM ks JOIN r ON r.rn = ks.k)
+SELECT base.id AS event_id, base.t,
+       CAST((SELECT count(*) FROM edges WHERE base.t > edges.e) AS INT)
+         AS fold
+FROM base ORDER BY event_id
+"""
+
+QUERIES["rolling_folds"] = q_rolling_folds
+ORACLES["rolling_folds"] = ORACLE_ROLLING_FOLDS
+
+
+def q_text_curation(spark, sf):
+    """COMPOSED web-corpus curation pipeline: canonical-URL dedup ->
+    blocklist gate -> token-count quality floor -> per-domain cap by
+    md5 order. Stage order is load-bearing (a URL-dup loser must never
+    consume a cap slot) and the whole chain replays in ONE SQL — any
+    reorder fails the compare. Every stage reuses an already-oracled
+    operator (normalize_urls, blocklist_hits, cap_per_group)."""
+    from ..operators.curation import cap_per_group
+    from ..operators.text import blocklist_hits, nonempty_tokens_col
+    from ..operators.web import normalize_urls
+
+    d = _t(spark, sf, "documents")
+    t = d.select("doc_id", "text", _synth_url(F.col("doc_id")).alias("url"))
+    n = normalize_urls(t)
+    winners = n.groupBy("canonical_url").agg(F.min("doc_id").alias("doc_id"))
+    d1 = n.join(winners.select("doc_id"), "doc_id")
+    bl = blocklist_hits(d1, ["error", "crash"])
+    d2 = d1.join(bl.filter(F.col("n_hits") == 0).select("doc_id"), "doc_id")
+    d3 = d2.withColumn(
+        "n_tokens", F.size(nonempty_tokens_col(F.col("text")))
+    ).filter(F.col("n_tokens") >= 20)
+    d4 = d3.withColumn("__h", F.md5(F.col("doc_id").cast("string")))
+    # cap per HOST (7 in the fixture), not per registered domain — the
+    # two-label rule folds every host into example.com, which would
+    # leave the cap the only visible stage
+    capped = cap_per_group(d4, "host", 40, order_cols=["__h", "doc_id"])
+    return capped.select("doc_id", "host", "n_tokens").orderBy("doc_id")
+
+
+ORACLE_TEXT_CURATION = (
+    "WITH " + _SQL_URL_CANON + r""",
+w AS (SELECT min(doc_id) AS doc_id FROM s7 GROUP BY canonical_url),
+d1 AS (SELECT s7.doc_id, s7.host FROM s7 JOIN w ON w.doc_id = s7.doc_id),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(trim(text)),
+                                                 '\s+', ' ', 'g'), ' '),
+                     x -> x <> '') AS t
+  FROM documents),
+q AS (SELECT d1.doc_id, d1.host, CAST(len(t) AS INT) AS n_tokens
+      FROM d1 JOIN toks ON toks.doc_id = d1.doc_id
+      WHERE len(list_filter(t, x -> list_contains(['crash', 'error'], x)))
+              = 0
+        AND len(t) >= 20),
+capped AS (SELECT *, row_number() OVER (PARTITION BY host
+             ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+           FROM q)
+SELECT doc_id, host, n_tokens FROM capped WHERE rn <= 40
+ORDER BY doc_id
+"""
+)
+
+QUERIES["text_curation_v2"] = q_text_curation
+ORACLES["text_curation_v2"] = ORACLE_TEXT_CURATION
 
 
 # ---------------------------------------------------------------------------

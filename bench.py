@@ -227,6 +227,11 @@ RELATIONAL = [
     "robust_outliers",
     "rolling_folds",
     "text_curation_v2",
+    # round 5, thirty-first batch (nDCG, class weights, learning-curve
+    # sampling plan)
+    "ndcg",
+    "class_weights",
+    "learning_curve",
 ]
 
 

@@ -809,3 +809,102 @@ def majority_vote(
         F.coalesce(second["c"], F.lit(0)).alias("second_votes"),
         "total_votes",
     )
+
+
+def ndcg_at_k(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    rel_col: str,
+    id_col: str,
+    k: int = 10,
+    grain: int = 1_000_000,
+) -> DataFrame:
+    """Exact nDCG@k per group: the ranking under (order_col DESC, id
+    ASC) against graded relevance. The log2 discounts are computed
+    ONCE driver-side and inlined as integer literals
+    w_i = floor(grain / log2(i+1) + 1/2) in BOTH engines — no
+    cross-engine transcendental ever evaluates — so DCG/IDCG are exact
+    integer dot products and ndcg_u defers the single division:
+
+        dcg_u  = sum_{i<=k} rel_i * w_i       (ranking order)
+        idcg_u = sum_{i<=k} rel_(i) * w_i     (relevance-desc order)
+        ndcg_u = dcg_u * grain div idcg_u     (0 when idcg_u = 0)
+
+    Two rank windows on the same group partitioning. Returns
+    (group, dcg_u, idcg_u, ndcg_u)."""
+    import math
+
+    weights = [
+        int(math.floor(grain / math.log2(i + 1) + 0.5))
+        for i in range(1, k + 1)
+    ]
+    warr = F.array(*[F.lit(w) for w in weights])
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(order_col).alias("__o"),
+        F.col(rel_col).cast("long").alias("__rel"),
+        F.col(id_col).alias("__id"),
+    )
+    w_rank = Window.partitionBy("__g").orderBy(
+        F.col("__o").desc(), F.col("__id").asc()
+    )
+    w_ideal = Window.partitionBy("__g").orderBy(
+        F.col("__rel").desc(), F.col("__id").asc()
+    )
+    t = base.select(
+        "__g",
+        "__rel",
+        F.row_number().over(w_rank).alias("__r"),
+        F.row_number().over(w_ideal).alias("__ri"),
+    )
+    dcg = F.sum(
+        F.when(
+            F.col("__r") <= k,
+            F.col("__rel") * F.element_at(warr, F.col("__r")),
+        ).otherwise(F.lit(0))
+    )
+    idcg = F.sum(
+        F.when(
+            F.col("__ri") <= k,
+            F.col("__rel") * F.element_at(warr, F.col("__ri")),
+        ).otherwise(F.lit(0))
+    )
+    agg = t.groupBy("__g").agg(dcg.alias("dcg_u"), idcg.alias("idcg_u"))
+    ndcg = F.when(F.col("idcg_u") == 0, F.lit(0)).otherwise(
+        F.expr(f"dcg_u * {int(grain)} div idcg_u")
+    )
+    return agg.select(
+        F.col("__g").alias(group_col),
+        "dcg_u",
+        "idcg_u",
+        ndcg.cast("long").alias("ndcg_u"),
+    )
+
+
+def class_weights(
+    df: DataFrame,
+    label_col: str = "label",
+    grain: int = 1_000_000,
+) -> DataFrame:
+    """Balanced class weights (the sklearn class_weight='balanced'
+    rule) as exact integers: w_c = n_total * grain div (n_classes *
+    n_c) — the loss-reweighting table an imbalanced training run
+    broadcasts. One count aggregation; NULL labels excluded.
+    Returns (label, n_c, weight_u)."""
+    counts = (
+        df.filter(F.col(label_col).isNotNull())
+        .groupBy(label_col)
+        .agg(F.count(F.lit(1)).alias("n_c"))
+    )
+    tot = counts.agg(
+        F.sum("n_c").alias("__t"), F.count(F.lit(1)).alias("__k")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            label_col,
+            "n_c",
+            F.expr(f"__t * {int(grain)} div (__k * n_c)").alias("weight_u"),
+        )
+    )

@@ -2320,3 +2320,39 @@ def rolling_origin_folds(
     return base.select(
         id_col, F.col("__t").alias("t"), fold.cast("int").alias("fold")
     )
+
+
+def learning_curve_plan(
+    df: DataFrame,
+    rates: "tuple[float, ...]" = (0.1, 0.25, 0.5, 1.0),
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Nested learning-curve subsets from one hash draw: the scaling-law
+    protocol needs subset(10%) ⊂ subset(25%) ⊂ subset(50%) ⊂ full, or
+    the curve confounds data growth with data replacement. hash_sample
+    thresholds nest BY CONSTRUCTION (prefix < thr is monotone in thr),
+    so one md5 per row yields every subset: ``bucket`` is the index of
+    the smallest rate that contains the row (rows in bucket b belong
+    to subsets rates[b:]). Pure row-local JVM expression — no shuffle,
+    reproducible across runs/engines/partitionings (the hash_sample
+    contract). Returns df + (bucket int, min_rate double)."""
+    rs = list(rates)
+    if sorted(rs) != rs or len(set(rs)) != len(rs):
+        raise ValueError("rates must be strictly increasing")
+    if rs[-1] < 1.0:
+        rs = rs + [1.0]
+    h = F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 8
+    )
+    bucket = F.lit(len(rs) - 1)
+    for i in range(len(rs) - 2, -1, -1):
+        thr = format(int(rs[i] * 16**8), "08x")
+        bucket = F.when(h < F.lit(thr), F.lit(i)).otherwise(bucket)
+    mr = F.lit(float(rs[-1]))
+    for i in range(len(rs) - 2, -1, -1):
+        thr = format(int(rs[i] * 16**8), "08x")
+        mr = F.when(h < F.lit(thr), F.lit(float(rs[i]))).otherwise(mr)
+    return df.withColumn("bucket", bucket.cast("int")).withColumn(
+        "min_rate", mr
+    )

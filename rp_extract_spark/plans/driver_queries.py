@@ -9524,6 +9524,129 @@ QUERIES["text_curation_v2"] = q_text_curation
 ORACLES["text_curation_v2"] = ORACLE_TEXT_CURATION
 
 
+def _ndcg_weights_sql(k: int = 10, grain: int = 1_000_000) -> str:
+    import math
+
+    ws = [
+        int(math.floor(grain / math.log2(i + 1) + 0.5))
+        for i in range(1, k + 1)
+    ]
+    return "[" + ", ".join(str(w) for w in ws) + "]"
+
+
+def q_ndcg(spark, sf):
+    """Exact nDCG@10 per user: ranking by value, graded relevance from
+    an md5 hex digit (0-3). Fully ORACLED — the log2 discounts are
+    integer literals inlined identically in Spark and SQL (computed
+    once driver-side; no transcendental crosses engines), DCG/IDCG are
+    integer dot products, the one division defers to the grain."""
+    from ..operators.classify import ndcg_at_k
+
+    e = _t(spark, sf, "events").filter(F.col("value").isNotNull())
+    rel = (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 1),
+            16,
+            10,
+        ).cast("long")
+        % 4
+    )
+    scored = e.select("user_id", "event_id", "value", rel.alias("rel"))
+    return ndcg_at_k(
+        scored,
+        group_col="user_id",
+        order_col="value",
+        rel_col="rel",
+        id_col="event_id",
+        k=10,
+    ).orderBy("user_id")
+
+
+ORACLE_NDCG = f"""
+WITH base AS (
+  SELECT user_id AS g, event_id AS id, value AS o,
+         CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 1)
+              AS BIGINT) % 4 AS rel
+  FROM events WHERE value IS NOT NULL),
+r AS (SELECT g, rel,
+             row_number() OVER
+               (PARTITION BY g ORDER BY o DESC, id ASC) AS rk,
+             row_number() OVER
+               (PARTITION BY g ORDER BY rel DESC, id ASC) AS ri
+      FROM base),
+a AS (SELECT g,
+             sum(CASE WHEN rk <= 10
+                      THEN rel * ({_ndcg_weights_sql()})[rk]
+                      ELSE 0 END) AS dcg_u,
+             sum(CASE WHEN ri <= 10
+                      THEN rel * ({_ndcg_weights_sql()})[ri]
+                      ELSE 0 END) AS idcg_u
+      FROM r GROUP BY g)
+SELECT g AS user_id, CAST(dcg_u AS BIGINT) AS dcg_u,
+       CAST(idcg_u AS BIGINT) AS idcg_u,
+       CAST(CASE WHEN idcg_u = 0 THEN 0
+                 ELSE dcg_u * 1000000 // idcg_u END AS BIGINT) AS ndcg_u
+FROM a ORDER BY user_id
+"""
+
+QUERIES["ndcg"] = q_ndcg
+ORACLES["ndcg"] = ORACLE_NDCG
+
+
+def q_class_weights(spark, sf):
+    """Balanced class-weight table (sklearn class_weight='balanced')
+    as exact integers — one count agg, deferred division. ORACLED."""
+    from ..operators.classify import class_weights
+
+    e = _t(spark, sf, "embeddings")
+    return class_weights(e).orderBy("label")
+
+
+ORACLE_CLASS_WEIGHTS = """
+WITH c AS (SELECT label, count(*) AS n_c FROM embeddings
+           WHERE label IS NOT NULL GROUP BY label),
+t AS (SELECT sum(n_c) AS t, count(*) AS k FROM c)
+SELECT label, CAST(c.n_c AS BIGINT) AS n_c,
+       CAST(t.t * 1000000 // (t.k * c.n_c) AS BIGINT) AS weight_u
+FROM c, t ORDER BY label
+"""
+
+QUERIES["class_weights"] = q_class_weights
+ORACLES["class_weights"] = ORACLE_CLASS_WEIGHTS
+
+
+def q_learning_curve(spark, sf):
+    """Nested learning-curve subset plan from ONE md5 draw per row
+    (hash_sample thresholds nest by construction, so the 10% subset is
+    inside the 25% inside the 50%). Fully ORACLED: bucket and min_rate
+    replay as fixed-width hex threshold compares."""
+    from ..operators.curation import learning_curve_plan
+
+    d = _t(spark, sf, "documents")
+    return learning_curve_plan(d).select(
+        "doc_id", "bucket", "min_rate"
+    ).orderBy("doc_id")
+
+
+ORACLE_LEARNING_CURVE = """
+WITH h AS (SELECT doc_id,
+                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h
+           FROM documents)
+SELECT doc_id,
+       CAST(CASE WHEN h < '19999999' THEN 0
+                 WHEN h < '40000000' THEN 1
+                 WHEN h < '80000000' THEN 2 ELSE 3 END AS INT) AS bucket,
+       CASE WHEN h < '19999999' THEN CAST(0.1 AS DOUBLE)
+            WHEN h < '40000000' THEN CAST(0.25 AS DOUBLE)
+            WHEN h < '80000000' THEN CAST(0.5 AS DOUBLE)
+            ELSE CAST(1.0 AS DOUBLE) END AS min_rate
+FROM h ORDER BY doc_id
+"""
+
+QUERIES["learning_curve"] = q_learning_curve
+ORACLES["learning_curve"] = ORACLE_LEARNING_CURVE
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #

@@ -232,6 +232,11 @@ RELATIONAL = [
     "ndcg",
     "class_weights",
     "learning_curve",
+    # round 5, thirty-second batch (ORC/JSONL roundtrips, mergeable
+    # aggregate maintenance)
+    "orc_roundtrip",
+    "jsonl_roundtrip",
+    "agg_merge",
 ]
 
 

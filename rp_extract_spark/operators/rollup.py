@@ -116,3 +116,29 @@ def refresh_rollup(
 
 def read_rollup(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_dir, "data"))
+
+
+def merge_aggregates(
+    old: DataFrame,
+    delta: DataFrame,
+    keys: "tuple[str, ...]",
+    count_cols: "tuple[str, ...]" = ("n",),
+    sum_cols: "tuple[str, ...]" = (),
+    min_cols: "tuple[str, ...]" = (),
+    max_cols: "tuple[str, ...]" = (),
+) -> DataFrame:
+    """Merge two partial aggregate tables into the aggregate of the
+    union — the mergeable-state discipline every incremental pipeline
+    needs (counts and sums add, mins/maxes fold; averages are NOT
+    mergeable, which is why callers carry (n, sum) and defer the
+    division). Union + one groupBy on the keys: both inputs are
+    already K-row aggregate tables, so this never touches base data —
+    the whole point of incremental maintenance at 100 TB."""
+    u = old.unionByName(delta)
+    aggs = (
+        [F.sum(c).alias(c) for c in count_cols]
+        + [F.sum(c).alias(c) for c in sum_cols]
+        + [F.min(c).alias(c) for c in min_cols]
+        + [F.max(c).alias(c) for c in max_cols]
+    )
+    return u.groupBy(*[F.col(k) for k in keys]).agg(*aggs)

@@ -9647,6 +9647,128 @@ QUERIES["learning_curve"] = q_learning_curve
 ORACLES["learning_curve"] = ORACLE_LEARNING_CURVE
 
 
+# content-sensitive integer digest used by the format-roundtrip
+# queries: any corrupted byte in write->read breaks the equality
+def _content_agg(df):
+    dig = (
+        F.conv(
+            F.substring(F.md5(F.coalesce(F.col("text"), F.lit(""))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 1000000000
+    )
+    return (
+        df.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("chars_sum"),
+            F.sum(dig).alias("text_digest"),
+        )
+        .orderBy("lang")
+    )
+
+
+_SQL_CONTENT_AGG = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+       CAST(sum(CAST('0x' || substr(md5(coalesce(text, '')), 1, 15)
+                     AS BIGINT) % 1000000000) AS BIGINT) AS text_digest
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q_orc_roundtrip(spark, sf):
+    """ORC sink + scan fidelity (the columnar interchange format next
+    to parquet), ORACLED by content: documents write to ORC, read
+    back, and reduce to per-lang counts + an md5-derived integer text
+    digest that DuckDB computes straight from the source table — a
+    corrupted byte anywhere in the write->read chain breaks the
+    equality (the webdataset_roundtrip pattern). Side effect: writes
+    to a fresh temp dir each run."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="orc_roundtrip_")
+    _t(spark, sf, "documents").write.mode("overwrite").orc(d)
+    return _content_agg(spark.read.orc(d))
+
+
+QUERIES["orc_roundtrip"] = q_orc_roundtrip
+ORACLES["orc_roundtrip"] = _SQL_CONTENT_AGG
+
+
+def q_jsonl_roundtrip(spark, sf):
+    """JSON-lines sink + scan fidelity (the interchange format every
+    annotation vendor speaks), ORACLED by content like orc_roundtrip.
+    The read-back uses the EXPLICIT source schema — inference would
+    silently widen/narrow types, which is exactly the drift this
+    query exists to catch. Side effect: temp dir per run."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="jsonl_roundtrip_")
+    docs = _t(spark, sf, "documents")
+    docs.write.mode("overwrite").json(d)
+    back = spark.read.schema(docs.schema).json(d)
+    return _content_agg(back)
+
+
+QUERIES["jsonl_roundtrip"] = q_jsonl_roundtrip
+ORACLES["jsonl_roundtrip"] = _SQL_CONTENT_AGG
+
+
+def q_agg_merge(spark, sf):
+    """Incremental aggregate maintenance: the per-lang stats table is
+    maintained by MERGING yesterday's aggregate with the delta's
+    aggregate (counts/sums add, min/max fold, the average defers to
+    n,sum) — never re-reading the base. The oracle aggregates the
+    full table directly, so any merge error (double count, dropped
+    group, avg-of-avg) fails the compare."""
+    from ..operators.rollup import merge_aggregates
+
+    docs = _t(spark, sf, "documents")
+
+    def agg(df):
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("chars_sum"),
+            F.min("n_chars").alias("chars_min"),
+            F.max("n_chars").alias("chars_max"),
+        )
+
+    old = agg(docs.filter(F.col("doc_id") % 10 != 0))
+    delta = agg(docs.filter(F.col("doc_id") % 10 == 0))
+    merged = merge_aggregates(
+        old,
+        delta,
+        keys=("lang",),
+        count_cols=("n",),
+        sum_cols=("chars_sum",),
+        min_cols=("chars_min",),
+        max_cols=("chars_max",),
+    )
+    return merged.select(
+        "lang",
+        "n",
+        "chars_sum",
+        "chars_min",
+        "chars_max",
+        F.expr("chars_sum * 1000000 div n").alias("avg_chars_u"),
+    ).orderBy("lang")
+
+
+ORACLE_AGG_MERGE = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+       CAST(min(n_chars) AS BIGINT) AS chars_min,
+       CAST(max(n_chars) AS BIGINT) AS chars_max,
+       CAST(sum(n_chars) * 1000000 // count(*) AS BIGINT) AS avg_chars_u
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+QUERIES["agg_merge"] = q_agg_merge
+ORACLES["agg_merge"] = ORACLE_AGG_MERGE
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #

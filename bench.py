@@ -237,6 +237,11 @@ RELATIONAL = [
     "orc_roundtrip",
     "jsonl_roundtrip",
     "agg_merge",
+    # round 5, thirty-third batch (text normalization, vocab pruning,
+    # conformal calibration)
+    "normalize_text",
+    "prune_vocab",
+    "conformal",
 ]
 
 

@@ -908,3 +908,50 @@ def class_weights(
             F.expr(f"__t * {int(grain)} div (__k * n_c)").alias("weight_u"),
         )
     )
+
+
+def conformal_thresholds(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+    alpha_num: int = 1,
+    alpha_den: int = 10,
+) -> DataFrame:
+    """Split-conformal calibration thresholds per group: the value at
+    1-based rank ceil((n+1)*(1-alpha)) of the nonconformity scores in
+    (score, id) order — the finite-sample-valid quantile (Vovk et al.;
+    the +1 is what makes coverage >= 1-alpha exact, not asymptotic).
+    Rank arithmetic is pure integers:
+
+        r = ((n + 1) * (den - num) + den - 1) div den,  clamped to n
+
+    One rank window per group + broadcast counts (the winsorize
+    shape). Returns (group, n, r, threshold_u) on the micro-cent
+    grid."""
+    num, den = int(alpha_num), int(alpha_den)
+    if not 0 < num < den:
+        raise ValueError("alpha must be in (0, 1) as num/den")
+    vu = F.floor(F.col(score_col) * 100 + F.lit(0.5)).cast("long")
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(id_col).alias("__id"),
+        vu.alias("__v"),
+    ).filter(F.col("__v").isNotNull() & F.col("__g").isNotNull())
+    counts = base.groupBy("__g").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("__g").orderBy(
+        F.col("__v").asc(), F.col("__id").asc()
+    )
+    ranked = base.withColumn("__r", F.row_number().over(w)).join(
+        F.broadcast(counts), "__g"
+    )
+    target = F.least(
+        F.col("n"),
+        F.expr(f"((n + 1) * {den - num} + {den - 1}) div {den}"),
+    )
+    return ranked.filter(F.col("__r") == target).select(
+        F.col("__g").alias(group_col),
+        "n",
+        F.col("__r").cast("long").alias("r"),
+        F.col("__v").alias("threshold_u"),
+    )

@@ -2356,3 +2356,26 @@ def learning_curve_plan(
     return df.withColumn("bucket", bucket.cast("int")).withColumn(
         "min_rate", mr
     )
+
+
+def prune_vocab(
+    counts: DataFrame,
+    min_count: int = 5,
+    token_col: str = "token",
+    count_col: str = "__cnt",
+) -> DataFrame:
+    """Vocabulary finalization: drop tokens below ``min_count`` and
+    assign DENSE contiguous ids by (count desc, token asc) — the stable
+    id remap a tokenizer ships after training (embedding tables index
+    by these, so the order must be deterministic and gap-free).
+    The single unpartitioned rank window runs over the vocab-bounded
+    counts table (corpus-size-independent — the K-row model-table
+    precedent), never over corpus rows. Returns (token, count,
+    token_id) with token_id 0-based."""
+    kept = counts.filter(F.col(count_col) >= int(min_count))
+    w = Window.orderBy(F.col(count_col).desc(), F.col(token_col).asc())
+    return kept.select(
+        F.col(token_col).alias("token"),
+        F.col(count_col).cast("long").alias("count"),
+        (F.row_number().over(w) - 1).cast("int").alias("token_id"),
+    )

@@ -986,3 +986,43 @@ def blocklist_hits(
         F.coalesce(F.array_join(inter, ","), F.lit("")).alias("hits"),
         F.coalesce(F.size(inter) > 0, F.lit(False)).cast("int").alias("blocked"),
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic text normalization — the cleanup stage every web
+    corpus runs before tokenization/dedup (stray control bytes and
+    whitespace chaos defeat exact dedup and skew token stats). Rules,
+    applied in order, all row-local JVM regexps with explicit
+    character classes (never \\s — Java and RE2 disagree on its
+    membership, the documented \\x0b trap):
+
+      1. drop ASCII control chars except tab/newline
+         ([\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]),
+      2. collapse runs of spaces/tabs to one space,
+      3. strip spaces around newlines,
+      4. collapse 3+ newlines to exactly two (paragraph break),
+      5. trim leading/trailing spaces and newlines.
+
+    Returns (id, text_norm, n_ctrl, changed). NULL text stays NULL."""
+    t0 = F.col(text_col)
+    ctrl = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+    n_ctrl = F.when(
+        t0.isNull(), F.lit(None).cast("int")
+    ).otherwise(
+        (F.length(t0) - F.length(F.regexp_replace(t0, ctrl, ""))).cast("int")
+    )
+    t = F.regexp_replace(t0, ctrl, "")
+    t = F.regexp_replace(t, r"[ \t]+", " ")
+    t = F.regexp_replace(t, r" ?\n ?", "\n")
+    t = F.regexp_replace(t, r"\n{3,}", "\n\n")
+    t = F.regexp_replace(t, r"^[ \n]+|[ \n]+$", "")
+    return df.select(
+        F.col(id_col),
+        t.alias("text_norm"),
+        n_ctrl.alias("n_ctrl"),
+        F.coalesce(t != t0, F.lit(False)).cast("int").alias("changed"),
+    )

@@ -9769,6 +9769,151 @@ QUERIES["agg_merge"] = q_agg_merge
 ORACLES["agg_merge"] = ORACLE_AGG_MERGE
 
 
+# deterministic whitespace/control-char noise injected around the clean
+# fixture text (formula technique) — identical expression in DuckDB
+_NOISY_TEXT_SQL = """CASE WHEN text IS NULL THEN NULL ELSE
+  (CASE doc_id % 3 WHEN 0 THEN '  ' WHEN 1 THEN {CHR}(9) ELSE '' END)
+  || (CASE WHEN doc_id % 5 = 0 THEN replace(text, ' ', '   ')
+           ELSE text END)
+  || (CASE doc_id % 4
+        WHEN 0 THEN {CHR}(7) || 'noise' || {CHR}(127)
+        WHEN 1 THEN {CHR}(10) || {CHR}(10) || {CHR}(10) || {CHR}(10)
+                    || 'tail'
+        WHEN 2 THEN ' ' || {CHR}(10) || ' x' ELSE '' END)
+  || (CASE WHEN doc_id % 2 = 0 THEN ' ' ELSE '' END) END"""
+
+
+def q_normalize_text(spark, sf):
+    """Text normalization (control-char strip, whitespace collapse,
+    paragraph-break canonicalization, trim), fully ORACLED: noisy text
+    is synthesized deterministically around the clean fixture text and
+    every regexp rule uses explicit character classes (never \\s — the
+    Java-vs-RE2 \\x0b trap), so DuckDB replays construction and
+    normalization byte-for-byte."""
+    from ..operators.text import normalize_text
+
+    d = _t(spark, sf, "documents")
+    noisy = d.select(
+        "doc_id", F.expr(_NOISY_TEXT_SQL.format(CHR="char")).alias("text")
+    )
+    return normalize_text(noisy).orderBy("doc_id")
+
+
+ORACLE_NORMALIZE_TEXT = r"""
+WITH noisy AS (
+  SELECT doc_id, """ + _NOISY_TEXT_SQL.format(CHR="chr") + r""" AS t
+  FROM documents),
+s1 AS (SELECT doc_id, t,
+              regexp_replace(t, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g')
+                AS a,
+              CASE WHEN t IS NULL THEN NULL
+                   ELSE CAST(len(t) - len(regexp_replace(t,
+                          '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'))
+                        AS INT) END AS n_ctrl
+       FROM noisy),
+s2 AS (SELECT doc_id, t, n_ctrl,
+              regexp_replace(a, '[ ' || chr(9) || ']+', ' ', 'g') AS a
+       FROM s1),
+s3 AS (SELECT doc_id, t, n_ctrl,
+              regexp_replace(a, ' ?' || chr(10) || ' ?', chr(10), 'g') AS a
+       FROM s2),
+s4 AS (SELECT doc_id, t, n_ctrl,
+              regexp_replace(a, chr(10) || '{3,}',
+                             chr(10) || chr(10), 'g') AS a
+       FROM s3),
+s5 AS (SELECT doc_id, t, n_ctrl,
+              regexp_replace(a, '^[ ' || chr(10) || ']+|[ '
+                             || chr(10) || ']+$', '', 'g') AS a
+       FROM s4)
+SELECT doc_id, a AS text_norm, n_ctrl,
+       CAST(CASE WHEN a IS NOT NULL AND t IS NOT NULL AND a <> t
+                 THEN 1 ELSE 0 END AS INT) AS changed
+FROM s5 ORDER BY doc_id
+"""
+
+QUERIES["normalize_text"] = q_normalize_text
+ORACLES["normalize_text"] = ORACLE_NORMALIZE_TEXT
+
+
+def q_prune_vocab(spark, sf):
+    """Vocabulary finalization: frequency cutoff (scale-proportional:
+    total div 50) + dense (count desc, token asc) ids — the gap-free
+    remap an embedding table indexes by. The rank window runs over the
+    vocab-bounded counts table only. Fully ORACLED."""
+    from ..operators.curation import prune_vocab
+    from ..operators.text import nonempty_tokens_col
+
+    d = _t(spark, sf, "documents")
+    counts = (
+        d.select(F.explode(nonempty_tokens_col(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    tot = counts.agg(F.sum("__cnt")).first()[0]
+    return prune_vocab(counts, min_count=int(tot) // 50).orderBy("token_id")
+
+
+ORACLE_PRUNE_VOCAB = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(trim(text)),
+                                                 '\s+', ' ', 'g'), ' '),
+                     x -> x <> '') AS t
+  FROM documents),
+tk AS (SELECT x AS token FROM toks, unnest(toks.t) AS u(x)),
+cnt AS (SELECT token, count(*) AS c FROM tk GROUP BY token),
+kept AS (SELECT token, c FROM cnt
+         WHERE c >= (SELECT sum(c) FROM cnt) // 50)
+SELECT token, CAST(c AS BIGINT) AS count,
+       CAST(row_number() OVER (ORDER BY c DESC, token ASC) - 1 AS INT)
+         AS token_id
+FROM kept ORDER BY token_id
+"""
+
+QUERIES["prune_vocab"] = q_prune_vocab
+ORACLES["prune_vocab"] = ORACLE_PRUNE_VOCAB
+
+
+def q_conformal(spark, sf):
+    """Split-conformal calibration thresholds per class at alpha=0.1:
+    the finite-sample rank ceil((n+1)*0.9) of md5-derived nonconformity
+    scores — pure integer rank arithmetic, fully ORACLED."""
+    from ..operators.classify import conformal_thresholds
+
+    e = _t(spark, sf, "embeddings")
+    score = (
+        F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 5), 16, 10
+        ).cast("long")
+        % 100000
+    ) / 100.0
+    scored = e.select("vec_id", "label", score.alias("score"))
+    return conformal_thresholds(
+        scored, group_col="label", score_col="score", id_col="vec_id"
+    ).orderBy("label")
+
+
+ORACLE_CONFORMAL = """
+WITH base AS (
+  SELECT label AS g, vec_id AS id,
+         CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 5)
+              AS BIGINT) % 100000 AS v
+  FROM embeddings WHERE label IS NOT NULL),
+c AS (SELECT g, count(*) AS n FROM base GROUP BY g),
+r AS (SELECT base.*, row_number() OVER
+        (PARTITION BY g ORDER BY v ASC, id ASC) AS rk
+      FROM base)
+SELECT r.g AS label, c.n,
+       CAST(rk AS BIGINT) AS r, r.v AS threshold_u
+FROM r JOIN c ON c.g = r.g
+WHERE rk = least(c.n, ((c.n + 1) * 9 + 9) // 10)
+ORDER BY label
+"""
+
+QUERIES["conformal"] = q_conformal
+ORACLES["conformal"] = ORACLE_CONFORMAL
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #

@@ -242,6 +242,9 @@ RELATIONAL = [
     "normalize_text",
     "prune_vocab",
     "conformal",
+    # round 5, thirty-fourth batch (bloom merge, incremental IVF)
+    "bloom_merge",
+    "ivf_append",
 ]
 
 

@@ -1438,3 +1438,24 @@ def knn_label_spread(
             "n_neighbors",
         )
     )
+
+
+def ivf_append(
+    delta: DataFrame,
+    centroids: DataFrame,
+    out_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Incremental IVF index maintenance: assign ONLY the new vectors
+    to the existing coarse centroids and APPEND them into the
+    partitioned serve layout (ivf_write's directory scheme) — the
+    daily-ingest path that never re-reads or re-writes the base index.
+    Because assignment depends only on (vector, centroids), append
+    followed by probe is EXACTLY equal to a full rebuild over
+    base ∪ delta — the property the driver query proves against an
+    oracle that only ever sees the full set. Centroids must be the
+    ones the base index was built with (a re-trained quantizer
+    invalidates the layout — rebuild instead)."""
+    lists = ivf_build(delta, centroids, vec_col=vec_col, id_col=id_col)
+    lists.write.mode("append").partitionBy("list_id").parquet(out_dir)

@@ -328,3 +328,19 @@ def hll_distinct(
         schema="m int, v_zero int, s_scaled long, est_u long, "
                "linear_counting int",
     )
+
+
+def bloom_merge(*blooms: DataFrame) -> DataFrame:
+    """Union of bloom filters built with IDENTICAL (m_bits, k, salt):
+    since a filter is the table of set bit positions, the union of the
+    underlying key sets is exactly union+distinct of the position
+    tables — the mergeability that lets every partition/day/shard
+    build its own filter and a reducer fold them without touching
+    keys. (Bitmap-word OR is the dense equivalent; the sparse table
+    form keeps merges shuffle-light at a few KB per filter.)"""
+    if not blooms:
+        raise ValueError("need at least one filter")
+    out = blooms[0]
+    for b in blooms[1:]:
+        out = out.unionByName(b)
+    return out.distinct()

@@ -9914,6 +9914,73 @@ QUERIES["conformal"] = q_conformal
 ORACLES["conformal"] = ORACLE_CONFORMAL
 
 
+def q_bloom_merge(spark, sf):
+    """Bloom-filter MERGEABILITY proof: two filters built over the two
+    halves of the benchmark set merge (union+distinct of position
+    tables) and the merged probe must equal probing a filter built
+    over the full set — which is all the oracle ever computes. Same
+    256/3 geometry as bloom_probe so real false positives exercise
+    the compare."""
+    from ..operators.sketch import bloom_build, bloom_merge, bloom_probe
+    from ..operators.text import fingerprint
+
+    d = _t(spark, sf, "documents")
+    fp = d.withColumn("__fp", fingerprint(F.col("text")))
+    half_a = fp.filter(F.col("doc_id") % 20 == 0)
+    half_b = fp.filter(F.col("doc_id") % 20 == 10)
+    merged = bloom_merge(
+        bloom_build(half_a.select("__fp"), "__fp", m_bits=256, k=3),
+        bloom_build(half_b.select("__fp"), "__fp", m_bits=256, k=3),
+    )
+    probed = bloom_probe(fp, merged, "__fp", m_bits=256, k=3)
+    return probed.select(
+        "doc_id",
+        "maybe_member",
+        (F.col("doc_id") % 10 == 0).cast("int").alias("exact_member"),
+    ).orderBy("doc_id")
+
+
+# the oracle is IDENTICAL to bloom_probe's: it builds over the FULL
+# benchmark set — merge-equals-full-build is exactly the claim
+QUERIES["bloom_merge"] = q_bloom_merge
+ORACLES["bloom_merge"] = ORACLE_BLOOM_PROBE
+
+
+def q_ivf_append(spark, sf):
+    """Incremental IVF maintenance proof: the serve layout is built
+    from the base vectors and the delta is APPENDED (assign-only, no
+    base rewrite), then probed — the oracle recomputes the probe over
+    the FULL set with the same fixed centroids (the ivf_recall
+    technique), so append-equals-rebuild is the compared claim. Side
+    effect: temp dir per run."""
+    import tempfile
+
+    from ..operators.similarity import ivf_append, ivf_build, ivf_write
+    from ..operators.similarity import ivf_probe_stored
+
+    e = _t(spark, sf, "embeddings")
+    cent = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("string").alias("centroid_label"),
+        F.col("embedding").cast("array<double>").alias("centroid"),
+    )
+    base = e.filter(F.col("vec_id") % 10 != 0)
+    delta = e.filter(F.col("vec_id") % 10 == 0)
+    d = tempfile.mkdtemp(prefix="ivf_append_")
+    ivf_write(ivf_build(base, cent), d)
+    ivf_append(delta, cent, d)
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 7).first().embedding]
+    out = ivf_probe_stored(spark, d, cent, qv, k=10, nprobe=2)
+    return out.select(
+        "vec_id", F.round("score", 5).alias("cos_sim")
+    ).orderBy(F.col("cos_sim").desc(), "vec_id")
+
+
+# identical to the ivf_recall oracle: full-set assignment + probe with
+# the same fixed centroids and query
+QUERIES["ivf_append"] = q_ivf_append
+ORACLES["ivf_append"] = ORACLE_IVF_RECALL
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #

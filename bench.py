@@ -245,6 +245,9 @@ RELATIONAL = [
     # round 5, thirty-fourth batch (bloom merge, incremental IVF)
     "bloom_merge",
     "ivf_append",
+    # round 5, thirty-fifth batch (graph ops: PageRank, triangles)
+    "pagerank",
+    "triangles",
 ]
 
 

@@ -9981,6 +9981,124 @@ QUERIES["ivf_append"] = q_ivf_append
 ORACLES["ivf_append"] = ORACLE_IVF_RECALL
 
 
+def _graph_edges(spark, sf):
+    """Deterministic directed link graph over the documents id space:
+    u -> (u+1)%N, u -> (u+2)%N (every consecutive triple closes a
+    triangle), plus u -> (3u+1)%N on every 7th node for degree
+    variety. N = count(documents) so the graph scales with the SF."""
+    d = _t(spark, sf, "documents").select(F.col("doc_id").alias("u"))
+    n = d.count()
+    e1 = d.select("u", ((F.col("u") + 1) % n).alias("v"))
+    e2 = d.select("u", ((F.col("u") + 2) % n).alias("v"))
+    e3 = d.filter(F.col("u") % 7 == 0).select(
+        "u", ((F.col("u") * 3 + 1) % n).alias("v")
+    )
+    return e1.unionByName(e2).unionByName(e3)
+
+
+_SQL_GRAPH_EDGES = """
+nn AS (SELECT count(*) AS n FROM documents),
+e0 AS (
+  SELECT doc_id AS s, (doc_id + 1) % (SELECT n FROM nn) AS d
+  FROM documents
+  UNION
+  SELECT doc_id, (doc_id + 2) % (SELECT n FROM nn) FROM documents
+  UNION
+  SELECT doc_id, (doc_id * 3 + 1) % (SELECT n FROM nn)
+  FROM documents WHERE doc_id % 7 = 0)"""
+
+
+def q_pagerank(spark, sf):
+    """Fixed-iteration PageRank on the integer micro-rank grid, fully
+    ORACLED: every division floors (r div deg per edge, damp*sum div
+    den per node), so all 5 iterations unroll as MATERIALIZED DuckDB
+    CTEs computing bit-identical ranks — the unrolled-iteration
+    technique (ivf_topk / logreg / pca precedents) applied to graph
+    ranking."""
+    from ..operators.graph import pagerank_fixed
+
+    e = _graph_edges(spark, sf)
+    return pagerank_fixed(
+        e, src_col="u", dst_col="v", iters=5
+    ).orderBy("node")
+
+
+def _pagerank_oracle_sql(iters: int = 5, grain: int = 10**12) -> str:
+    parts = [
+        "WITH " + _SQL_GRAPH_EDGES + """,
+deg AS (SELECT s, count(*) AS dg FROM e0 GROUP BY s),
+nodes AS (SELECT DISTINCT x AS node FROM
+            (SELECT s AS x FROM e0 UNION ALL SELECT d FROM e0)),
+r0 AS MATERIALIZED (SELECT node,
+       {G} // (SELECT n FROM nn) AS r FROM nodes)""".format(G=grain),
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            """
+c{k} AS (SELECT e0.d, sum(r{p}.r // deg.dg) AS c
+        FROM e0 JOIN deg ON deg.s = e0.s
+                JOIN r{p} ON r{p}.node = e0.s
+        GROUP BY e0.d),
+r{k} AS MATERIALIZED (
+  SELECT nodes.node,
+         (15 * ({G} // (SELECT n FROM nn))) // 100
+           + 85 * coalesce(c{k}.c, 0) // 100 AS r
+  FROM nodes LEFT JOIN c{k} ON c{k}.d = nodes.node)""".format(
+                k=k, p=k - 1, G=grain
+            )
+        )
+    return (
+        ",".join(parts)
+        + f"\nSELECT node, r FROM r{iters} ORDER BY node"
+    )
+
+
+QUERIES["pagerank"] = q_pagerank
+ORACLES["pagerank"] = _pagerank_oracle_sql()
+
+
+def q_triangles(spark, sf):
+    """Exact triangle count via the degree-orientation wedge join (the
+    O(m^1.5) bound that survives skewed graphs; the closing-edge probe
+    is ONE hash equi-join on the canonical pair — never an
+    OR-condition nested loop). ORACLED against the direct a<b<c
+    triple join, which is exactly equal on a simple graph."""
+    from ..operators.graph import triangle_count
+
+    e = _graph_edges(spark, sf)
+    return triangle_count(e, src_col="u", dst_col="v")
+
+
+ORACLE_TRIANGLES = """
+WITH """ + _SQL_GRAPH_EDGES + """,
+ec AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+       FROM e0 WHERE s <> d),
+deg AS (SELECT node, count(*) AS dg FROM
+          (SELECT a AS node FROM ec UNION ALL SELECT b FROM ec)
+        GROUP BY node),
+o AS (SELECT CASE WHEN da.dg < db.dg
+                    OR (da.dg = db.dg AND ec.a < ec.b)
+                  THEN ec.a ELSE ec.b END AS u,
+             CASE WHEN da.dg < db.dg
+                    OR (da.dg = db.dg AND ec.a < ec.b)
+                  THEN ec.b ELSE ec.a END AS v
+      FROM ec JOIN deg da ON da.node = ec.a
+              JOIN deg db ON db.node = ec.b),
+w AS (SELECT o1.u, o1.v AS x, o2.v AS y
+      FROM o o1 JOIN o o2 ON o2.u = o1.u AND o1.v < o2.v),
+tri AS (SELECT count(*) AS c FROM w
+        JOIN (SELECT least(u, v) AS x, greatest(u, v) AS y FROM o) ce
+        USING (x, y))
+SELECT (SELECT count(*) FROM deg) AS n_nodes,
+       (SELECT count(*) FROM ec) AS n_edges,
+       (SELECT count(*) FROM w) AS n_wedges,
+       (SELECT c FROM tri) AS n_triangles
+"""
+
+QUERIES["triangles"] = q_triangles
+ORACLES["triangles"] = ORACLE_TRIANGLES
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #

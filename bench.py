@@ -248,6 +248,10 @@ RELATIONAL = [
     # round 5, thirty-fifth batch (graph ops: PageRank, triangles)
     "pagerank",
     "triangles",
+    # round 5, thirty-sixth batch (k-anonymity, data contract,
+    # streaming bloom gate is pytest-only)
+    "k_anonymity",
+    "expectations",
 ]
 
 

@@ -2379,3 +2379,81 @@ def prune_vocab(
         F.col(count_col).cast("long").alias("count"),
         (F.row_number().over(w) - 1).cast("int").alias("token_id"),
     )
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: "tuple[str, ...]",
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier tuple — the
+    re-identification risk gate a dataset release runs: any
+    equivalence class smaller than ``k`` can single out a person when
+    joined with outside data. ONE hash aggregate on the quasi tuple
+    (map-side combine carries (tuple, count) — rows never shuffle),
+    then per-class counts and flags. NULL quasi values form their own
+    class (NULL-joins-NULL is how linkage attacks treat them too).
+    Returns one row per equivalence class: (quasi..., n, at_risk)."""
+    if not quasi_cols:
+        raise ValueError("need at least one quasi-identifier column")
+    counts = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return counts.withColumn(
+        "at_risk", (F.col("n") < int(k)).cast("int")
+    )
+
+
+def validate_expectations(
+    df: DataFrame,
+    rules: "list[tuple]",
+) -> DataFrame:
+    """Data-contract validation (the expectations gate a pipeline runs
+    before publishing a snapshot). ``rules`` is a literal list of
+    (name, kind, column, arg) with kinds:
+
+      - ``not_null``: column must not be NULL,
+      - ``min`` / ``max``: numeric bound (violation when outside),
+      - ``regex``: string must fully match ``arg``,
+      - ``in_set``: value must be one of ``arg`` (a list).
+
+    ONE aggregation pass computes every rule's violation count — the
+    rules compile to when/sum expressions inside the same scan, so a
+    50-rule contract costs one corpus read, not 50. Returns one row
+    per rule: (rule, kind, column, n_rows, n_violations, passed)."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for name, kind, col, arg in rules:
+        c = F.col(col)
+        if kind == "not_null":
+            bad = c.isNull()
+        elif kind == "min":
+            bad = c.isNotNull() & (c < F.lit(arg))
+        elif kind == "max":
+            bad = c.isNotNull() & (c > F.lit(arg))
+        elif kind == "regex":
+            bad = c.isNotNull() & ~c.rlike(f"^(?:{arg})$")
+        elif kind == "in_set":
+            bad = c.isNotNull() & ~c.isin(list(arg))
+        else:
+            raise ValueError(f"unknown expectation kind: {kind}")
+        aggs.append(
+            F.sum(F.when(bad, 1).otherwise(0)).alias(f"__v_{name}")
+        )
+    row = df.agg(*aggs).first()
+    n = int(row["__n"])
+    out = [
+        (
+            name,
+            kind,
+            col,
+            n,
+            int(row[f"__v_{name}"]),
+            int(row[f"__v_{name}"]) == 0,
+        )
+        for name, kind, col, arg in rules
+    ]
+    return df.sparkSession.createDataFrame(
+        out,
+        "rule string, kind string, column string, n_rows bigint,"
+        " n_violations bigint, passed boolean",
+    )

@@ -10099,6 +10099,108 @@ QUERIES["triangles"] = q_triangles
 ORACLES["triangles"] = ORACLE_TRIANGLES
 
 
+def q_k_anonymity(spark, sf):
+    """k-anonymity audit over (event_type, hour, value-bucket) quasi
+    identifiers — ONE hash aggregate, per-class counts and at-risk
+    flags. Fully ORACLED (pure groupBy + integer bucketing)."""
+    from ..operators.curation import k_anonymity
+
+    e = _t(spark, sf, "events")
+    q = e.select(
+        "event_type",
+        (
+            F.col("ts").cast("timestamp").cast("long") % 86400
+        ).alias("__sec"),
+        "value",
+    ).select(
+        "event_type",
+        F.expr("__sec div 3600").cast("int").alias("hour"),
+        F.expr(
+            "CAST(floor(value * 100 + 0.5) AS BIGINT) div 10000"
+        ).cast("int").alias("value_bucket"),
+    )
+    return k_anonymity(
+        q, quasi_cols=("event_type", "hour", "value_bucket"), k=5
+    ).orderBy("event_type", "hour", "value_bucket")
+
+
+ORACLE_K_ANONYMITY = """
+WITH q AS (
+  SELECT event_type,
+         CAST((CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 3600
+              AS INT) AS hour,
+         CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) // 10000
+              AS INT) AS value_bucket
+  FROM events)
+SELECT event_type, hour, value_bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(CASE WHEN count(*) < 5 THEN 1 ELSE 0 END AS INT) AS at_risk
+FROM q GROUP BY event_type, hour, value_bucket
+ORDER BY event_type, hour, value_bucket
+"""
+
+QUERIES["k_anonymity"] = q_k_anonymity
+ORACLES["k_anonymity"] = ORACLE_K_ANONYMITY
+
+
+_EXPECTATIONS = [
+    ("id_not_null", "not_null", "doc_id", None),
+    ("chars_min", "min", "n_chars", 10),
+    ("chars_max", "max", "n_chars", 400),
+    ("lang_known", "in_set", "lang", ["en", "de", "fr"]),
+    ("source_shape", "regex", "source", "src[0-9]+"),
+]
+
+
+def q_expectations(spark, sf):
+    """Data-contract validation: five expectations (not-null, numeric
+    bounds, value set, regex shape) compiled into ONE aggregation pass
+    over the scan — a 50-rule contract costs one corpus read. Fully
+    ORACLED (per-rule violation sums replay as SQL CASE sums)."""
+    from ..operators.curation import validate_expectations
+
+    d = _t(spark, sf, "documents")
+    return validate_expectations(d, _EXPECTATIONS).orderBy("rule")
+
+
+ORACLE_EXPECTATIONS = """
+WITH v AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS v_id,
+         sum(CASE WHEN n_chars IS NOT NULL AND n_chars < 10
+                  THEN 1 ELSE 0 END) AS v_min,
+         sum(CASE WHEN n_chars IS NOT NULL AND n_chars > 400
+                  THEN 1 ELSE 0 END) AS v_max,
+         sum(CASE WHEN lang IS NOT NULL
+                   AND lang NOT IN ('en', 'de', 'fr')
+                  THEN 1 ELSE 0 END) AS v_lang,
+         sum(CASE WHEN source IS NOT NULL
+                   AND NOT regexp_matches(source, '^(?:src[0-9]+)$')
+                  THEN 1 ELSE 0 END) AS v_src
+  FROM documents)
+SELECT * FROM (
+  SELECT 'chars_max' AS rule, 'max' AS kind, 'n_chars' AS "column",
+         CAST(n AS BIGINT) AS n_rows, CAST(v_max AS BIGINT)
+           AS n_violations, v_max = 0 AS passed FROM v
+  UNION ALL
+  SELECT 'chars_min', 'min', 'n_chars', CAST(n AS BIGINT),
+         CAST(v_min AS BIGINT), v_min = 0 FROM v
+  UNION ALL
+  SELECT 'id_not_null', 'not_null', 'doc_id', CAST(n AS BIGINT),
+         CAST(v_id AS BIGINT), v_id = 0 FROM v
+  UNION ALL
+  SELECT 'lang_known', 'in_set', 'lang', CAST(n AS BIGINT),
+         CAST(v_lang AS BIGINT), v_lang = 0 FROM v
+  UNION ALL
+  SELECT 'source_shape', 'regex', 'source', CAST(n AS BIGINT),
+         CAST(v_src AS BIGINT), v_src = 0 FROM v
+) ORDER BY rule
+"""
+
+QUERIES["expectations"] = q_expectations
+ORACLES["expectations"] = ORACLE_EXPECTATIONS
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #

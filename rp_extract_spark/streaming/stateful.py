@@ -14,6 +14,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -272,3 +273,51 @@ def streaming_sessionize(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_bloom_gate(
+    events: DataFrame,
+    bloom_words: "list[int]",
+    key_col: str = "image_id",
+    m_bits: int = 8192,
+    k: int = 4,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Stateless streaming pre-screen against a STATIC bloom filter
+    (the historical-corpus membership sketch): rows whose key the
+    filter definitely has not seen pass straight through with
+    ``maybe_seen`` = 0; the MAYBE rows carry 1 and are what a
+    downstream exact check (streaming_dedup or a keyed lookup) must
+    resolve. This is the classic two-stage ingest gate: the bloom
+    probe is a row-local O(k) bitmap test inside the stream (no state,
+    no shuffle, survives any trigger interval), so the expensive exact
+    stage only sees the tiny maybe fraction.
+
+    ``bloom_words`` is the pre-folded int64 bitmap word list (as built
+    from sketch.bloom_build positions via sketch.bloom_probe's word
+    fold) — ship the few-KB literal, never the key set. Parameters
+    must match the filter's build."""
+    from ..operators.sketch import _bloom_pos
+
+    warr = F.array(*[F.lit(int(w)).cast("long") for w in bloom_words])
+    hit = None
+    for j in range(k):
+        pos = _bloom_pos(F.col(key_col), j, m_bits, salt)
+        word = F.element_at(
+            warr, (F.shiftrightunsigned(pos, 6) + 1).cast("int")
+        )
+        b = F.bit_get(word, pos.bitwiseAND(F.lit(63)))
+        hit = b if hit is None else hit * b
+    return events.withColumn(
+        "maybe_seen", F.coalesce(hit.cast("int"), F.lit(0))
+    )
+
+
+def bloom_words_from_positions(positions: "list[int]", m_bits: int) -> "list[int]":
+    """Fold a position table (bloom_build output, collected) into the
+    signed int64 bitmap word list stream_bloom_gate ships."""
+    n_words = (m_bits + 63) // 64
+    words = [0] * n_words
+    for p in positions:
+        words[int(p) >> 6] |= 1 << (int(p) & 63)
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]

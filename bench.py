@@ -252,6 +252,9 @@ RELATIONAL = [
     # streaming bloom gate is pytest-only)
     "k_anonymity",
     "expectations",
+    # round 5, thirty-seventh batch (CUSUM changepoints, Rand index)
+    "cusum",
+    "cluster_agreement",
 ]
 
 

@@ -955,3 +955,40 @@ def conformal_thresholds(
         F.col("__r").cast("long").alias("r"),
         F.col("__v").alias("threshold_u"),
     )
+
+
+def clustering_agreement(
+    df: DataFrame,
+    label_a: str,
+    label_b: str,
+    grain: int = 1_000_000,
+) -> DataFrame:
+    """Rand-index agreement between two clusterings of the same rows —
+    how much a cheap dedup heuristic agrees with the expensive one
+    before you swap it in. Exact pair counting, never pair
+    enumeration: with contingency counts n_ij and marginals n_a, n_b,
+
+        S_ab = sum C(n_ij,2),  S_a = sum C(n_a,2),  S_b = sum C(n_b,2)
+        rand_u = (T + 2*S_ab - S_a - S_b) * grain div T,  T = C(n,2)
+
+    — three aggregations over (a,b) cells and marginals (cells shuffle,
+    rows do once), all integer arithmetic with the one division
+    deferred. Returns one row: (n, t_pairs, s_ab, s_a, s_b, rand_u)."""
+    base = df.select(
+        F.col(label_a).alias("__a"), F.col(label_b).alias("__b")
+    ).filter(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+    cells = base.groupBy("__a", "__b").agg(F.count(F.lit(1)).alias("c"))
+    c2 = F.expr("c * (c - 1) div 2")
+    s_ab = cells.agg(F.sum(c2).alias("v")).first()["v"] or 0
+    ma = cells.groupBy("__a").agg(F.sum("c").alias("c"))
+    s_a = ma.agg(F.sum(c2).alias("v")).first()["v"] or 0
+    mb = cells.groupBy("__b").agg(F.sum("c").alias("c"))
+    s_b = mb.agg(F.sum(c2).alias("v")).first()["v"] or 0
+    n = base.count()
+    t = n * (n - 1) // 2
+    rand_u = ((t + 2 * s_ab - s_a - s_b) * grain) // t if t else 0
+    return df.sparkSession.createDataFrame(
+        [(n, t, int(s_ab), int(s_a), int(s_b), int(rand_u))],
+        "n bigint, t_pairs bigint, s_ab bigint, s_a bigint,"
+        " s_b bigint, rand_u bigint",
+    )

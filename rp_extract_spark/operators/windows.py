@@ -449,3 +449,64 @@ def session_stats(
             ).alias("converted"),
         )
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str = "ts",
+    bucket_s: int = 86400,
+    threshold_num: int = 3,
+    threshold_den: int = 1,
+    grain: int = 1_000_000,
+) -> DataFrame:
+    """Per-group CUSUM drift detection over time-bucket counts — the
+    volume-changepoint monitor an ingest pipeline runs (a source that
+    doubles or halves overnight is an incident, not noise). Exact
+    integer path via the CUSUM closed form: the recursion
+    s_t = max(0, s_{t-1} + d_t) equals
+
+        s_t = P_t - min(P_0..P_t)        (P = prefix sum of d)
+
+    so two window passes (cumsum + running min) compute it with no
+    per-row recursion. d_t = x_t*grain - mean_u where mean_u =
+    total*grain div n_buckets (the group's own mean — deviations sum
+    to ~zero under no drift). A bucket flags when s_t exceeds
+    threshold * mean_u (the num/den rational, cross-multiplied — no
+    float). Returns (group, bucket, x, d, s, flagged). One hash
+    exchange on the group key serves both windows."""
+    te = F.col(ts_col).cast("timestamp").cast("long")
+    counts = (
+        df.select(F.col(group_col).alias("__g"), te.alias("__t"))
+        .filter(F.col("__t").isNotNull())
+        .groupBy("__g", F.expr(f"__t div {int(bucket_s)}").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    stats = counts.groupBy("__g").agg(
+        F.sum("x").alias("__tot"), F.count(F.lit(1)).alias("__nb")
+    )
+    j = counts.join(F.broadcast(stats), "__g").withColumn(
+        "__mean_u", F.expr(f"__tot * {int(grain)} div __nb")
+    )
+    d = (F.col("x") * F.lit(int(grain)) - F.col("__mean_u")).alias("d")
+    j = j.withColumn("d", d)
+    wc = (
+        Window.partitionBy("__g")
+        .orderBy(F.col("bucket").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    j = j.withColumn("__p", F.sum("d").over(wc))
+    j = j.withColumn("__pmin", F.min(F.least(F.col("__p"), F.lit(0))).over(wc))
+    s = F.col("__p") - F.col("__pmin")
+    flagged = (
+        s * F.lit(int(threshold_den)) >
+        F.lit(int(threshold_num)) * F.col("__mean_u")
+    ).cast("int")
+    return j.select(
+        F.col("__g").alias(group_col),
+        "bucket",
+        "x",
+        "d",
+        s.alias("s"),
+        flagged.alias("flagged"),
+    )

@@ -10201,6 +10201,94 @@ QUERIES["expectations"] = q_expectations
 ORACLES["expectations"] = ORACLE_EXPECTATIONS
 
 
+def q_cusum(spark, sf):
+    """CUSUM volume-changepoint monitor over daily per-type counts,
+    fully ORACLED: the max(0, s+d) recursion is computed by its exact
+    closed form s_t = P_t - min(0, P_1..P_t) — two window passes, all
+    integers (mean on the grain, threshold cross-multiplied)."""
+    from ..operators.windows import cusum_changepoints
+
+    e = _t(spark, sf, "events")
+    return cusum_changepoints(e, group_col="event_type").orderBy(
+        "event_type", "bucket"
+    )
+
+
+ORACLE_CUSUM = """
+WITH c AS (
+  SELECT event_type AS g,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS bucket,
+         count(*) AS x
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY g, CAST(floor(epoch(ts)) AS BIGINT) // 86400),
+st AS (SELECT g, sum(x) AS tot, count(*) AS nb FROM c GROUP BY g),
+j AS (SELECT c.g, c.bucket, c.x,
+             st.tot * 1000000 // st.nb AS mean_u
+      FROM c JOIN st ON st.g = c.g),
+d AS (SELECT *, x * 1000000 - mean_u AS d FROM j),
+p0 AS (SELECT *, sum(d) OVER (PARTITION BY g ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp
+       FROM d),
+p AS (SELECT *, min(least(pp, 0)) OVER (PARTITION BY g ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pmin
+      FROM p0)
+SELECT g AS event_type, bucket, CAST(x AS BIGINT) AS x,
+       CAST(d AS BIGINT) AS d, CAST(pp - pmin AS BIGINT) AS s,
+       CAST(CASE WHEN (pp - pmin) * 1 > 3 * mean_u
+                 THEN 1 ELSE 0 END AS INT) AS flagged
+FROM p ORDER BY event_type, bucket
+"""
+
+QUERIES["cusum"] = q_cusum
+ORACLES["cusum"] = ORACLE_CUSUM
+
+
+def q_cluster_agreement(spark, sf):
+    """Rand-index agreement between two dedup clusterings (exact
+    content-fingerprint groups vs the cheap doc-length heuristic) by
+    exact pair COUNTING (contingency C(n,2) sums — never pair
+    enumeration), fully ORACLED."""
+    from ..operators.classify import clustering_agreement
+    from ..operators.text import fingerprint
+
+    d = _t(spark, sf, "documents")
+    labeled = d.select(
+        fingerprint(F.col("text")).alias("fp_group"),
+        F.col("n_chars").alias("len_group"),
+    )
+    return clustering_agreement(labeled, "fp_group", "len_group")
+
+
+ORACLE_CLUSTER_AGREEMENT = r"""
+WITH base AS (
+  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS a,
+         n_chars AS b
+  FROM documents
+  WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+cells AS (SELECT a, b, count(*) AS c FROM base GROUP BY a, b),
+sab AS (SELECT coalesce(sum(c * (c - 1) // 2), 0) AS v FROM cells),
+ma AS (SELECT a, sum(c) AS c FROM cells GROUP BY a),
+sa AS (SELECT coalesce(sum(c * (c - 1) // 2), 0) AS v FROM ma),
+mb AS (SELECT b, sum(c) AS c FROM cells GROUP BY b),
+sb AS (SELECT coalesce(sum(c * (c - 1) // 2), 0) AS v FROM mb),
+nn AS (SELECT count(*) AS n FROM base)
+SELECT n, n * (n - 1) // 2 AS t_pairs,
+       CAST((SELECT v FROM sab) AS BIGINT) AS s_ab,
+       CAST((SELECT v FROM sa) AS BIGINT) AS s_a,
+       CAST((SELECT v FROM sb) AS BIGINT) AS s_b,
+       CAST(CASE WHEN n < 2 THEN 0
+                 ELSE (n * (n - 1) // 2
+                       + 2 * (SELECT v FROM sab)
+                       - (SELECT v FROM sa)
+                       - (SELECT v FROM sb)) * 1000000
+                      // (n * (n - 1) // 2) END AS BIGINT) AS rand_u
+FROM nn
+"""
+
+QUERIES["cluster_agreement"] = q_cluster_agreement
+ORACLES["cluster_agreement"] = ORACLE_CLUSTER_AGREEMENT
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #

@@ -255,6 +255,10 @@ RELATIONAL = [
     # round 5, thirty-seventh batch (CUSUM changepoints, Rand index)
     "cusum",
     "cluster_agreement",
+    # round 5, thirty-eighth batch (Matryoshka truncation eval,
+    # multi-signal dedup)
+    "dim_trunc",
+    "multi_signal_dedup",
 ]
 
 

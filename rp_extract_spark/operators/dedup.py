@@ -1397,3 +1397,44 @@ def dedup_substrings(
         .withColumn("n_removed", F.size(rmset))
         .drop("__rm")
     )
+
+
+def multi_signal_dedup(
+    df: DataFrame,
+    signal_cols: "tuple[str, ...]",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Transitive dedup across MULTIPLE independent equality signals
+    (canonical URL, content fingerprint, normalized title, ...): two
+    rows belong to one group when ANY signal chain connects them —
+    the union-of-evidence rule real pipelines need (a mirror shares
+    the URL, a re-paste shares the text). Each signal contributes its
+    value as a prefixed bucket into ONE bipartite min-label
+    propagation (propagate_min_ids — the same component machinery
+    every dedup family here ends in; signals never multiply the
+    fixpoint cost, they just add membership edges). NULL signal values
+    contribute no edge. Returns (id, rep_id)."""
+    if not signal_cols:
+        raise ValueError("need at least one signal column")
+    parts = []
+    for i, c in enumerate(signal_cols):
+        parts.append(
+            df.filter(F.col(c).isNotNull()).select(
+                F.col(id_col),
+                F.concat(
+                    F.lit(f"s{i}:"), F.col(c).cast("string")
+                ).alias("bucket"),
+            )
+        )
+    edges = parts[0]
+    for p in parts[1:]:
+        edges = edges.unionByName(p)
+    labels = propagate_min_ids(edges, id_col, "bucket")
+    return (
+        df.select(id_col)
+        .join(labels, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("rep_id"), F.col(id_col)).alias("rep_id"),
+        )
+    )

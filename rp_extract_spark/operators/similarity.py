@@ -1459,3 +1459,77 @@ def ivf_append(
     invalidates the layout — rebuild instead)."""
     lists = ivf_build(delta, centroids, vec_col=vec_col, id_col=id_col)
     lists.write.mode("append").partitionBy("list_id").parquet(out_dir)
+
+
+def dim_truncation_recall(
+    queries: DataFrame,
+    gallery: DataFrame,
+    trunc_dims: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    grain: int = 1_000_000,
+) -> DataFrame:
+    """Matryoshka-style dimension-truncation evaluation: per query,
+    how many of the full-vector top-k survive when similarity uses
+    only the FIRST ``trunc_dims`` coordinates — the measurement that
+    decides whether a cheaper truncated index is safe to serve.
+
+    Exactness contract: both rankings quantize vectors to the integer
+    micro-grid (floor(x*grain + 1/2)) and rank by EXACT integer dot
+    products with id tiebreaks, so the top-k cut is deterministic and
+    SQL-replayable — raw float cosines at a rank cut carry boundary
+    risk (the hard_negatives precedent). Self-matches excluded.
+
+    Scale path: queries broadcast (eval sets are bounded); the gallery
+    is scanned once per ranking with a per-query rank window. Returns
+    (q_id, n_overlap, k)."""
+    qv = F.transform(
+        F.col(vec_col), lambda x: F.floor(x * grain + F.lit(0.5)).cast("long")
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"), qv.alias("__qv")
+    )
+    g = gallery.select(F.col(id_col).alias("g_id"), qv.alias("__gv"))
+    j = g.crossJoin(F.broadcast(q)).filter(F.col("g_id") != F.col("q_id"))
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    full = _dot(F.col("__gv"), F.col("__qv"))
+    trunc = _dot(
+        F.slice(F.col("__gv"), 1, int(trunc_dims)),
+        F.slice(F.col("__qv"), 1, int(trunc_dims)),
+    )
+    scored = j.select(
+        "q_id", "g_id", full.alias("__df"), trunc.alias("__dt")
+    )
+    wf = Window.partitionBy("q_id").orderBy(
+        F.col("__df").desc(), F.col("g_id").asc()
+    )
+    wt = Window.partitionBy("q_id").orderBy(
+        F.col("__dt").desc(), F.col("g_id").asc()
+    )
+    ranked = scored.select(
+        "q_id",
+        "g_id",
+        F.row_number().over(wf).alias("__rf"),
+        F.row_number().over(wt).alias("__rt"),
+    )
+    both = ranked.filter(
+        (F.col("__rf") <= int(k)) & (F.col("__rt") <= int(k))
+    )
+    counts = both.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_overlap"))
+    return (
+        q.select("q_id")
+        .join(counts, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_overlap", F.lit(0)).cast("int").alias("n_overlap"),
+            F.lit(int(k)).alias("k"),
+        )
+    )

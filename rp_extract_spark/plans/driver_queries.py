@@ -10289,6 +10289,96 @@ QUERIES["cluster_agreement"] = q_cluster_agreement
 ORACLES["cluster_agreement"] = ORACLE_CLUSTER_AGREEMENT
 
 
+def q_dim_trunc(spark, sf):
+    """Matryoshka truncation eval: overlap@10 between the full-vector
+    top-10 and the first-16-dims top-10, fully ORACLED — both rankings
+    use EXACT integer dot products on the micro grid with id
+    tiebreaks, so the rank cut is deterministic (raw float cosines at
+    a cut carry boundary risk — the hard_negatives precedent)."""
+    from ..operators.similarity import dim_truncation_recall
+
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 7)
+    return dim_truncation_recall(q, e, trunc_dims=16, k=10).orderBy("q_id")
+
+
+ORACLE_DIM_TRUNC = """
+WITH v AS (SELECT vec_id,
+                  list_transform(embedding::DOUBLE[],
+                    x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS v
+           FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id % 50 = 7),
+p AS (SELECT q.qid, g.vec_id AS gid,
+             list_sum(list_transform(list_zip(g.v, q.qv),
+                                     z -> z[1] * z[2])) AS df_,
+             list_sum(list_transform(
+               list_zip(list_slice(g.v, 1, 16), list_slice(q.qv, 1, 16)),
+               z -> z[1] * z[2])) AS dt_
+      FROM v g, q WHERE g.vec_id <> q.qid),
+r AS (SELECT qid, gid,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY df_ DESC, gid ASC) AS rf,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY dt_ DESC, gid ASC) AS rt
+      FROM p),
+c AS (SELECT qid, count(*) AS c FROM r
+      WHERE rf <= 10 AND rt <= 10 GROUP BY qid)
+SELECT q.qid AS q_id, CAST(coalesce(c.c, 0) AS INT) AS n_overlap,
+       CAST(10 AS INT) AS k
+FROM q LEFT JOIN c ON c.qid = q.qid ORDER BY q_id
+"""
+
+QUERIES["dim_trunc"] = q_dim_trunc
+ORACLES["dim_trunc"] = ORACLE_DIM_TRUNC
+
+
+def q_multi_signal_dedup(spark, sf):
+    """Union-of-evidence dedup: canonical-URL equality OR content-
+    fingerprint equality chains transitively into one component
+    (prefixed buckets into ONE min-label propagation — extra signals
+    add edges, never fixpoint cost). Fully ORACLED via the bucket-min
+    star edges + recursive-CTE components."""
+    from ..operators.dedup import multi_signal_dedup
+    from ..operators.text import fingerprint
+    from ..operators.web import canonical_url
+
+    d = _t(spark, sf, "documents")
+    sig = d.select(
+        "doc_id",
+        canonical_url(_synth_url(F.col("doc_id"))).alias("curl"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+    return multi_signal_dedup(sig, signal_cols=("curl", "fp")).orderBy(
+        "doc_id"
+    )
+
+
+ORACLE_MULTI_SIGNAL = (
+    "WITH RECURSIVE " + _SQL_URL_CANON + r""",
+sig AS (
+  SELECT doc_id, 's0:' || canonical_url AS b FROM s7
+  UNION ALL
+  SELECT doc_id,
+         's1:' || md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+  FROM documents WHERE text IS NOT NULL),
+bmin AS (SELECT b, min(doc_id) AS m FROM sig GROUP BY b),
+e AS (SELECT sig.doc_id AS s, bmin.m AS d
+      FROM sig JOIN bmin USING (b) WHERE sig.doc_id <> bmin.m),
+sym AS (SELECT s, d FROM e UNION SELECT d, s FROM e),
+reach(a, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT sym.s, reach.r FROM sym JOIN reach ON reach.a = sym.d),
+comp AS (SELECT a AS doc_id, min(r) AS rep_id FROM reach GROUP BY a)
+SELECT d.doc_id, comp.rep_id
+FROM documents d JOIN comp USING (doc_id) ORDER BY doc_id
+"""
+)
+
+QUERIES["multi_signal_dedup"] = q_multi_signal_dedup
+ORACLES["multi_signal_dedup"] = ORACLE_MULTI_SIGNAL
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #

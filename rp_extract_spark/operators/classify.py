@@ -977,14 +977,24 @@ def clustering_agreement(
     base = df.select(
         F.col(label_a).alias("__a"), F.col(label_b).alias("__b")
     ).filter(F.col("__a").isNotNull() & F.col("__b").isNotNull())
-    cells = base.groupBy("__a", "__b").agg(F.count(F.lit(1)).alias("c"))
+    # the contingency table feeds four consumers (S_ab, both marginals,
+    # n) — persist it so the corpus scans once, not four times
+    cells = base.groupBy("__a", "__b").agg(
+        F.count(F.lit(1)).alias("c")
+    ).persist()
     c2 = F.expr("c * (c - 1) div 2")
-    s_ab = cells.agg(F.sum(c2).alias("v")).first()["v"] or 0
-    ma = cells.groupBy("__a").agg(F.sum("c").alias("c"))
-    s_a = ma.agg(F.sum(c2).alias("v")).first()["v"] or 0
-    mb = cells.groupBy("__b").agg(F.sum("c").alias("c"))
-    s_b = mb.agg(F.sum(c2).alias("v")).first()["v"] or 0
-    n = base.count()
+    try:
+        s_ab = cells.agg(F.sum(c2).alias("v")).first()["v"] or 0
+        ma = cells.groupBy("__a").agg(F.sum("c").alias("c"))
+        row_a = ma.agg(
+            F.sum(c2).alias("v"), F.sum("c").alias("n")
+        ).first()
+        s_a = row_a["v"] or 0
+        n = int(row_a["n"] or 0)  # total rows, free from the marginal
+        mb = cells.groupBy("__b").agg(F.sum("c").alias("c"))
+        s_b = mb.agg(F.sum(c2).alias("v")).first()["v"] or 0
+    finally:
+        cells.unpersist()
     t = n * (n - 1) // 2
     rand_u = ((t + 2 * s_ab - s_a - s_b) * grain) // t if t else 0
     return df.sparkSession.createDataFrame(

@@ -2340,6 +2340,13 @@ def learning_curve_plan(
     rs = list(rates)
     if sorted(rs) != rs or len(set(rs)) != len(rs):
         raise ValueError("rates must be strictly increasing")
+    # the 9-hex-threshold class (group_split's round-5 defect): a rate
+    # >= 1.0 anywhere but LAST would format to 9 hex chars and break
+    # the fixed-width lexicographic compare — nesting silently dies
+    if any(not 0.0 < r <= 1.0 for r in rs):
+        raise ValueError("rates must be in (0, 1]")
+    if any(r >= 1.0 for r in rs[:-1]):
+        raise ValueError("only the last rate may be 1.0")
     if rs[-1] < 1.0:
         rs = rs + [1.0]
     h = F.substring(
@@ -2421,6 +2428,9 @@ def validate_expectations(
     rules compile to when/sum expressions inside the same scan, so a
     50-rule contract costs one corpus read, not 50. Returns one row
     per rule: (rule, kind, column, n_rows, n_violations, passed)."""
+    names = [r[0] for r in rules]
+    if len(set(names)) != len(names):
+        raise ValueError("duplicate rule names (each needs a unique name)")
     aggs = [F.count(F.lit(1)).alias("__n")]
     for name, kind, col, arg in rules:
         c = F.col(col)

@@ -52,7 +52,12 @@ def pagerank_fixed(
         .distinct()
     )
     deg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg"))
+    # both caches feed every iteration AND the returned lazy plan —
+    # they stay pinned until eviction (leak-until-evict is the
+    # documented cost choice: unpersisting before the caller evaluates
+    # the result would silently recompute the whole chain)
     ed = e.join(deg, "__s").persist()
+    nodes = nodes.persist()
     n = nodes.count()
     if n == 0:
         raise ValueError("empty graph")
@@ -100,7 +105,7 @@ def triangle_count(
     raw = edges.select(
         F.least(F.col(src_col), F.col(dst_col)).alias("a"),
         F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
-    ).filter(F.col("a") != F.col("b")).distinct()
+    ).filter(F.col("a") != F.col("b")).distinct().persist()
     deg = (
         raw.select(F.col("a").alias("node"))
         .unionByName(raw.select(F.col("b").alias("node")))
@@ -126,12 +131,20 @@ def triangle_count(
     closing = oriented.select(
         F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y")
     )
-    tri = wedges.join(closing, ["x", "y"], "inner")
-    n_nodes = deg.count()
-    n_edges = raw.count()
-    n_wedges = wedges.count()
-    n_tri = tri.count()
-    return oriented.sparkSession.createDataFrame(
+    # wedges feeds both the wedge count and the closing probe — the
+    # O(m^1.5) join must run ONCE (persist-any-dual-consumer rule)
+    wedges = wedges.persist()
+    try:
+        tri = wedges.join(closing, ["x", "y"], "inner")
+        n_nodes = deg.count()
+        n_edges = raw.count()
+        n_wedges = wedges.count()
+        n_tri = tri.count()
+    finally:
+        wedges.unpersist()
+        oriented.unpersist()
+        raw.unpersist()
+    return closing.sparkSession.createDataFrame(
         [(n_nodes, n_edges, n_wedges, n_tri)],
         "n_nodes bigint, n_edges bigint, n_wedges bigint,"
         " n_triangles bigint",

@@ -589,7 +589,9 @@ def fingerprint_audio(clips: DataFrame, id_col: str = "clip_id") -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = []
-            for cid, data in zip(b[id_col].values, b["bytes"].values):
+            # the select below renames id_col -> clip_id BEFORE this
+            # stage, so the batch column is always "clip_id"
+            for cid, data in zip(b["clip_id"].values, b["bytes"].values):
                 try:
                     _, samples = decode_audio(bytes(data))
                     rows.append(

@@ -925,7 +925,12 @@ def score_bigram_lm(
     1-row probe (never the model). Docs with < 2 tokens score 0.0 with
     n_bigrams = 0. The per-doc sum is an exact micro-integer (the
     6dp-rounded logps scaled by 1e6) — float summation order cannot
-    flip the 6th decimal between engines."""
+    flip the 6th decimal between engines.
+
+    The model persists here (one corpus-pass lineage serving the probe
+    plus two broadcast builds) and is deliberately left cached —
+    leak-until-evict, like every K-row model table in this codebase
+    (the score_unigram_lm precedent); Spark LRU-evicts it."""
     model = model.persist()
     g_row = (
         model.filter((F.col("w1") == OOV_TOKEN) & (F.col("w2") == OOV_TOKEN))

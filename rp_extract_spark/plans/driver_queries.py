@@ -10061,8 +10061,10 @@ def q_triangles(spark, sf):
     """Exact triangle count via the degree-orientation wedge join (the
     O(m^1.5) bound that survives skewed graphs; the closing-edge probe
     is ONE hash equi-join on the canonical pair — never an
-    OR-condition nested loop). ORACLED against the direct a<b<c
-    triple join, which is exactly equal on a simple graph."""
+    OR-condition nested loop). n_triangles is ORACLED against the
+    INDEPENDENT direct a<b<c triple join; n_wedges/n_nodes/n_edges
+    replay the orientation definitions (they describe the algorithm's
+    intermediate shape, not an independent ground truth)."""
     from ..operators.graph import triangle_count
 
     e = _graph_edges(spark, sf)
@@ -10086,9 +10088,12 @@ o AS (SELECT CASE WHEN da.dg < db.dg
               JOIN deg db ON db.node = ec.b),
 w AS (SELECT o1.u, o1.v AS x, o2.v AS y
       FROM o o1 JOIN o o2 ON o2.u = o1.u AND o1.v < o2.v),
-tri AS (SELECT count(*) AS c FROM w
-        JOIN (SELECT least(u, v) AS x, greatest(u, v) AS y FROM o) ce
-        USING (x, y))
+-- n_triangles from the INDEPENDENT direct a<b<c triple join (not a
+-- replay of the orientation algorithm): a shared algorithmic bug in
+-- the wedge path cannot produce a matching count here
+tri AS (SELECT count(*) AS c
+        FROM ec e1 JOIN ec e2 ON e2.a = e1.b
+                   JOIN ec e3 ON e3.a = e1.a AND e3.b = e2.b)
 SELECT (SELECT count(*) FROM deg) AS n_nodes,
        (SELECT count(*) FROM ec) AS n_edges,
        (SELECT count(*) FROM w) AS n_wedges,
@@ -10111,12 +10116,15 @@ def q_k_anonymity(spark, sf):
         (
             F.col("ts").cast("timestamp").cast("long") % 86400
         ).alias("__sec"),
-        "value",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("__v"),
     ).select(
         "event_type",
         F.expr("__sec div 3600").cast("int").alias("hour"),
+        # sign-split: a negative micro-value must never meet div
+        # (Spark div truncates, SQL // floors — they disagree below 0)
         F.expr(
-            "CAST(floor(value * 100 + 0.5) AS BIGINT) div 10000"
+            "CASE WHEN __v < 0 THEN -((-__v) div 10000)"
+            " ELSE __v div 10000 END"
         ).cast("int").alias("value_bucket"),
     )
     return k_anonymity(
@@ -10125,13 +10133,17 @@ def q_k_anonymity(spark, sf):
 
 
 ORACLE_K_ANONYMITY = """
-WITH q AS (
+WITH v0 AS (
   SELECT event_type,
          CAST((CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 3600
               AS INT) AS hour,
-         CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) // 10000
-              AS INT) AS value_bucket
-  FROM events)
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events),
+q AS (
+  SELECT event_type, hour,
+         CAST(CASE WHEN v < 0 THEN -((-v) // 10000)
+                   ELSE v // 10000 END AS INT) AS value_bucket
+  FROM v0)
 SELECT event_type, hour, value_bucket,
        CAST(count(*) AS BIGINT) AS n,
        CAST(CASE WHEN count(*) < 5 THEN 1 ELSE 0 END AS INT) AS at_risk

@@ -10413,6 +10413,33 @@ ORACLES["multi_signal_dedup"] = ORACLE_MULTI_SIGNAL
 # ---------------------------------------------------------------------------
 
 _PRIORITY: list[str] = [
+    # THIRD-SESSION wave (batches 26-38; final-round window refresh,
+    # newest-first rule): the 12 riskiest never-graded third-session
+    # operators — new families (web/url, graph, changepoint, range-
+    # frame attribution, audio fingerprint, matryoshka eval, composed
+    # curation, multi-signal components) take the hard signal.
+    # Demoted to make room (families still repped inside): photometric
+    # + border_crop + image_letterbox (image family keeps dedup x2 /
+    # gradients / equalize / decontaminate / entropy / curation),
+    # confusion_eval + calibration (eval keeps auc_roc + ndcg),
+    # int8_quantize (pq_trained/ivfpq carry compression), wordpiece
+    # (bpe_ids carries tokenizers), epoch_shuffle + jitter_moments +
+    # cutmix_pairs + batch_manifest (loader family keeps batch_pack /
+    # epoch_augment / mixup / rrc / loader_shards / shard_packing /
+    # repeat_factor), unigram_lm (bigram_lm composes the same
+    # micro-logp machinery at order 2).
+    "url_dedup",
+    "bigram_lm",
+    "gap_fill",
+    "audio_dedup",
+    "attribution",
+    "pagerank",
+    "triangles",
+    "cusum",
+    "dim_trunc",
+    "multi_signal_dedup",
+    "text_curation_v2",
+    "ndcg",
     # round-5 image-curation additions (ninth wave demoted
     # image_hashes / image_quality_gate / image_aspect_buckets — all
     # three are composed AND graded inside the window by
@@ -10428,16 +10455,12 @@ _PRIORITY: list[str] = [
     "image_decontaminate",
     "image_curation",
     "auc_roc",
-    "int8_quantize",
-    "wordpiece",
     "webdataset_roundtrip",
-    "epoch_shuffle",
     "audio_quality_gate",
     # round-5 third-wave additions (crossmodal gate, entropy signal,
     # letterbox transform, PMI phrase mining)
     "crossmodal_gate",
     "image_entropy",
-    "image_letterbox",
     "pmi_collocations",
     # round-5 fourth-wave additions (data-loader layer: normalization
     # constants, batch packing, epoch augmentation, mixup)
@@ -10447,11 +10470,8 @@ _PRIORITY: list[str] = [
     "mixup_pairs",
     # round-5 fifth-wave additions (batch manifest collation, pixel-
     # oracled RandomResizedCrop)
-    "batch_manifest",
     "rrc_crop",
     # round-5 sixth-wave additions (pair augmentations + loader shards)
-    "cutmix_pairs",
-    "jitter_moments",
     "loader_shards",
     "shard_packing",
     "repeat_factor",
@@ -10476,12 +10496,7 @@ _PRIORITY: list[str] = [
     "minhash_dedup_verified",
     "pca_project",
     "svm_classify",
-    "unigram_lm",
     # twelfth-batch additions (never graded, newest-first rule):
-    "photometric",
-    "border_crop",
-    "confusion_eval",
-    "calibration",
     "hll_distinct",
     # Eighth wave demotions (twelfth batch): minhash_dedup (green
     # driver grades in ALL of rounds 1-4 — the strongest

@@ -6,21 +6,30 @@ oracled name must also be a registered query."""
 from rp_extract_spark.plans.driver_queries import ORACLES, QUERIES, _PRIORITY
 
 HIGH_RISK = [
+    # third-session wave (final-round refresh — new families first)
+    "url_dedup",
+    "bigram_lm",
+    "gap_fill",
+    "audio_dedup",
+    "attribution",
+    "pagerank",
+    "triangles",
+    "cusum",
+    "dim_trunc",
+    "multi_signal_dedup",
+    "text_curation_v2",
+    "ndcg",
     "image_dedup",
     "image_dedup_verified",
     "image_curation",
     "auc_roc",
-    "int8_quantize",
-    "wordpiece",
     "webdataset_roundtrip",
-    "epoch_shuffle",
     "audio_quality_gate",
     "image_gradients",
     "image_equalize",
     "image_decontaminate",
     "crossmodal_gate",
     "image_entropy",
-    "image_letterbox",
     "pmi_collocations",
     "ivf_topk",
     "ivfpq_topk",
@@ -40,10 +49,7 @@ HIGH_RISK = [
     "batch_pack",
     "epoch_augment",
     "mixup_pairs",
-    "batch_manifest",
     "rrc_crop",
-    "cutmix_pairs",
-    "jitter_moments",
     "loader_shards",
     "shard_packing",
     "repeat_factor",

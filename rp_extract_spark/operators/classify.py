@@ -1002,3 +1002,50 @@ def clustering_agreement(
         "n bigint, t_pairs bigint, s_ab bigint, s_a bigint,"
         " s_b bigint, rand_u bigint",
     )
+
+
+def pair_prf(
+    df: DataFrame,
+    pred_col: str,
+    truth_col: str,
+    grain: int = 1_000_000,
+) -> DataFrame:
+    """Pair-level precision/recall/F1 of a predicted clustering against
+    ground-truth groups — THE dedup-quality metric (precision: how many
+    merged pairs are true dups; recall: how many true dup pairs were
+    found). Same exact pair COUNTING as clustering_agreement:
+
+        TP = sum C(n_ij, 2)     (contingency cells)
+        predicted positives  = sum C(n_pred, 2)
+        actual positives     = sum C(n_truth, 2)
+
+    precision_u = TP*grain div P, recall_u = TP*grain div A,
+    f1_u = 2*TP*grain div (P + A) — all integer, divisions deferred.
+    Returns one row: (n, tp, pred_pairs, true_pairs, precision_u,
+    recall_u, f1_u); empty positives give 0 (not NULL)."""
+    base = df.select(
+        F.col(pred_col).alias("__p"), F.col(truth_col).alias("__t")
+    ).filter(F.col("__p").isNotNull() & F.col("__t").isNotNull())
+    cells = base.groupBy("__p", "__t").agg(
+        F.count(F.lit(1)).alias("c")
+    ).persist()
+    c2 = F.expr("c * (c - 1) div 2")
+    try:
+        tp = cells.agg(F.sum(c2).alias("v")).first()["v"] or 0
+        mp = cells.groupBy("__p").agg(F.sum("c").alias("c"))
+        row_p = mp.agg(F.sum(c2).alias("v"), F.sum("c").alias("n")).first()
+        pp = row_p["v"] or 0
+        n = int(row_p["n"] or 0)
+        mt = cells.groupBy("__t").agg(F.sum("c").alias("c"))
+        ap = mt.agg(F.sum(c2).alias("v")).first()["v"] or 0
+    finally:
+        cells.unpersist()
+    tp, pp, ap = int(tp), int(pp), int(ap)
+    prec = (tp * grain) // pp if pp else 0
+    rec = (tp * grain) // ap if ap else 0
+    f1 = (2 * tp * grain) // (pp + ap) if (pp + ap) else 0
+    return df.sparkSession.createDataFrame(
+        [(n, tp, pp, ap, prec, rec, f1)],
+        "n bigint, tp bigint, pred_pairs bigint, true_pairs bigint,"
+        " precision_u bigint, recall_u bigint, f1_u bigint",
+    )

@@ -63,23 +63,27 @@ def pagerank_fixed(
         raise ValueError("empty graph")
     base = ((damp_den - damp_num) * (grain // n)) // damp_den
     r = nodes.select("node", F.lit(grain // n).alias("r"))
+    zero = nodes.select("node", F.lit(0).cast("long").alias("__c"))
     for _ in range(int(iters)):
-        contrib = (
-            ed.join(r, ed["__s"] == r["node"])
-            .select("__d", F.expr("r div __deg").alias("__c"))
-            .groupBy("__d")
-            .agg(F.sum("__c").alias("__in"))
+        contrib = ed.join(r, ed["__s"] == r["node"]).select(
+            F.col("__d").alias("node"), F.expr("r div __deg").alias("__c")
         )
-        r = nodes.join(
-            contrib, nodes["node"] == contrib["__d"], "left"
-        ).select(
-            "node",
-            (
-                F.lit(base)
-                + F.expr(
-                    f"{damp_num} * coalesce(__in, 0) div {damp_den}"
-                )
-            ).alias("r"),
+        # zero-in-degree nodes enter via the union of zeros — one hash
+        # agg on the node key replaces a separate agg + left join (one
+        # fewer exchange per iteration; iterative jobs pay a fixed
+        # barrier per round, so per-round stage count IS the scaling
+        # bound — measured in tools/bench_scaling_graph.py)
+        r = (
+            contrib.unionByName(zero)
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__in"))
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"{damp_num} * __in div {damp_den}")
+                ).alias("r"),
+            )
         )
     return r
 

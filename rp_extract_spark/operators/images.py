@@ -2360,3 +2360,67 @@ def best_of_burst(images: DataFrame, group_col: str = "burst_id") -> DataFrame:
         F.col("__b.n_interior").alias("n_interior"),
         "n_candidates",
     )
+
+
+META_AUDIT_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("decl_w", T.IntegerType(), True),
+        T.StructField("decl_h", T.IntegerType(), True),
+        T.StructField("real_w", T.IntegerType(), True),
+        T.StructField("real_h", T.IntegerType(), True),
+        T.StructField("meta_ok", T.IntegerType(), True),
+        T.StructField("err", T.StringType(), True),
+    ]
+)
+
+
+def audit_image_meta(images: DataFrame) -> DataFrame:
+    """Declared-vs-decoded metadata audit — the ingest check that
+    catches corrupted manifests and transcoding bugs (a model trained
+    on wrong aspect metadata letterboxes garbage). Decodes each image
+    and compares the catalog's (w, h) columns against the real pixel
+    dimensions; decode failures quarantine with meta_ok NULL (a row
+    that cannot decode is a different defect class than a lying
+    manifest). Arrow stage, embarrassingly parallel; only the verdict
+    columns leave it."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for iid, data, fmt, dw, dh in zip(
+                b["image_id"].values,
+                b["bytes"].values,
+                b["fmt"].values,
+                b["w"].values,
+                b["h"].values,
+            ):
+                dw = None if pd.isna(dw) else int(dw)
+                dh = None if pd.isna(dh) else int(dh)
+                try:
+                    px = to_gray(decode_image(bytes(data), fmt))
+                    rh, rw = int(px.shape[0]), int(px.shape[1])
+                    ok = int(dw == rw and dh == rh)
+                    rows.append(
+                        {
+                            "image_id": iid, "decl_w": dw, "decl_h": dh,
+                            "real_w": rw, "real_h": rh, "meta_ok": ok,
+                            "err": None,
+                        }
+                    )
+                except Exception as e:  # noqa: BLE001
+                    rows.append(
+                        {
+                            "image_id": iid, "decl_w": dw, "decl_h": dh,
+                            "real_w": None, "real_h": None,
+                            "meta_ok": None,
+                            "err": f"{type(e).__name__}: {e}",
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in META_AUDIT_SCHEMA.fields]
+            )
+
+    return images.select("image_id", "bytes", "fmt", "w", "h").mapInPandas(
+        run, META_AUDIT_SCHEMA
+    )

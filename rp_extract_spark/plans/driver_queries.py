@@ -10391,6 +10391,128 @@ QUERIES["multi_signal_dedup"] = q_multi_signal_dedup
 ORACLES["multi_signal_dedup"] = ORACLE_MULTI_SIGNAL
 
 
+def q_image_meta_audit(spark, sf):
+    """Declared-vs-decoded metadata audit, fully ORACLED: declared
+    dims are perturbed deterministically (every 5th width +8, every
+    7th height -4), one row's bytes are corrupted outright, and the
+    decode recovers the formula dims — so DuckDB predicts every
+    verdict (mismatch flags, quarantined NULLs) from arithmetic. The
+    error TEXT is engine-specific, so the compare carries a boolean
+    ``failed`` instead."""
+    from ..operators.images import audit_image_meta
+    from ..sources.images import formula_images_df
+
+    rid = F.regexp_extract("image_id", r"img(\d+)", 1).cast("int")
+    imgs = (
+        formula_images_df(spark, 12)
+        .withColumn(
+            "w",
+            F.when(rid % 5 == 0, F.col("w") + 8).otherwise(F.col("w")),
+        )
+        .withColumn(
+            "h",
+            F.when(rid % 7 == 0, F.col("h") - 4).otherwise(F.col("h")),
+        )
+        .withColumn(
+            "bytes",
+            F.when(rid == 11, F.lit(bytearray(b"not an image"))).otherwise(
+                F.col("bytes")
+            ),
+        )
+    )
+    out = audit_image_meta(imgs)
+    return out.select(
+        "image_id", "decl_w", "decl_h", "real_w", "real_h", "meta_ok",
+        F.col("err").isNotNull().cast("int").alias("failed"),
+    ).orderBy("image_id")
+
+
+ORACLE_IMAGE_META_AUDIT = """
+WITH ids AS (SELECT unnest(range(12)) AS i),
+""" + _SQL_FORMULA_DIMS + """
+SELECT printf('img%08d', i) AS image_id,
+       CAST(w + CASE WHEN i % 5 = 0 THEN 8 ELSE 0 END AS INT) AS decl_w,
+       CAST(h - CASE WHEN i % 7 = 0 THEN 4 ELSE 0 END AS INT) AS decl_h,
+       CASE WHEN i = 11 THEN NULL ELSE CAST(w AS INT) END AS real_w,
+       CASE WHEN i = 11 THEN NULL ELSE CAST(h AS INT) END AS real_h,
+       CASE WHEN i = 11 THEN NULL
+            WHEN i % 5 = 0 OR i % 7 = 0 THEN 0 ELSE 1 END AS meta_ok,
+       CAST(CASE WHEN i = 11 THEN 1 ELSE 0 END AS INT) AS failed
+FROM dims ORDER BY image_id
+"""
+
+QUERIES["image_meta_audit"] = q_image_meta_audit
+ORACLES["image_meta_audit"] = ORACLE_IMAGE_META_AUDIT
+
+
+def q_dedup_prf(spark, sf):
+    """Dedup quality vs GROUND TRUTH: pair-level precision/recall/F1
+    of the dHash Hamming dedup against the fixture's true groups
+    (i div 3), fully ORACLED — components replay via the recursive
+    CTE (the image_dedup machinery) and the P/R/F1 pair counting is
+    exact integer arithmetic with deferred divisions."""
+    from ..operators.classify import pair_prf
+    from ..operators.images import phash_dedup
+    from ..sources.images import near_dup_images_df
+
+    out = phash_dedup(
+        near_dup_images_df(spark, 18), hash_type="dhash", max_hamming=2
+    )
+    labeled = out.select(
+        F.col("rep_id").alias("pred"),
+        F.expr(
+            "'g' || CAST(CAST(substring(image_id, 4) AS BIGINT) div 3"
+            " AS STRING)"
+        ).alias("truth"),
+    )
+    return pair_prf(labeled, "pred", "truth")
+
+
+ORACLE_DEDUP_PRF = """
+WITH RECURSIVE """ + _SQL_NEAR_DUP_HASHES + """,
+bands AS (SELECT i, bnd.g AS band, substr(bits, 1 + 16*bnd.g, 16) AS val,
+                 bits
+          FROM hashes, (SELECT unnest(range(4)) AS g) bnd),
+pairs AS (SELECT DISTINCT a.i AS id_a, b.i AS id_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.val = b.val
+                                    AND b.i < a.i
+          WHERE bit_count(xor(a.bits::BIT, b.bits::BIT)) <= 2),
+sym AS (SELECT id_a AS s, id_b AS d FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach(a, r) AS (
+  SELECT i, i FROM (SELECT DISTINCT i FROM hashes)
+  UNION
+  SELECT sym.s, reach.r FROM sym JOIN reach ON reach.a = sym.d),
+comp AS (SELECT a AS i, min(r) AS rep FROM reach GROUP BY a),
+lab AS (SELECT rep AS p, i // 3 AS t FROM comp),
+cells AS (SELECT p, t, count(*) AS c FROM lab GROUP BY p, t),
+tp AS (SELECT coalesce(sum(c * (c - 1) // 2), 0) AS v FROM cells),
+mp AS (SELECT p, sum(c) AS c FROM cells GROUP BY p),
+pp AS (SELECT coalesce(sum(c * (c - 1) // 2), 0) AS v FROM mp),
+mt AS (SELECT t, sum(c) AS c FROM cells GROUP BY t),
+ap AS (SELECT coalesce(sum(c * (c - 1) // 2), 0) AS v FROM mt),
+nn AS (SELECT count(*) AS n FROM lab)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST((SELECT v FROM tp) AS BIGINT) AS tp,
+       CAST((SELECT v FROM pp) AS BIGINT) AS pred_pairs,
+       CAST((SELECT v FROM ap) AS BIGINT) AS true_pairs,
+       CAST(CASE WHEN (SELECT v FROM pp) = 0 THEN 0
+                 ELSE (SELECT v FROM tp) * 1000000 // (SELECT v FROM pp)
+            END AS BIGINT) AS precision_u,
+       CAST(CASE WHEN (SELECT v FROM ap) = 0 THEN 0
+                 ELSE (SELECT v FROM tp) * 1000000 // (SELECT v FROM ap)
+            END AS BIGINT) AS recall_u,
+       CAST(CASE WHEN (SELECT v FROM pp) + (SELECT v FROM ap) = 0 THEN 0
+                 ELSE 2 * (SELECT v FROM tp) * 1000000
+                      // ((SELECT v FROM pp) + (SELECT v FROM ap))
+            END AS BIGINT) AS f1_u
+FROM nn
+"""
+
+QUERIES["dedup_prf"] = q_dedup_prf
+ORACLES["dedup_prf"] = ORACLE_DEDUP_PRF
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #

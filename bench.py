@@ -259,6 +259,9 @@ RELATIONAL = [
     # multi-signal dedup)
     "dim_trunc",
     "multi_signal_dedup",
+    # round 5, thirty-ninth batch (metadata audit, dedup P/R vs truth)
+    "image_meta_audit",
+    "dedup_prf",
 ]
 
 

@@ -262,6 +262,9 @@ RELATIONAL = [
     # round 5, thirty-ninth batch (metadata audit, dedup P/R vs truth)
     "image_meta_audit",
     "dedup_prf",
+    # round 5, fortieth batch (series correlation, gap detection)
+    "series_corr",
+    "missing_buckets",
 ]
 
 

@@ -510,3 +510,109 @@ def cusum_changepoints(
         s.alias("s"),
         flagged.alias("flagged"),
     )
+
+
+def series_correlation(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str = "ts",
+    bucket_s: int = 86400,
+) -> DataFrame:
+    """Pearson correlation between every PAIR of per-group time-bucket
+    count series — the co-movement matrix (do error spikes follow
+    deploy events? does a source's volume track another's?). The
+    moment sums are exact integers over the COMMON bucket grid (a
+    bucket missing for a group counts 0 — the series are aligned, not
+    inner-joined); the final correlation is one fixed-order double
+    expression over those exact integers, so both engines compute the
+    IEEE-identical value (the corpus_pixel_stats rule), rounded at
+    1e-6. Returns one row per unordered pair (g_a < g_b):
+    (g_a, g_b, n_buckets, sum_a, sum_b, dot, corr)."""
+    te = F.col(ts_col).cast("timestamp").cast("long")
+    counts = (
+        df.select(F.col(group_col).alias("__g"), te.alias("__t"))
+        .filter(F.col("__t").isNotNull())
+        .groupBy("__g", F.expr(f"__t div {int(bucket_s)}").alias("__b"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    # align every group onto the common bucket grid with zeros
+    buckets = counts.select("__b").distinct()
+    groups = counts.select("__g").distinct()
+    grid = buckets.crossJoin(F.broadcast(groups))
+    aligned = grid.join(counts, ["__g", "__b"], "left").select(
+        "__g", "__b", F.coalesce("x", F.lit(0)).alias("x")
+    )
+    a = aligned.select(
+        F.col("__g").alias("g_a"), "__b", F.col("x").alias("xa")
+    )
+    b = aligned.select(
+        F.col("__g").alias("g_b"), "__b", F.col("x").alias("xb")
+    )
+    pairs = a.join(b, "__b").filter(F.col("g_a") < F.col("g_b"))
+    agg = pairs.groupBy("g_a", "g_b").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("xa").alias("sum_a"),
+        F.sum("xb").alias("sum_b"),
+        F.sum(F.col("xa") * F.col("xb")).alias("dot"),
+        F.sum(F.col("xa") * F.col("xa")).alias("__sqa"),
+        F.sum(F.col("xb") * F.col("xb")).alias("__sqb"),
+    )
+    # one fixed expression order over exact integers -> IEEE-identical.
+    # try_divide: a zero-variance series has denominator 0 and ANSI
+    # mode THROWS on plain division — NULL is the correct verdict
+    # (correlation with a constant is undefined)
+    corr = F.round(
+        F.try_divide(
+            (
+                F.col("n_buckets") * F.col("dot")
+                - F.col("sum_a") * F.col("sum_b")
+            ).cast("double"),
+            F.sqrt(
+                (
+                    F.col("n_buckets") * F.col("__sqa")
+                    - F.col("sum_a") * F.col("sum_a")
+                ).cast("double")
+                * (
+                    F.col("n_buckets") * F.col("__sqb")
+                    - F.col("sum_b") * F.col("sum_b")
+                ).cast("double")
+            ),
+        ),
+        6,
+    )
+    return agg.select(
+        "g_a", "g_b", "n_buckets", "sum_a", "sum_b", "dot",
+        corr.alias("corr"),
+    )
+
+
+def missing_buckets(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_s: int = 86400,
+) -> DataFrame:
+    """Per-entity gap detection on the time-bucket grid — the backfill
+    planner's input (an entity whose daily partitions skip three days
+    needs a reprocess, not silence). The expected grid spans each
+    entity's own [min, max] bucket; present buckets subtract via a
+    left anti join. Returns one row per MISSING (entity, bucket) —
+    grid explosion from per-entity bounds, no driver loop."""
+    te = F.col(ts_col).cast("timestamp").cast("long")
+    present = (
+        df.select(F.col(entity_col).alias("__e"), te.alias("__t"))
+        .filter(F.col("__t").isNotNull())
+        .select("__e", F.expr(f"__t div {int(bucket_s)}").alias("__b"))
+        .distinct()
+    )
+    bounds = present.groupBy("__e").agg(
+        F.min("__b").alias("__mn"), F.max("__b").alias("__mx")
+    )
+    grid = bounds.select(
+        "__e",
+        F.explode(F.sequence("__mn", "__mx")).alias("__b"),
+    )
+    missing = grid.join(present, ["__e", "__b"], "left_anti")
+    return missing.select(
+        F.col("__e").alias(entity_col), F.col("__b").alias("bucket")
+    )

@@ -10513,6 +10513,82 @@ QUERIES["dedup_prf"] = q_dedup_prf
 ORACLES["dedup_prf"] = ORACLE_DEDUP_PRF
 
 
+def q_series_corr(spark, sf):
+    """Pairwise Pearson correlation between per-type daily count
+    series on the common grid (zeros for absent buckets), fully
+    ORACLED: integer moment sums + ONE fixed-order double expression
+    (IEEE-identical cross-engine), rounded 1e-6."""
+    from ..operators.windows import series_correlation
+
+    e = _t(spark, sf, "events")
+    return series_correlation(e, group_col="event_type").orderBy(
+        "g_a", "g_b"
+    )
+
+
+ORACLE_SERIES_CORR = """
+WITH c AS (
+  SELECT event_type AS g,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS b,
+         count(*) AS x
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY g, CAST(floor(epoch(ts)) AS BIGINT) // 86400),
+grid AS (SELECT g, b FROM (SELECT DISTINCT g FROM c),
+                          (SELECT DISTINCT b FROM c)),
+al AS (SELECT grid.g, grid.b, coalesce(c.x, 0) AS x
+       FROM grid LEFT JOIN c ON c.g = grid.g AND c.b = grid.b),
+p AS (SELECT a.g AS g_a, bb.g AS g_b, a.x AS xa, bb.x AS xb
+      FROM al a JOIN al bb ON bb.b = a.b AND a.g < bb.g),
+m AS (SELECT g_a, g_b, count(*) AS n, sum(xa) AS sa, sum(xb) AS sb,
+             sum(xa * xb) AS dot, sum(xa * xa) AS qa,
+             sum(xb * xb) AS qb
+      FROM p GROUP BY g_a, g_b)
+SELECT g_a, g_b, CAST(n AS BIGINT) AS n_buckets,
+       CAST(sa AS BIGINT) AS sum_a, CAST(sb AS BIGINT) AS sum_b,
+       CAST(dot AS BIGINT) AS dot,
+       round(CASE WHEN (n * qa - sa * sa) * (n * qb - sb * sb) = 0
+                  THEN NULL
+                  ELSE CAST(n * dot - sa * sb AS DOUBLE)
+                       / sqrt(CAST(n * qa - sa * sa AS DOUBLE)
+                              * CAST(n * qb - sb * sb AS DOUBLE))
+             END, 6) AS corr
+FROM m ORDER BY g_a, g_b
+"""
+
+QUERIES["series_corr"] = q_series_corr
+ORACLES["series_corr"] = ORACLE_SERIES_CORR
+
+
+def q_missing_buckets(spark, sf):
+    """Per-user daily-bucket gap report (the backfill planner input):
+    expected grid from each entity's own [min, max], present buckets
+    removed by anti join. Fully ORACLED (range + EXCEPT)."""
+    from ..operators.windows import missing_buckets
+
+    e = _t(spark, sf, "events")
+    return missing_buckets(e, entity_col="user_id").orderBy(
+        "user_id", "bucket"
+    )
+
+
+ORACLE_MISSING_BUCKETS = """
+WITH present AS (
+  SELECT DISTINCT user_id AS e,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS b
+  FROM events WHERE ts IS NOT NULL),
+bounds AS (SELECT e, min(b) AS mn, max(b) AS mx FROM present GROUP BY e),
+grid AS (SELECT e, unnest(range(mn, mx + 1)) AS b FROM bounds)
+SELECT grid.e AS user_id, grid.b AS bucket
+FROM grid
+LEFT JOIN present ON present.e = grid.e AND present.b = grid.b
+WHERE present.e IS NULL
+ORDER BY user_id, bucket
+"""
+
+QUERIES["missing_buckets"] = q_missing_buckets
+ORACLES["missing_buckets"] = ORACLE_MISSING_BUCKETS
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #

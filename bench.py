@@ -265,6 +265,8 @@ RELATIONAL = [
     # round 5, fortieth batch (series correlation, gap detection)
     "series_corr",
     "missing_buckets",
+    # round 5, forty-first batch (golden-record survivorship)
+    "golden_record",
 ]
 
 

@@ -1438,3 +1438,47 @@ def multi_signal_dedup(
             F.coalesce(F.col("rep_id"), F.col(id_col)).alias("rep_id"),
         )
     )
+
+
+def golden_record(
+    df: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    best_of: "dict | None" = None,
+) -> DataFrame:
+    """Survivorship — the golden record per duplicate component: after
+    entity resolution the group needs ONE canonical row, assembled by
+    per-attribute rules rather than picking a whole winner (the
+    longest text may come from one copy, the earliest id from
+    another). ``labels`` is any (id, rep_id) component table
+    (multi_signal_dedup / hamming64_dedup / exact dedup);
+    ``best_of`` maps output attribute -> (source_col, rule) with rules
+    ``max`` / ``min`` / ``longest`` (max by (length, value) — the
+    value tiebreak keeps equal-length winners deterministic).
+
+    One groupBy on rep_id; attribute picks are struct-argmax
+    aggregates — no window, no second shuffle. Returns one row per
+    component: (rep_id, n_members, <attributes...>)."""
+    if not best_of:
+        raise ValueError("best_of must name at least one attribute rule")
+    j = df.join(labels.select(id_col, "rep_id"), id_col)
+    aggs = [F.count(F.lit(1)).alias("n_members")]
+    for out, (src, rule) in sorted(best_of.items()):
+        c = F.col(src)
+        if rule == "max":
+            aggs.append(F.max(c).alias(out))
+        elif rule == "min":
+            aggs.append(F.min(c).alias(out))
+        elif rule == "longest":
+            picked = F.max(
+                F.when(
+                    c.isNotNull(),
+                    F.struct(
+                        F.length(c).alias("l"), c.alias("v")
+                    ),
+                )
+            )
+            aggs.append(picked.getField("v").alias(out))
+        else:
+            raise ValueError(f"unknown survivorship rule: {rule}")
+    return j.groupBy("rep_id").agg(*aggs)

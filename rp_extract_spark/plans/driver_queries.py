@@ -10589,6 +10589,76 @@ QUERIES["missing_buckets"] = q_missing_buckets
 ORACLES["missing_buckets"] = ORACLE_MISSING_BUCKETS
 
 
+def q_golden_record(spark, sf):
+    """COMPOSED entity-resolution tail: multi-signal components (URL
+    OR fingerprint) -> per-component survivorship (earliest id,
+    longest text with the value tiebreak, max n_chars). Fully ORACLED:
+    components replay via the recursive CTE, the attribute picks as
+    plain aggregates over them — merging survivorship into the wrong
+    component set fails the compare."""
+    from ..operators.dedup import golden_record, multi_signal_dedup
+    from ..operators.text import fingerprint
+    from ..operators.web import canonical_url
+
+    d = _t(spark, sf, "documents")
+    sig = d.select(
+        "doc_id",
+        "text",
+        "n_chars",
+        canonical_url(_synth_url(F.col("doc_id"))).alias("curl"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+    labels = multi_signal_dedup(sig, signal_cols=("curl", "fp"))
+    out = golden_record(
+        sig,
+        labels,
+        best_of={
+            "first_id": ("doc_id", "min"),
+            "best_text": ("text", "longest"),
+            "max_chars": ("n_chars", "max"),
+        },
+    )
+    return out.select(
+        "rep_id", "n_members", "first_id", "max_chars", "best_text"
+    ).orderBy("rep_id")
+
+
+ORACLE_GOLDEN_RECORD = (
+    "WITH RECURSIVE " + _SQL_URL_CANON + r""",
+sig AS (
+  SELECT doc_id, 's0:' || canonical_url AS b FROM s7
+  UNION ALL
+  SELECT doc_id,
+         's1:' || md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+  FROM documents WHERE text IS NOT NULL),
+bmin AS (SELECT b, min(doc_id) AS m FROM sig GROUP BY b),
+e AS (SELECT sig.doc_id AS s, bmin.m AS d
+      FROM sig JOIN bmin USING (b) WHERE sig.doc_id <> bmin.m),
+sym AS (SELECT s, d FROM e UNION SELECT d, s FROM e),
+reach(a, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT sym.s, reach.r FROM sym JOIN reach ON reach.a = sym.d),
+comp AS (SELECT a AS doc_id, min(r) AS rep_id FROM reach GROUP BY a),
+j AS (SELECT comp.rep_id, d.doc_id, d.text, d.n_chars
+      FROM documents d JOIN comp USING (doc_id)),
+pick AS (
+  SELECT rep_id,
+         CAST(count(*) AS BIGINT) AS n_members,
+         min(doc_id) AS first_id,
+         CAST(max(n_chars) AS BIGINT) AS max_chars,
+         max(CASE WHEN text IS NOT NULL
+                  THEN struct_pack(l := len(text), v := text) END) AS bt
+  FROM j GROUP BY rep_id)
+SELECT rep_id, n_members, first_id, max_chars, bt.v AS best_text
+FROM pick ORDER BY rep_id
+"""
+)
+
+QUERIES["golden_record"] = q_golden_record
+ORACLES["golden_record"] = ORACLE_GOLDEN_RECORD
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #

@@ -271,11 +271,13 @@ def gap_fill(
     they agree only on non-negative numerators). Grid points covering
     an exact observation return it unchanged.
 
-    Scale path: ONE hash exchange on the entity key serves both
-    window passes (prev scan and next scan are in-partition re-sorts);
-    the union carries (entity, second, micro-value) triples only. The
-    grid explodes from per-entity (min, max) bounds — no driver loop,
-    no cross join.
+    Scale path (plan-audited, PLANS.md): three exchanges total — the
+    per-second pre-aggregation, the per-entity bounds aggregation
+    (tiny), and the union's entity clustering, which BOTH window
+    passes then share (prev and next scans are in-partition re-sorts
+    on the same exchange). The union carries (entity, second,
+    micro-value) triples only; the grid explodes from per-entity
+    (min, max) bounds — no driver loop, no cross join.
     """
     step = int(step_s)
     if step <= 0:

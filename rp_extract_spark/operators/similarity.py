@@ -1396,27 +1396,112 @@ def knn_label_spread(
     emitted (the hard_negatives grain-boundary rule; ranks and counts
     are margin-protected).
 
-    Scale shape: the unlabeled side is broadcast per serving batch
-    (the knn_join contract — corpus-sized relabeling routes through
-    the IVF/PQ candidates instead); per-query windows span k rows,
-    the vote groupBy spans <= distinct-label rows per query. Zero-norm
-    rows are excluded on both sides (the ANSI division rule). Returns
-    (id, pred_label, votes, n_neighbors)."""
-    q = unlabeled.select(
-        F.col(id_col).alias("__qid"),
-        F.col(vec_col).cast("array<double>").alias("__qv"),
-    ).filter(_norm(F.col("__qv")) > 0)
+    Scale shape: the unlabeled side rides the task closure per serving
+    batch (the knn_join contract — corpus-sized relabeling routes
+    through the IVF/PQ candidates instead); ONE Arrow-batched pass
+    over the labeled side computes the cosine matrix with BLAS and
+    emits each task's local top-k per query; the union of local
+    top-ks provably contains every global top-k set, and the global
+    rank window over that tiny candidate table reproduces the full
+    crossJoin ranking (any union row outside the true top-k has all k
+    true winners ranked above it). Float-cosine ranks rely on the
+    fixture-margin contract exactly as before (the oracle's DuckDB
+    cosine is already a third summation order). Per-query windows
+    then span k rows, the vote groupBy spans <= distinct-label rows
+    per query. Zero-norm rows are excluded on both sides (the ANSI
+    division rule). Returns (id, pred_label, votes, n_neighbors)."""
+    from .dedup import _spread_cpu_stage
+
+    q_rows = (
+        unlabeled.select(
+            F.col(id_col).alias("__qid"),
+            F.col(vec_col).cast("array<double>").alias("__qv"),
+        )
+        .filter(_norm(F.col("__qv")) > 0)
+        .collect()
+    )
+    id_type = labeled.schema[id_col].dataType
+    label_type = labeled.schema[label_col].dataType
+    spark = labeled.sparkSession
+    if not q_rows:
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField(id_col, id_type),
+                    T.StructField("pred_label", label_type),
+                    T.StructField("votes", T.LongType(), False),
+                    T.StructField("n_neighbors", T.LongType(), False),
+                ]
+            ),
+        )
+    dim = len(q_rows[0]["__qv"])
+    q_ids = np.array([r["__qid"] for r in q_rows], dtype=np.int64)
+    qm = np.array([r["__qv"] for r in q_rows], dtype=np.float64)
+    qn = np.sqrt((qm * qm).sum(axis=1))
+    kk = int(k)
+
+    cand_schema = T.StructType(
+        [
+            T.StructField("__qid", id_type),
+            T.StructField("__cid", id_type),
+            T.StructField("__cl", label_type),
+            T.StructField("__s", T.DoubleType()),
+        ]
+    )
+
+    def local_topk(batches):
+        import pandas as pd
+
+        cids: list[np.ndarray] = []
+        cls: list[np.ndarray] = []
+        cvs: list[np.ndarray] = []
+        for b in batches:
+            vals = b["__cv"].values
+            ok = np.array(
+                [v is not None and len(v) == dim for v in vals], dtype=bool
+            )
+            if not ok.any():
+                continue
+            cids.append(b["__cid"].values[ok].astype(np.int64))
+            cls.append(b["__cl"].values[ok])
+            cvs.append(
+                np.stack([np.asarray(v, dtype=np.float64) for v in vals[ok]])
+            )
+        if not cids:
+            return
+        cid = np.concatenate(cids)
+        cl = np.concatenate(cls)
+        cm = np.concatenate(cvs)
+        cn = np.sqrt((cm * cm).sum(axis=1))
+        d = (cm @ qm.T) / (cn[:, None] * qn[None, :])
+        sel_q, sel_c = [], []
+        for j in range(len(q_ids)):
+            order = np.lexsort((cid, -d[:, j]))[:kk]
+            sel_q.append(np.full(order.size, j, dtype=np.int64))
+            sel_c.append(order)
+        qi = np.concatenate(sel_q)
+        ci = np.concatenate(sel_c)
+        yield pd.DataFrame(
+            {
+                "__qid": q_ids[qi],
+                "__cid": cid[ci],
+                "__cl": cl[ci],
+                "__s": d[ci, qi],
+            }
+        )
+
     c = labeled.select(
         F.col(id_col).alias("__cid"),
         F.col(label_col).alias("__cl"),
         F.col(vec_col).cast("array<double>").alias("__cv"),
     ).filter(_norm(F.col("__cv")) > 0)
-    score = cosine_col(F.col("__cv"), F.col("__qv"))
     w = Window.partitionBy("__qid").orderBy(
-        score.desc(), F.col("__cid").asc()
+        F.col("__s").desc(), F.col("__cid").asc()
     )
     nn = (
-        c.crossJoin(F.broadcast(q))
+        _spread_cpu_stage(c)
+        .mapInPandas(local_topk, cand_schema)
         .withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") <= int(k))
     )
@@ -1481,32 +1566,110 @@ def dim_truncation_recall(
     SQL-replayable — raw float cosines at a rank cut carry boundary
     risk (the hard_negatives precedent). Self-matches excluded.
 
-    Scale path: queries broadcast (eval sets are bounded); the gallery
-    is scanned once per ranking with a per-query rank window. Returns
-    (q_id, n_overlap, k)."""
-    qv = F.transform(
-        F.col(vec_col), lambda x: F.floor(x * grain + F.lit(0.5)).cast("long")
-    )
-    q = queries.select(
-        F.col(id_col).alias("q_id"), qv.alias("__qv")
-    )
-    g = gallery.select(F.col(id_col).alias("g_id"), qv.alias("__gv"))
-    j = g.crossJoin(F.broadcast(q)).filter(F.col("g_id") != F.col("q_id"))
+    Scale path (round 6): the quantized query matrix rides the task
+    closure (eval sets are bounded — the same rows the old plan
+    broadcast); ONE Arrow-batched pass over the gallery computes all
+    dot products as a float64 GEMM — exact, because every product is
+    <= grain^2 = 1e12 and every partial sum <= dim*1e12 < 2^53, so
+    float64 arithmetic never rounds — and emits only each task's local
+    top-k per query per ranking. The union of local top-ks provably
+    contains both global top-k sets, and a global rank filter over a
+    candidate union is EXACT (any union row outside the true top-k has
+    all k true winners — union members — ranked above it), so the
+    window finish on the tiny candidate table reproduces the full
+    crossJoin ranking bit-for-bit. Replaces the old per-pair
+    interpreted HOF dot products (8M pairs x dim lambda evaluations at
+    sf1.0) with ~0.5 GFLOP of BLAS. Gallery rows with NULL/mismatched
+    vectors never rank (the old plan's NULL dots ordered last).
+    Returns (q_id, n_overlap, k)."""
+    from .dedup import _spread_cpu_stage
 
-    def _dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
+    spark = queries.sparkSession
+    id_type = queries.schema[id_col].dataType
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids_df = spark.createDataFrame(
+        [(r[0],) for r in q_rows],
+        T.StructType([T.StructField("q_id", id_type)]),
+    )
+    out_empty = q_ids_df.select(
+        "q_id",
+        F.lit(0).cast("int").alias("n_overlap"),
+        F.lit(int(k)).alias("k"),
+    )
+    valid = [
+        r for r in q_rows if r[1] is not None and len(r[1]) >= int(trunc_dims)
+    ]
+    if not valid:
+        return out_empty
+    dim = len(valid[0][1])
+    valid = [r for r in valid if len(r[1]) == dim]
+    q_ids = np.array([r[0] for r in valid], dtype=np.int64)
+    qm = np.floor(
+        np.array([r[1] for r in valid], dtype=np.float64) * grain + 0.5
+    )
+    qt = np.ascontiguousarray(qm[:, : int(trunc_dims)])
+    kk = int(k)
+
+    cand_schema = T.StructType(
+        [
+            T.StructField("q_id", id_type),
+            T.StructField("g_id", id_type),
+            T.StructField("__df", T.LongType()),
+            T.StructField("__dt", T.LongType()),
+        ]
+    )
+
+    def local_topk(batches):
+        import pandas as pd
+
+        gids: list[np.ndarray] = []
+        gvs: list[np.ndarray] = []
+        for b in batches:
+            vals = b[vec_col].values
+            ok = np.array(
+                [v is not None and len(v) == dim for v in vals], dtype=bool
+            )
+            if not ok.any():
+                continue
+            gids.append(b[id_col].values[ok].astype(np.int64))
+            gvs.append(
+                np.stack([np.asarray(v, dtype=np.float64) for v in vals[ok]])
+            )
+        if not gids:
+            return
+        gid = np.concatenate(gids)
+        gm = np.floor(np.concatenate(gvs) * grain + 0.5)
+        d_full = gm @ qm.T  # exact: see docstring
+        d_trunc = gm[:, : int(trunc_dims)] @ qt.T
+        sel_q, sel_g = [], []
+        for j in range(len(q_ids)):
+            mask = gid != q_ids[j]
+            rows = np.nonzero(mask)[0]
+            if rows.size == 0:
+                continue
+            for d in (d_full, d_trunc):
+                order = np.lexsort((gid[rows], -d[rows, j]))
+                sel = rows[order[:kk]]
+                sel_q.append(np.full(sel.size, j, dtype=np.int64))
+                sel_g.append(sel)
+        if not sel_q:
+            return
+        qi = np.concatenate(sel_q)
+        gi = np.concatenate(sel_g)
+        # dedup (a row can be local top-k in both rankings)
+        uniq = np.unique(qi * (gid.size + 1) + gi)
+        qi, gi = uniq // (gid.size + 1), uniq % (gid.size + 1)
+        yield pd.DataFrame(
+            {
+                "q_id": q_ids[qi],
+                "g_id": gid[gi],
+                "__df": d_full[gi, qi].astype(np.int64),
+                "__dt": d_trunc[gi, qi].astype(np.int64),
+            }
         )
 
-    full = _dot(F.col("__gv"), F.col("__qv"))
-    trunc = _dot(
-        F.slice(F.col("__gv"), 1, int(trunc_dims)),
-        F.slice(F.col("__qv"), 1, int(trunc_dims)),
-    )
-    scored = j.select(
-        "q_id", "g_id", full.alias("__df"), trunc.alias("__dt")
+    cand = _spread_cpu_stage(gallery.select(id_col, vec_col)).mapInPandas(
+        local_topk, cand_schema
     )
     wf = Window.partitionBy("q_id").orderBy(
         F.col("__df").desc(), F.col("g_id").asc()
@@ -1514,7 +1677,7 @@ def dim_truncation_recall(
     wt = Window.partitionBy("q_id").orderBy(
         F.col("__dt").desc(), F.col("g_id").asc()
     )
-    ranked = scored.select(
+    ranked = cand.select(
         "q_id",
         "g_id",
         F.row_number().over(wf).alias("__rf"),
@@ -1525,8 +1688,7 @@ def dim_truncation_recall(
     )
     counts = both.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_overlap"))
     return (
-        q.select("q_id")
-        .join(counts, "q_id", "left")
+        q_ids_df.join(counts, "q_id", "left")
         .select(
             "q_id",
             F.coalesce("n_overlap", F.lit(0)).cast("int").alias("n_overlap"),

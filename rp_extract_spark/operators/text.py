@@ -491,36 +491,47 @@ def pmi_collocations(
     double, so any IEEE engine reproduces it to ~1 ulp (six orders
     below the grain).
 
-    100-TB shape: tokenize + bigram expansion are JVM higher-order
-    functions (no Python); two hash aggregations (bigram counts,
-    unigram counts — both map-side combined); the two vocab joins
-    shuffle on the token key and broadcast under AQE at small scale.
+    100-TB shape (round 6): ONE tokenize + explode pass over the
+    corpus — each token emits a (w1, w2) struct where w2 is the next
+    token, or NULL for a document's last token — feeding ONE map-side-
+    combined hash aggregation into the vocabulary^2-bounded pair-count
+    table. Everything else derives from that small table: bigram
+    counts are the non-NULL-w2 rows, unigram counts are sum(c) per w1
+    (every token occurrence appears exactly once as w1), Nu = sum(c),
+    Nb = sum(c) over non-NULL w2. The old shape tokenized the corpus
+    twice and exploded it twice (bigrams + unigrams); the unigram
+    shuffle carried every token occurrence, now only vocab-sized
+    counts. The pair table is persisted — four consumers; it is
+    vocabulary^2-bounded, so the footprint is model-sized, not
+    corpus-sized (leak-until-evict, the documented persist trade).
     The corpus total rows (Nu, Nb) are 1-row aggregates joined by
     literal cross-join broadcast. Document text itself never joins or
     shuffles — only tokens and counts do.
     """
     ts = nonempty_tokens_col(F.col(text_col))
     n = F.size(ts)
-    bi = F.when(
-        n >= 2,
+    pairs = F.when(
+        n >= 1,
         F.transform(
-            F.sequence(F.lit(0), n - 2),
+            F.sequence(F.lit(0), n - 1),
             lambda i: F.struct(
                 F.element_at(ts, i + 1).alias("w1"),
-                F.element_at(ts, i + 2).alias("w2"),
+                F.when(i + 1 < n, F.element_at(ts, i + 2)).alias("w2"),
             ),
         ),
     )
-    bigrams = (
-        df.select(F.explode(bi).alias("b"))
+    base = (
+        df.select(F.explode(pairs).alias("b"))
         .select("b.w1", "b.w2")
         .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
     )
-    unigrams = (
-        df.select(F.explode(ts).alias("token"))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("c_tok"))
+    bigrams = base.filter(F.col("w2").isNotNull()).select(
+        "w1", "w2", F.col("c").alias("c_xy")
+    )
+    unigrams = base.groupBy("w1").agg(F.sum("c").alias("c_tok")).select(
+        F.col("w1").alias("token"), "c_tok"
     )
     nu = unigrams.agg(F.sum("c_tok").alias("__nu"))
     nb = bigrams.agg(F.sum("c_xy").alias("__nb"))

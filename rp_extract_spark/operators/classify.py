@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from .similarity import _dot
@@ -271,20 +272,32 @@ def train_logreg_ovr(
     margin-based linear classifier is the closest Spark-idiomatic,
     oracle-checkable substitute, trained jointly for every class).
 
-    Each iteration is ONE distributed aggregation: broadcast the
-    (n_classes x dim+1) weight table, compute residuals
-    sigmoid(w.x) - y executor-side, posexplode to (class, pos) and take
-    the mean-gradient; the tiny gradient table is collected and the
-    weights updated driver-side (the same collect-the-K-row-model
-    discipline as kmeans_fit, so plan depth stays constant across
-    iterations — no lineage bomb). Features are augmented with a
+    Each iteration is ONE distributed aggregation: the (n_classes x
+    dim+1) weight matrix rides the task closure, each task computes
+    residuals sigmoid(X.W^T) - Y and the partial gradient sum
+    R^T.X for its partition as two BLAS calls (round 6 — this replaces
+    a crossJoin + posexplode that materialized rows x classes x dims
+    exploded rows per iteration through interpreted HOF dot products),
+    and the tiny (class, pos, partial) table is summed and collected,
+    with the mean division applied driver-side (the same
+    collect-the-K-row-model discipline as kmeans_fit, so plan depth
+    stays constant across iterations — no lineage bomb). Summation
+    order changes at the float ulp level only — the oracle retrains in
+    DuckDB with its own order, so ranks/rounded outputs are
+    margin-protected exactly as before. Features are augmented with a
     constant-1 bias dimension. Returns (class_label, weights) with
     len(weights) == dim+1."""
+    import numpy as np
+    import pandas as pd
+
     spark = df.sparkSession
     v = F.concat(F.col(vec_col).cast("array<double>"), F.array(F.lit(1.0)))
-    pts = df.select(
-        F.col(label_col).cast("string").alias("__y"), v.alias("__v")
-    ).persist()
+    pts = (
+        df.select(F.col(label_col).cast("string").alias("__y"), v.alias("__v"))
+        .filter(F.col("__v").isNotNull())  # NULL vectors contributed
+        # nothing to the old avg-gradient either (avg skips NULLs)
+        .persist()
+    )
     try:
         first = pts.first()
         if first is None:
@@ -293,29 +306,46 @@ def train_logreg_ovr(
             )
         dim = len(first["__v"])
         classes = sorted(r["__y"] for r in pts.select("__y").distinct().collect())
-        weights = {c: [0.0] * dim for c in classes}
+        cindex = {c: i for i, c in enumerate(classes)}
+        n_total = pts.count()
+        weights = np.zeros((len(classes), dim))
+        eye = np.eye(len(classes))
         for _ in range(iters):
-            wdf = spark.createDataFrame(
-                [(c, weights[c]) for c in classes],
-                "class_label string, w array<double>",
-            )
-            scored = pts.crossJoin(F.broadcast(wdf)).withColumn(
-                "__r",
-                F.lit(1.0) / (F.lit(1.0) + F.exp(-_dot(F.col("__v"), F.col("w"))))
-                - F.when(F.col("__y") == F.col("class_label"), 1.0).otherwise(0.0),
-            )
+            wmat = weights.copy()
+
+            def partials(batches, W=wmat):
+                acc = np.zeros_like(W)
+                seen = False
+                for b in batches:
+                    x = np.stack(
+                        [np.asarray(r, dtype=np.float64) for r in b["__v"].values]
+                    )
+                    y = eye[[cindex[s] for s in b["__y"].values]]
+                    r = 1.0 / (1.0 + np.exp(-(x @ W.T))) - y
+                    acc += r.T @ x
+                    seen = True
+                if not seen:
+                    return
+                ci, pos = np.divmod(
+                    np.arange(acc.size, dtype=np.int64), acc.shape[1]
+                )
+                yield pd.DataFrame(
+                    {"ci": ci, "pos": pos, "s": acc.ravel()}
+                )
+
             grad = (
-                scored.select("class_label", "__r", F.posexplode("__v"))
-                .groupBy("class_label", "pos")
-                .agg(F.avg(F.col("__r") * F.col("col")).alias("g"))
+                pts.mapInPandas(partials, "ci int, pos int, s double")
+                .groupBy("ci", "pos")
+                .agg(F.sum("s").alias("g"))
                 .collect()
             )
             for r in grad:
-                weights[r["class_label"]][r["pos"]] -= lr * r["g"]
+                weights[r["ci"], r["pos"]] -= lr * (r["g"] / n_total)
     finally:
         pts.unpersist()
     return spark.createDataFrame(
-        [(c, weights[c]) for c in classes], "class_label string, weights array<double>"
+        [(c, [float(x) for x in weights[i]]) for i, c in enumerate(classes)],
+        "class_label string, weights array<double>",
     )
 
 
@@ -326,22 +356,54 @@ def predict_logreg(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Arg-max OvR score (w.x with the bias dimension appended), with
-    a deterministic class-label tiebreak. Scoring is a broadcast join
-    + JVM fold — one scan, no shuffle beyond the ranked window."""
-    v = F.concat(F.col(vec_col).cast("array<double>"), F.array(F.lit(1.0)))
-    joined = df.select(F.col(id_col), v.alias("__v")).crossJoin(F.broadcast(model))
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("__s").desc(), F.col("class_label").asc()
+    a deterministic class-label tiebreak. Round 6: the K-row model is
+    collected and scoring is one Arrow-batched BLAS pass per task —
+    one scan, ZERO shuffle (replaces the crossJoin x classes + HOF
+    fold + per-id rank window). The argmax replicates the old
+    (score DESC, class_label ASC) window exactly: classes are laid out
+    in ascending label order and np.argmax returns the first maximum,
+    so bit-equal score ties break to the smallest label."""
+    import numpy as np
+    import pandas as pd
+
+    rows = sorted(model.collect(), key=lambda r: r["class_label"])
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("predicted_label", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
     )
-    return (
-        joined.withColumn("__s", _dot(F.col("__v"), F.col("weights")))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(
-            id_col,
-            F.col("class_label").alias("predicted_label"),
-            F.col("__s").alias("score"),
-        )
+    spark = df.sparkSession
+    if not rows:
+        return spark.createDataFrame([], out_schema)
+    labels = np.array([r["class_label"] for r in rows])
+    wmat = np.array([r["weights"] for r in rows], dtype=np.float64)
+    dim = wmat.shape[1]
+
+    def score(batches):
+        for b in batches:
+            vals = b["__v"].values
+            ok = np.array(
+                [r is not None and len(r) == dim for r in vals], dtype=bool
+            )
+            if not ok.any():
+                continue
+            x = np.stack([np.asarray(r, dtype=np.float64) for r in vals[ok]])
+            s = x @ wmat.T
+            best = np.argmax(s, axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: b[id_col].values[ok],
+                    "predicted_label": labels[best],
+                    "score": s[np.arange(len(best)), best],
+                }
+            )
+
+    v = F.concat(F.col(vec_col).cast("array<double>"), F.array(F.lit(1.0)))
+    return df.select(F.col(id_col), v.alias("__v")).mapInPandas(
+        score, out_schema
     )
 
 

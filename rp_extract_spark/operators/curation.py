@@ -456,6 +456,49 @@ def ngram_col(text, n: int):
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _ngram_rows_py(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, gram-string) rows — per-document DISTINCT word n-grams,
+    built in one Arrow-batched pass. The gram strings are exactly
+    ``ngram_col``'s (shared tokenizer: Java ``\\s`` class split of
+    lower(trim-ASCII-space(text)), empties dropped, grams joined by a
+    single space), so joins against them are interchangeable with the
+    HOF construction; Python string joins replace the interpreted
+    slice+concat_ws lambda per position, which dominated
+    decontaminate_ngram's wall (round 6). Per-doc dedup is free here
+    and only shrinks the explode (membership joins are unaffected).
+    NULL text and docs shorter than ``n`` emit nothing, as before."""
+    import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType([df.schema[id_col], StructField("__g", StringType())])
+
+    def run(batches):
+        import re
+
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")  # Java \s, exactly
+        for b in batches:
+            ids_out: list = []
+            grams_out: list = []
+            for did, t in zip(b[id_col].values, b[text_col].values):
+                if t is None:
+                    continue
+                toks = [w for w in ws.split(t.lower().strip(" ")) if w]
+                if len(toks) < n:
+                    continue
+                seen = set()
+                for i in range(len(toks) - n + 1):
+                    g = " ".join(toks[i : i + n])
+                    if g not in seen:
+                        seen.add(g)
+                        ids_out.append(did)
+                        grams_out.append(g)
+            yield pd.DataFrame({id_col: ids_out, "__g": grams_out})
+
+    return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
 def decontaminate_ngram(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -472,14 +515,17 @@ def decontaminate_ngram(
     (benchmarks are tiny next to the corpus) and are BROADCAST twice:
     a left-semi join marks contaminated ids (the shuffle carries only
     ids), a left-anti join drops them. The corpus side streams through
-    explode without ever shuffling text."""
+    one Arrow-batched gram pass (``_ngram_rows_py`` — same gram
+    strings as the HOF construction, built with Python string joins
+    instead of a per-position interpreted lambda) without ever
+    shuffling text."""
     bgrams = (
-        benchmark.select(F.explode(ngram_col(F.col(text_col), n)).alias("__g"))
+        _ngram_rows_py(benchmark, text_col, id_col, n)
+        .select("__g")
         .distinct()
     )
     contaminated = (
-        corpus.select(F.col(id_col),
-                      F.explode(ngram_col(F.col(text_col), n)).alias("__g"))
+        _ngram_rows_py(corpus, text_col, id_col, n)
         .join(F.broadcast(bgrams), "__g", "left_semi")
         .select(id_col)
         .distinct()

@@ -762,6 +762,10 @@ def minhash_lsh_dedup(
         )
         .unionByName(star)
         .distinct()
+        # two consumers inside ngram_jaccard (candidate-id semi-join
+        # prune + the pair join) — regenerating candidates costs a
+        # window + self-join; bounded at O(n * cap) rows
+        .persist()
     )
     verified = ngram_jaccard(df, cand, text_col, id_col, n=jaccard_n).filter(
         F.col("jaccard") >= verify_jaccard
@@ -1050,7 +1054,12 @@ def ngram_jaccard(
     """Exact word-n-gram Jaccard for candidate pairs (id_a, id_b) —
     the verification stage after LSH candidate generation. JVM-side:
     ngrams via transform over token sequence, intersection/union via
-    array functions."""
+    array functions. Gram arrays are built ONLY for documents that
+    appear in a candidate pair (semi-join prune — round 6): the gram
+    HOF is the expensive step and candidates are a tiny fraction of
+    the corpus, so computing grams corpus-wide burned ~the whole
+    verify budget (33.9s of the 40.7s minhash_dedup_verified wall at
+    sf1.0 was corpus-wide gram construction for 2.6k pairs)."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     grams = F.array_distinct(
         F.transform(
@@ -1058,7 +1067,14 @@ def ngram_jaccard(
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         )
     )
-    g = df.select(F.col(id_col), grams.alias("grams"))
+    ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    g = df.join(ids, id_col, "left_semi").select(
+        F.col(id_col), grams.alias("grams")
+    )
     a = pairs.join(g.withColumnRenamed(id_col, "id_a"), "id_a").withColumnRenamed(
         "grams", "grams_a"
     )
@@ -1343,20 +1359,54 @@ def dedup_substrings(
     exchange. Only (id, pos, 16-byte md5 digest) rows shuffle to pick
     per-digest winners (min struct(id, pos)); loser occurrences explode
     to covered token positions; ONE id-keyed join back to the
-    one-row-per-doc table re-splits the text locally and filters kept
-    positions with JVM array ops. Adds ``out_col``, ``n_tokens``,
-    ``n_removed``."""
-    toks = F.split(F.col(text_col), " ")
-    ngrams = F.size(toks) - F.lit(n - 1)
-    digests = F.when(
-        ngrams > 0,
-        F.transform(
-            F.sequence(F.lit(0), ngrams - 1),
-            lambda p: F.md5(F.array_join(F.slice(toks, p + 1, n), " ")),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = df.select(
-        id_col, F.posexplode(digests).alias("pos", "__d")
+    one-row-per-doc table re-splits the text locally and drops removed
+    positions. Adds ``out_col``, ``n_tokens``, ``n_removed``.
+
+    Round 6: gram digests are built in one Arrow-batched pass (raw
+    16-byte md5 of the identical UTF-8 gram string — same grouping
+    equality as the old hex F.md5, half the shuffle bytes) instead of
+    an interpreted per-position slice+join+md5 lambda, and the digest
+    table is PERSISTED — it feeds both the winner aggregation and the
+    loser join, which previously re-ran the gram HOF (bounded at
+    (id, pos, 16B) per gram; leak-until-evict, the documented persist
+    trade). Reassembly moved to the same Arrow path: a per-row kept-
+    position set replaces the O(tokens x removals) array_contains
+    filter."""
+    import pandas as pd
+
+    gram_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("pos", T.IntegerType()),
+            T.StructField("__d", T.BinaryType()),
+        ]
+    )
+
+    def gram_rows(batches):
+        import hashlib
+
+        for b in batches:
+            ids: list = []
+            poss: list = []
+            ds: list = []
+            for did, t in zip(b[id_col].values, b[text_col].values):
+                if t is None:
+                    continue
+                tk = t.split(" ")
+                for p in range(len(tk) - (n - 1)):
+                    ids.append(did)
+                    poss.append(p)
+                    ds.append(
+                        hashlib.md5(
+                            " ".join(tk[p : p + n]).encode("utf-8")
+                        ).digest()
+                    )
+            yield pd.DataFrame({id_col: ids, "pos": poss, "__d": ds})
+
+    grams = (
+        _spread_cpu_stage(df.select(id_col, text_col))
+        .mapInPandas(gram_rows, gram_schema)
+        .persist()
     )
     # groupBy + join, NOT a window over the digest: a mega-duplicated
     # gram (boilerplate repeated 10^9 times) would buffer its whole
@@ -1389,14 +1439,45 @@ def dedup_substrings(
         F.sort_array(F.collect_set("tp")).alias("__rm")
     )
     joined = df.join(rm, id_col, "left")
-    rmset = F.coalesce(F.col("__rm"), F.array().cast("array<int>"))
-    kept = F.filter(toks, lambda t, i: ~F.array_contains(rmset, i))
-    return (
-        joined.withColumn(out_col, F.array_join(kept, " "))
-        .withColumn("n_tokens", F.size(toks))
-        .withColumn("n_removed", F.size(rmset))
-        .drop("__rm")
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField(out_col, T.StringType()),
+            T.StructField("n_tokens", T.IntegerType()),
+            T.StructField("n_removed", T.IntegerType()),
+        ]
     )
+    out_names = [f.name for f in out_schema.fields]
+
+    def reassemble(batches):
+        for b in batches:
+            clean: list = []
+            ntok: list = []
+            nrem: list = []
+            for t, rmv in zip(b[text_col].values, b["__rm"].values):
+                rset = set() if rmv is None else set(int(i) for i in rmv)
+                if t is None:
+                    clean.append(None)
+                    ntok.append(None)
+                    nrem.append(len(rset))
+                    continue
+                tk = t.split(" ")
+                clean.append(
+                    " ".join(
+                        w for i, w in enumerate(tk) if i not in rset
+                    )
+                    if rset
+                    else t
+                )
+                ntok.append(len(tk))
+                nrem.append(len(rset))
+            o = b.drop(columns=["__rm"])
+            o[out_col] = clean
+            o["n_tokens"] = ntok
+            o["n_removed"] = nrem
+            yield o[out_names]
+
+    return joined.mapInPandas(reassemble, out_schema)
 
 
 def multi_signal_dedup(

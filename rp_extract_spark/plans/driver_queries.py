@@ -3476,7 +3476,9 @@ def q_paragraph_dedup(spark, sf):
     )
     docs = d.filter(F.size(toks) > 0).select(
         "doc_id", F.concat_ws("\n", paras).alias("text")
-    )
+    ).persist()  # dedup_paragraphs scans its input twice (digest pass
+    # + reassembly join); without this the chunking HOF above runs
+    # twice — it dominated the query wall (round 6)
     out = dedup_paragraphs(docs, sep="\n")
     return out.select(
         "doc_id", "clean_text", "n_paras", "n_kept"

@@ -29,6 +29,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin a one-split scan across cores before a CPU-bound
+    Python stage — one parquet file is one task otherwise (the
+    _spread_cpu_stage lesson; round 6 applied it to the audio clip
+    synthesis stages, which ran single-core)."""
+    from ..operators.dedup import _spread_cpu_stage
+
+    return _spread_cpu_stage(df)
+
+
 # ---------------------------------------------------------------- aggs
 
 def q_pricing_summary(spark, sf):
@@ -1519,7 +1529,7 @@ def q_audio_roundtrip(spark, sf):
                 }
             )
 
-    clips = e.select("vec_id", "embedding").mapInPandas(
+    clips = _spread(e.select("vec_id", "embedding")).mapInPandas(
         gen, "clip_id string, bytes binary"
     )
     out = analyze_audio(clips)
@@ -3389,7 +3399,7 @@ def q_flac_decode(spark, sf):
                 }
             )
 
-    clips = e.select("vec_id", "embedding").mapInPandas(
+    clips = _spread(e.select("vec_id", "embedding")).mapInPandas(
         gen, "clip_id string, bytes binary"
     )
     out = analyze_audio(clips)
@@ -4769,7 +4779,7 @@ def q_audio_quality_gate(spark, sf):
                 blobs.append(encode_wav(a, 8000, samplewidth=4))
             yield pd.DataFrame({"clip_id": ids, "bytes": blobs})
 
-    clips = e.select("vec_id", "embedding").mapInPandas(
+    clips = _spread(e.select("vec_id", "embedding")).mapInPandas(
         gen, "clip_id string, bytes binary"
     )
     g = quality_gate_audio(clips)
@@ -9133,7 +9143,7 @@ def q_audio_dedup(spark, sf):
                 blobs.append(encode_wav(p, 8000, samplewidth=4))
             yield pd.DataFrame({"clip_id": ids, "bytes": blobs})
 
-    clips = e.select("vec_id", "embedding").mapInPandas(
+    clips = _spread(e.select("vec_id", "embedding")).mapInPandas(
         gen, "clip_id string, bytes binary"
     )
     out = audio_dedup(clips, max_hamming=2)

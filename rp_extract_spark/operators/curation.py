@@ -905,7 +905,12 @@ def train_bpe(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(_wrap_chars(F.col("w")).alias("sym"), "cnt")
+        # vocabulary-sized; every training pass reads it twice (pair
+        # window + linking 3-grams) — unpersisted, each pass re-ran
+        # the corpus-scale explode (round 6)
+        .persist()
     )
+    base_words = words
     merges: list = []
     passes = 0
     since_ckpt = 0
@@ -975,6 +980,7 @@ def train_bpe(
         if since_ckpt >= checkpoint_every and len(merges) < n_merges:
             words = words.localCheckpoint(eager=True)
             since_ckpt = 0
+    base_words.unpersist()  # every collect above has materialized
     if _stats is not None:
         _stats["passes"] = passes
         _stats["merges"] = len(merges)
@@ -989,7 +995,7 @@ def apply_bpe(
     merges: DataFrame,
     text_col: str = "text",
     out_col: str = "bpe_tokens",
-    chained_max: int = 64,
+    chained_max: int = 0,
 ) -> DataFrame:
     """Tokenize the corpus with a learned merge list. Adds ``out_col``
     (array<string>) and ``n_{out_col}``.
@@ -1001,12 +1007,16 @@ def apply_bpe(
       JVM replace on the symbol string — no Python in the data path,
       but plan depth grows linearly with the merge count (whole-stage
       codegen / expression-tree limits bite around a few hundred).
-    - larger merge lists (a production 30k-merge vocabulary): one
+    - otherwise (the DEFAULT since round 6 — chained_max=0): one
       Arrow-batched ``mapInPandas`` stage applying the same literal
       replaces per UNIQUE word with a per-batch memo — constant plan
       depth regardless of vocabulary size, merge list shipped once per
-      task via the closure. The Python tokenizer mirrors the JVM one
-      exactly (Java ``\\s`` class, trim of ASCII spaces only).
+      task via the closure; the per-unique-word memo makes a Zipf
+      corpus nearly free, where the chained JVM path re-derives every
+      token occurrence through interpreted char-split + replace
+      expressions (measured 12.1s vs ~2s at sf1.0 with 3 merges).
+      The Python tokenizer mirrors the JVM one exactly (Java ``\\s``
+      class, trim of ASCII spaces only).
 
     The merge list is a model table (tiny), collected and inlined."""
     from .text import nonempty_tokens_col
@@ -1120,7 +1130,9 @@ def _apply_bpe_arrow(
             )
             yield pdf
 
-    return df.mapInPandas(run, out_schema)
+    from .dedup import _spread_cpu_stage
+
+    return _spread_cpu_stage(df).mapInPandas(run, out_schema)
 
 
 def bpe_vocab(df: DataFrame, merges: DataFrame,
@@ -1132,8 +1144,13 @@ def bpe_vocab(df: DataFrame, merges: DataFrame,
     exploded characters, collected driver-side like every K-row model."""
     from .text import nonempty_tokens_col
 
+    # distinct WORDS first (map-side-combined, vocabulary-sized), then
+    # explode characters of the tiny word set — the chars of distinct
+    # words are exactly the chars of all words, and the per-character
+    # corpus explode was ~5x the row volume for nothing (round 6)
     chars = (
         df.select(F.explode(nonempty_tokens_col(F.col(text_col))).alias("w"))
+        .distinct()
         .select(F.explode(F.split(F.translate("w", _S, ""), "")).alias("sym"))
         .filter(F.col("sym") != "")
         .distinct()
@@ -1167,36 +1184,43 @@ def apply_bpe_ids(
     out_col: str = "token_ids",
 ) -> DataFrame:
     """Tokenize to integer ids — what a training pipeline actually
-    feeds the model: ``apply_bpe`` then a broadcast vocab join,
-    reassembled per document in token order. Unknown symbols (a vocab
-    from a different corpus) map to -1 rather than dropping silently.
-    Adds ``out_col`` (array<int>) and ``n_{out_col}``. NULL text
-    propagates as NULL ids/count (matching ``apply_bpe``'s NULL
-    ``bpe_tokens``); an EMPTY-but-present document gets ``[]``/0."""
+    feeds the model: ``apply_bpe`` then a per-token lookup against the
+    vocab inlined as a MAP LITERAL (the vocab is model-table sized —
+    the same collect-and-inline discipline as the merge list), applied
+    with one array transform. Round 6: this replaces a
+    posexplode + broadcast join + collect_list/array_sort reassembly
+    that shuffled every token occurrence just to map token -> id.
+    Unknown symbols (a vocab from a different corpus) map to -1 rather
+    than dropping silently. Adds ``out_col`` (array<int>) and
+    ``n_{out_col}``. NULL text propagates as NULL ids/count (matching
+    ``apply_bpe``'s NULL ``bpe_tokens``); an EMPTY-but-present
+    document gets ``[]``/0."""
     if vocab is None:
         vocab = bpe_vocab(df, merges, text_col)
+    vrows = vocab.collect()
     enc = apply_bpe(df, merges, text_col)
-    ex = enc.select(
-        F.col(id_col), F.posexplode("bpe_tokens").alias("pos", "token")
-    )
-    ids = (
-        ex.join(F.broadcast(vocab), "token", "left")
-        .groupBy(id_col)
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "token_id"))),
-                lambda s: F.coalesce(s["token_id"], F.lit(-1)),
-            ).alias(out_col)
+    if vrows:
+        vmap = F.create_map(
+            *[
+                F.lit(x)
+                for r in vrows
+                for x in (r["token"], int(r["token_id"]))
+            ]
         )
-    )
-    keep = F.when(
-        F.col(text_col).isNull(), F.lit(None).cast("array<int>")
-    ).otherwise(F.coalesce(F.col(out_col), F.array().cast("array<int>")))
+        ids_col = F.transform(
+            F.col("bpe_tokens"),
+            lambda t: F.coalesce(
+                F.try_element_at(vmap, t), F.lit(-1)
+            ).cast("int"),
+        )
+    else:
+        ids_col = F.transform(
+            F.col("bpe_tokens"), lambda t: F.lit(-1).cast("int")
+        )
     return (
-        enc.drop("bpe_tokens", "n_bpe_tokens")
-        .join(ids, id_col, "left")
-        .withColumn(out_col, keep)
+        enc.withColumn(out_col, ids_col)
         .withColumn(f"n_{out_col}", F.size(out_col))
+        .drop("bpe_tokens", "n_bpe_tokens")
     )
 
 

@@ -326,7 +326,9 @@ def test_apply_bpe_arrow_matches_chained(spark):
          ("d3", "   "),
          ("d4", "")],
         "doc_id string, text string")
-    chained = apply_bpe(probe, merges).orderBy("doc_id").collect()
+    chained = apply_bpe(
+        probe, merges, chained_max=64
+    ).orderBy("doc_id").collect()
     arrow = apply_bpe(probe, merges, chained_max=0).orderBy("doc_id").collect()
     assert [(r.doc_id, r.bpe_tokens, r.n_bpe_tokens) for r in chained] == \
            [(r.doc_id, r.bpe_tokens, r.n_bpe_tokens) for r in arrow]

@@ -2101,15 +2101,14 @@ def wordpiece_apply(
     WHOLE word into ``unk`` (never a partial emission). Completes the
     tokenizer family next to the BPE train/apply/id surfaces.
 
-    Scale shape: the word split happens JVM-side via the shared
-    tokenizer (posexplode — split parity with every oracle), then ONE
-    Arrow-batched per-word stage applies the max-munch loop (pure
-    Python per word, the apply_bpe >64-merge precedent; the
-    config-sized vocab rides the task closure as a set + max-length
-    bound). No shuffle. Returns relational rows
-    (id, wpos, pos, piece)."""
-    from .text import nonempty_tokens_col
-
+    Scale shape (round 6): ONE Arrow-batched stage — documents cross
+    the Python boundary whole (one row per doc instead of one per
+    token), the word split uses the exact Java-``\\s``-class replica
+    shared with the apply_bpe Arrow path (split parity with every
+    oracle), the max-munch loop runs once per UNIQUE word via a
+    per-task memo (Zipf corpora re-encode almost nothing), and the
+    output is assembled column-wise. No shuffle, no posexplode.
+    Returns relational rows (id, wpos, pos, piece)."""
     if not vocab:
         raise ValueError("vocab must be non-empty")
     if any(p.startswith("##") and len(p) == 2 for p in vocab):
@@ -2117,11 +2116,6 @@ def wordpiece_apply(
     vset = frozenset(vocab)
     max_len = max(
         len(p) - 2 if p.startswith("##") else len(p) for p in vocab
-    )
-    words = df.select(
-        F.col(id_col),
-        F.posexplode(nonempty_tokens_col(F.col(text_col)))
-        .alias("wpos", "__w"),
     )
     id_type = df.schema[id_col].dataType
     import pandas as pd
@@ -2156,25 +2150,51 @@ def wordpiece_apply(
         return pieces
 
     def run(batches):
+        import re
+
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")  # Java \s, exactly
+        memo: dict = {}
+
+        def enc_memo(w):
+            got = memo.get(w)
+            if got is None:
+                got = encode(w)
+                memo[w] = got
+            return got
+
         for b in batches:
-            rows = []
-            for did, wpos, w in zip(
-                b[id_col].values, b["wpos"].values, b["__w"].values
-            ):
-                for pos, piece in enumerate(encode(str(w))):
-                    rows.append(
-                        {
-                            id_col: did,
-                            "wpos": int(wpos),
-                            "pos": pos,
-                            "piece": piece,
-                        }
-                    )
+            ids: list = []
+            wposs: list = []
+            poss: list = []
+            pieces: list = []
+            for did, t in zip(b[id_col].values, b[text_col].values):
+                if t is None:
+                    continue
+                # Spark trim() strips ASCII spaces only — not \t/\n
+                wpos = 0
+                for w in ws.split(t.lower().strip(" ")):
+                    if not w:
+                        continue
+                    for pos, piece in enumerate(enc_memo(w)):
+                        ids.append(did)
+                        wposs.append(wpos)
+                        poss.append(pos)
+                        pieces.append(piece)
+                    wpos += 1
             yield pd.DataFrame(
-                rows, columns=[f.name for f in out_schema.fields]
+                {
+                    id_col: ids,
+                    "wpos": wposs,
+                    "pos": poss,
+                    "piece": pieces,
+                }
             )
 
-    return words.mapInPandas(run, out_schema)
+    from .dedup import _spread_cpu_stage
+
+    return _spread_cpu_stage(df.select(id_col, text_col)).mapInPandas(
+        run, out_schema
+    )
 
 
 def winsorize(

@@ -189,60 +189,105 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Gopher-style repetition signals, all JVM array ops (one
-    projection, shuffle-free):
+    """Gopher-style repetition signals (one projection, shuffle-free):
 
     - ``dup_token_frac``: 1 - distinct_tokens/tokens;
     - ``dup_line_frac``: 1 - distinct_nonblank_lines/nonblank_lines;
     - ``top_2gram_share``: share of the most frequent word 2-gram among
-      all 2-grams (sorted-adjacent run-length via one HOF aggregate —
-      no per-row explode/groupBy)."""
-    t = F.col(text_col)
-    toks = nonempty_tokens_col(t)
-    n = F.size(toks)
+      all 2-grams.
+
+    Round 6: the six COUNTS (tokens, distinct tokens, non-blank lines,
+    distinct lines, best 2-gram run, 2-gram total) come from one
+    Arrow-batched pass — exact integers from the shared-tokenizer
+    replica (Java ``\\s`` split of lower/ASCII-space-trim, Spark-trim
+    ``strip(' ')`` for lines) with set/Counter reductions, replacing
+    the per-element interpreted HOF aggregate over sorted gram arrays.
+    The fractions and their rounding are STILL the original Spark
+    expressions over those integers, so every emitted value is
+    bit-identical to the old plan (int/int division and F.round happen
+    in the same engine as before). NULL text yields NULL counts, and
+    NULL propagates through the expressions exactly as the old NULL
+    arrays did."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("__rs_n", T.IntegerType()),
+            T.StructField("__rs_nd", T.IntegerType()),
+            T.StructField("__rs_nl", T.IntegerType()),
+            T.StructField("__rs_nld", T.IntegerType()),
+            T.StructField("__rs_best", T.IntegerType()),
+            T.StructField("__rs_ng", T.IntegerType()),
+        ]
+    )
+    names = [f.name for f in out_schema.fields]
+
+    def counts(batches):
+        import re
+        from collections import Counter
+
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")  # Java \s, exactly
+        for b in batches:
+            n_l: list = []
+            nd_l: list = []
+            nl_l: list = []
+            nld_l: list = []
+            best_l: list = []
+            ng_l: list = []
+            for t in b[text_col].values:
+                if t is None:
+                    n_l.append(None)
+                    nd_l.append(None)
+                    nl_l.append(None)
+                    nld_l.append(None)
+                    best_l.append(None)
+                    ng_l.append(None)
+                    continue
+                toks = [w for w in ws.split(t.lower().strip(" ")) if w]
+                lines = [x for x in (s.strip(" ") for s in t.split("\n")) if x]
+                n_l.append(len(toks))
+                nd_l.append(len(set(toks)))
+                nl_l.append(len(lines))
+                nld_l.append(len(set(lines)))
+                if len(toks) >= 2:
+                    c = Counter(zip(toks, toks[1:]))
+                    best_l.append(max(c.values()))
+                    ng_l.append(len(toks) - 1)
+                else:
+                    best_l.append(0)
+                    ng_l.append(0)
+            o = b.copy()
+            o["__rs_n"] = pd.Series(n_l, index=b.index, dtype="object")
+            o["__rs_nd"] = pd.Series(nd_l, index=b.index, dtype="object")
+            o["__rs_nl"] = pd.Series(nl_l, index=b.index, dtype="object")
+            o["__rs_nld"] = pd.Series(nld_l, index=b.index, dtype="object")
+            o["__rs_best"] = pd.Series(best_l, index=b.index, dtype="object")
+            o["__rs_ng"] = pd.Series(ng_l, index=b.index, dtype="object")
+            yield o[names]
+
+    from .dedup import _spread_cpu_stage
+
+    with_counts = _spread_cpu_stage(df).mapInPandas(counts, out_schema)
+    n = F.col("__rs_n")
+    nl = F.col("__rs_nl")
     dup_token_frac = F.when(n == 0, F.lit(0.0)).otherwise(
-        F.round(1 - F.size(F.array_distinct(toks)) / n, 6)
+        F.round(1 - F.col("__rs_nd") / n, 6)
     )
-    lines = F.filter(
-        F.transform(F.split(t, "\n"), lambda x: F.trim(x)),
-        lambda x: x != "",
+    dup_line_frac = F.when(nl == 0, F.lit(0.0)).otherwise(
+        F.round(1 - F.col("__rs_nld") / nl, 6)
     )
-    n_lines = F.size(lines)
-    dup_line_frac = F.when(n_lines == 0, F.lit(0.0)).otherwise(
-        F.round(1 - F.size(F.array_distinct(lines)) / n_lines, 6)
+    top_share = F.round(
+        F.col("__rs_best") / F.greatest(F.col("__rs_ng"), F.lit(1)), 6
     )
-    grams = F.when(
-        n >= 2,
-        F.zip_with(
-            F.slice(toks, 1, n - 1),
-            F.slice(toks, 2, n - 1),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    sorted_g = F.array_sort(grams)
-    best_run = F.aggregate(
-        sorted_g,
-        F.struct(
-            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
-        ),
-        lambda a, x: F.struct(
-            x.alias("prev"),
-            F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1)).alias("run"),
-            F.greatest(
-                a["best"],
-                F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1)),
-            ).alias("best"),
-        ),
-        lambda a: a["best"],
-    )
-    top_share = F.round(best_run / F.greatest(F.size(grams), F.lit(1)), 6)
-    return df.withColumns(
+    return with_counts.withColumns(
         {
             "dup_token_frac": dup_token_frac,
             "dup_line_frac": dup_line_frac,
             "top_2gram_share": top_share,
         }
-    )
+    ).drop("__rs_n", "__rs_nd", "__rs_nl", "__rs_nld", "__rs_best", "__rs_ng")
 
 
 def _term_tf(toks: Column, term: str) -> Column:

@@ -108,18 +108,109 @@ def fingerprint(text: Column) -> Column:
 
 
 def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Full text-analysis battery. Round 6: the integer counts (raw
+    and non-empty token counts, BPE-ish units, punctuation chars,
+    stopword hits) plus the two deterministic strings (lang_guess,
+    md5 fingerprint) come from ONE Arrow-batched pass — the old
+    expression tree re-tokenized the text and re-scanned the stopword
+    arrays once per derived column through interpreted HOF lambdas.
+    Every float ratio and its rounding is STILL the original Spark
+    expression over those exact integers (int/int division, same
+    association order), so emitted values are bit-identical, and NULL
+    text propagates NULL through them exactly as before (lang_guess
+    stays 'und' for NULL — the old when-chain's behavior)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
     t = F.col(text_col)
-    return df.withColumns(
-        {
-            "n_tokens": token_count(t),
-            "n_tokens_bpe": bpe_ish_token_count(t),
-            "punct_ratio": F.round(punct_ratio(t), 6),
-            "stopword_ratio": F.round(stopword_ratio(t), 6),
-            "lang_guess": lang_id(t),
-            "quality": quality_score(t),
-            "fingerprint": fingerprint(t),
-        }
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("n_tokens", T.IntegerType()),
+            T.StructField("n_tokens_bpe", T.LongType()),
+            T.StructField("lang_guess", T.StringType()),
+            T.StructField("fingerprint", T.StringType()),
+            T.StructField("__ad_npq", T.IntegerType()),
+            T.StructField("__ad_hits", T.IntegerType()),
+            T.StructField("__ad_nraw", T.IntegerType()),
+        ]
     )
+    names = [f.name for f in out_schema.fields]
+    sw_sets = {lang: frozenset(ws) for lang, ws in STOPWORDS.items()}
+    langs = list(STOPWORDS)
+    bpe_punct = set(".,;:!?()[]")
+    ratio_punct = set(".,;:!?()[]\"'")
+
+    def counts(batches):
+        import hashlib
+        import re
+
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")  # Java \s, exactly
+        for b in batches:
+            cols: dict[str, list] = {
+                "n_tokens": [], "n_tokens_bpe": [], "lang_guess": [],
+                "fingerprint": [], "__ad_npq": [], "__ad_hits": [],
+                "__ad_nraw": [],
+            }
+            for txt in b[text_col].values:
+                if txt is None:
+                    cols["n_tokens"].append(None)
+                    cols["n_tokens_bpe"].append(None)
+                    cols["lang_guess"].append("und")
+                    cols["fingerprint"].append(None)
+                    cols["__ad_npq"].append(None)
+                    cols["__ad_hits"].append(None)
+                    cols["__ad_nraw"].append(None)
+                    continue
+                s0 = txt.strip(" ")  # Spark trim: ASCII spaces only
+                toks = ws.split(s0.lower())  # raw split, empties kept
+                cols["__ad_nraw"].append(len(toks))
+                cols["n_tokens"].append(0 if not s0 else len(toks))
+                n_bpe_p = sum(1 for c in txt if c in bpe_punct)
+                cols["n_tokens_bpe"].append(
+                    sum((len(w) + 3) // 4 for w in toks) + n_bpe_p
+                )
+                cols["__ad_npq"].append(
+                    sum(1 for c in txt if c in ratio_punct)
+                )
+                best, best_lang = 0, "und"
+                hits_en = 0
+                for lang in langs:
+                    sw = sw_sets[lang]
+                    h = sum(1 for w in toks if w in sw)
+                    if lang == "en":
+                        hits_en = h
+                    if h > best:  # earlier languages win ties
+                        best, best_lang = h, lang
+                cols["__ad_hits"].append(hits_en)
+                cols["lang_guess"].append(best_lang)
+                cols["fingerprint"].append(
+                    hashlib.md5(
+                        ws.sub(" ", s0.lower()).encode("utf-8")
+                    ).hexdigest()
+                )
+            o = b.copy()
+            for k, v in cols.items():
+                o[k] = pd.Series(v, index=b.index, dtype="object")
+            yield o[names]
+
+    from .dedup import _spread_cpu_stage
+
+    base = _spread_cpu_stage(df).mapInPandas(counts, out_schema)
+    stop = F.col("__ad_hits") / F.greatest(F.col("__ad_nraw"), F.lit(1))
+    punct = F.col("__ad_npq") / F.greatest(F.length(t), F.lit(1))
+    len_score = F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0))
+    stop_score = F.least(stop * 5.0, F.lit(1.0))
+    punct_pen = F.when(punct > 0.1, 0.5).otherwise(1.0)
+    return base.withColumns(
+        {
+            "punct_ratio": F.round(punct, 6),
+            "stopword_ratio": F.round(stop, 6),
+            "quality": F.round(
+                (0.5 * len_score + 0.5 * stop_score) * punct_pen, 6
+            ),
+        }
+    ).drop("__ad_npq", "__ad_hits", "__ad_nraw")
 
 
 # corpus-curation pattern scans (URLs / emails / digit share) — all

@@ -70,24 +70,59 @@ def predict_centroids(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Nearest-centroid prediction: broadcast the K-row model, rank by
-    squared distance with a deterministic label tiebreak."""
-    joined = df.select(
+    """Nearest-centroid prediction. Round 6: the K-row model is
+    collected and the squared distances computed per Arrow batch with
+    numpy (replacing the crossJoin x K + interpreted HOF distance +
+    per-id rank window — zero shuffle now). The argmin replicates the
+    old (__d ASC, centroid_label ASC) window exactly: centroids are
+    laid out in ascending label order and np.argmin returns the first
+    minimum, so bit-equal distances break to the smallest label;
+    near-tie robustness across summation orders is the same
+    fixture-margin contract the DuckDB oracles already rely on."""
+    import numpy as np
+    import pandas as pd
+
+    rows = sorted(centroids.collect(), key=lambda r: r["centroid_label"])
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("predicted_label", T.StringType()),
+            T.StructField("distance", T.DoubleType()),
+        ]
+    )
+    spark = df.sparkSession
+    if not rows:
+        return spark.createDataFrame([], out_schema)
+    labels = np.array([r["centroid_label"] for r in rows])
+    cmat = np.array([r["centroid"] for r in rows], dtype=np.float64)
+    dim = cmat.shape[1]
+
+    def assign(batches):
+        for b in batches:
+            vals = b["__v"].values
+            ok = np.array(
+                [v is not None and len(v) == dim for v in vals], dtype=bool
+            )
+            if not ok.any():
+                continue
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in vals[ok]])
+            d2 = np.empty((x.shape[0], cmat.shape[0]))
+            for i in range(cmat.shape[0]):
+                diff = x - cmat[i]
+                d2[:, i] = (diff * diff).sum(axis=1)
+            best = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: b[id_col].values[ok],
+                    "predicted_label": labels[best],
+                    "distance": np.sqrt(d2[np.arange(len(best)), best]),
+                }
+            )
+
+    return df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
-    ).crossJoin(F.broadcast(centroids))
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("__d").asc(), F.col("centroid_label").asc()
-    )
-    return (
-        joined.withColumn("__d", _sq_dist(F.col("__v"), F.col("centroid")))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(
-            id_col,
-            F.col("centroid_label").alias("predicted_label"),
-            F.sqrt("__d").alias("distance"),
-        )
-    )
+    ).mapInPandas(assign, out_schema)
 
 
 def fit_vector_scaler(df: DataFrame, vec_col: str = "embedding") -> DataFrame:

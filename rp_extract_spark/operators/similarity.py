@@ -125,32 +125,103 @@ def knn_join(
     k: int = 5,
     metric: str = "cosine",
 ) -> DataFrame:
-    """For each query row, its k nearest corpus rows. The query side is
-    broadcast (assumed small); per-query top-k via ranked window."""
-    q = queries.select(
+    """For each query row, its k nearest corpus rows. The query side
+    rides the task closure (assumed small — eval/anchor batches).
+
+    Round 6: one Arrow-batched pass over the corpus computes the score
+    matrix with BLAS and emits each task's local top-k per query; the
+    global rank window runs on that tiny candidate union, which
+    provably reproduces the full crossJoin ranking (every true top-k
+    row is a local top-k row of its task, and any union row outside
+    the true top-k has all k true winners ranked above it). Float
+    scores shift at the ulp level vs the old interpreted HOF sum
+    order — the same fixture-margin contract the DuckDB oracles
+    already rely on. Corpus rows with NULL/mismatched vectors never
+    rank (the old NULL scores ordered last)."""
+    import pandas as pd
+
+    asc = metric != "cosine"
+    q_rows = queries.select(
         F.col(query_id), F.col(vec_col).cast("array<double>").alias("__qv")
+    ).collect()
+    valid = [r for r in q_rows if r["__qv"] is not None]
+    qid_type = queries.schema[query_id].dataType
+    cid_type = corpus.schema[corpus_id].dataType
+    cand_schema = T.StructType(
+        [
+            T.StructField(query_id, qid_type),
+            T.StructField(corpus_id, cid_type),
+            T.StructField("score", T.DoubleType()),
+        ]
     )
+    spark = queries.sparkSession
+    if not valid:
+        return spark.createDataFrame([], cand_schema).withColumn(
+            "rank", F.lit(1)
+        ).filter(F.lit(False))
+    dim = len(valid[0]["__qv"])
+    valid = [r for r in valid if len(r["__qv"]) == dim]
+    q_ids = [r[query_id] for r in valid]
+    qm = np.array([r["__qv"] for r in valid], dtype=np.float64)
+    qn = np.sqrt((qm * qm).sum(axis=1))
+    kk = int(k)
+
+    def local_topk(batches):
+        cids: list[np.ndarray] = []
+        cvs: list[np.ndarray] = []
+        for b in batches:
+            vals = b["__cv"].values
+            ok = np.array(
+                [v is not None and len(v) == dim for v in vals], dtype=bool
+            )
+            if not ok.any():
+                continue
+            cids.append(b[corpus_id].values[ok])
+            cvs.append(
+                np.stack([np.asarray(v, dtype=np.float64) for v in vals[ok]])
+            )
+        if not cids:
+            return
+        cid = np.concatenate(cids)
+        cm = np.concatenate(cvs)
+        if metric == "cosine":
+            cn = np.sqrt((cm * cm).sum(axis=1))
+            d = (cm @ qm.T) / (cn[:, None] * qn[None, :])
+        else:
+            d = np.empty((cm.shape[0], qm.shape[0]))
+            for j in range(qm.shape[0]):
+                diff = cm - qm[j]
+                d[:, j] = np.sqrt((diff * diff).sum(axis=1))
+        sel_q, sel_c = [], []
+        for j in range(len(q_ids)):
+            key = d[:, j] if asc else -d[:, j]
+            order = np.lexsort((cid, key))[:kk]
+            sel_q.append(np.full(order.size, j, dtype=np.int64))
+            sel_c.append(order)
+        qi = np.concatenate(sel_q)
+        ci = np.concatenate(sel_c)
+        yield pd.DataFrame(
+            {
+                query_id: [q_ids[i] for i in qi],
+                corpus_id: cid[ci],
+                "score": d[ci, qi],
+            }
+        )
+
+    from .dedup import _spread_cpu_stage
+
     c = corpus.select(
         F.col(corpus_id), F.col(vec_col).cast("array<double>").alias("__cv")
     )
-    joined = c.crossJoin(F.broadcast(q))
-    if metric == "cosine":
-        score = cosine_col(F.col("__cv"), F.col("__qv"))
-        order = [F.col("score").desc(), F.col(corpus_id).asc()]
-    else:
-        score = F.sqrt(
-            F.aggregate(
-                F.zip_with("__cv", "__qv", lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, d: acc + d,
-            )
-        )
-        order = [F.col("score").asc(), F.col(corpus_id).asc()]
+    cand = _spread_cpu_stage(c).mapInPandas(local_topk, cand_schema)
+    order = (
+        [F.col("score").asc(), F.col(corpus_id).asc()]
+        if asc
+        else [F.col("score").desc(), F.col(corpus_id).asc()]
+    )
     w = Window.partitionBy(query_id).orderBy(*order)
-    return (
-        joined.select(query_id, corpus_id, score.alias("score"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    return cand.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
     )
 
 

@@ -2407,7 +2407,9 @@ def q_svm_classify(spark, sf):
     from ..sources.sklearn_models import classify_vectors, load_reference_model
 
     model = load_reference_model(_GTZAN_BASENAME)
-    docs = _t(spark, sf, "documents").select("doc_id")
+    # one parquet file = one split: spread so the 228-dim feature
+    # synthesis + Arrow scoring stage runs on every core (round 6)
+    docs = _spread(_t(spark, sf, "documents").select("doc_id"))
     j = F.sequence(F.lit(0), F.lit(227))
     feat = docs.withColumn(
         "features",

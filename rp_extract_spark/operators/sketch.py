@@ -38,11 +38,26 @@ def count_min_sketch(
     weight_col: str | None = None,
 ) -> DataFrame:
     """Build the sketch: (depth, bucket, cnt) with at most
-    depth x width rows. One row-local explode (depth cells per input
-    row) and one aggregate — a single shuffle whose payload is the
-    grid, never the keys."""
+    depth x width rows. Keys are pre-reduced to (key, total weight)
+    first (map-side-combined — the shuffle carries distinct keys, not
+    occurrences), so the ``depth`` md5 cells are computed once per
+    DISTINCT key instead of once per occurrence (round 6 — 4 md5
+    calls x every token occurrence dominated the wall on Zipf
+    corpora; integer weight sums are exact, so the grid is
+    bit-identical). The grid aggregate itself stays the only
+    grid-payload shuffle."""
     w = (F.col(weight_col).cast("long") if weight_col
          else F.lit(1).cast("long"))
+    if df.isStreaming:
+        # Structured Streaming forbids chained aggregations — keep the
+        # single-agg per-occurrence shape there (grids stay identical)
+        reduced = df.select(F.col(key_col), w.alias("__w"))
+    else:
+        reduced = (
+            df.select(F.col(key_col), w.alias("__w"))
+            .groupBy(key_col)
+            .agg(F.sum("__w").alias("__w"))
+        )
     cells = F.array(*[
         F.struct(
             F.lit(j).alias("d"),
@@ -51,7 +66,7 @@ def count_min_sketch(
         for j in range(depth)
     ])
     return (
-        df.select(F.explode(cells).alias("c"), w.alias("__w"))
+        reduced.select(F.explode(cells).alias("c"), F.col("__w"))
         .groupBy(F.col("c.d").alias("depth"), F.col("c.b").alias("bucket"))
         .agg(F.sum("__w").alias("cnt"))
     )

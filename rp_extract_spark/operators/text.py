@@ -268,15 +268,66 @@ PII_PATTERNS: "list[tuple[str, str, str]]" = [
 def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Replace URLs / emails / IPv4s / phone-like digit runs with typed
     placeholder tokens; adds ``n_<kind>`` match counts and
-    ``text_redacted``. The whole pass is stateless JVM regexp (one
-    projection, no shuffle) — at corpus scale it fuses into the scan."""
-    cols: "dict[str, Column]" = {}
-    cur = F.col(text_col)
-    for kind, pat, token in PII_PATTERNS:
-        cols[f"n_{kind}"] = F.regexp_count(cur, F.lit(pat)).cast("int")
-        cur = F.regexp_replace(cur, pat, token)
-    cols["text_redacted"] = cur
-    return df.withColumns(cols)
+    ``text_redacted``. Round 6: one stateless Arrow pass using
+    ``re.subn`` — count and replacement in ONE scan per kind (the JVM
+    expression tree ran regexp_count + regexp_replace separately, 8
+    regex passes per document). The patterns are restricted to the
+    engine-portable subset (plain classes, no lookaround/backrefs —
+    the existing Java<->RE2 oracle contract), on which Python's
+    backtracking leftmost-first semantics match Java's exactly; the
+    one engine-specific class, Java ``\\s`` inside the URL negation,
+    is spelled out byte-for-byte. NULL text yields NULL counts and
+    NULL redacted text, as before."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    # Java \s is [ \t\n\x0b\f\r]; Python \s is wider — substitute the
+    # explicit class so the URL pattern matches identically
+    py_patterns = [
+        (kind, pat.replace(r"[^\s\x0b]", "[^ \t\n\x0b\f\r]"), token)
+        for kind, pat, token in PII_PATTERNS
+    ]
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField(f"n_{kind}", T.IntegerType())
+            for kind, _, _ in PII_PATTERNS
+        ]
+        + [T.StructField("text_redacted", T.StringType())]
+    )
+    names = [f.name for f in out_schema.fields]
+
+    def redact(batches):
+        import re
+
+        compiled = [
+            (kind, re.compile(pat), token) for kind, pat, token in py_patterns
+        ]
+        for b in batches:
+            counts: dict[str, list] = {kind: [] for kind, _, _ in compiled}
+            redacted: list = []
+            for t in b[text_col].values:
+                if t is None:
+                    for kind, _, _ in compiled:
+                        counts[kind].append(None)
+                    redacted.append(None)
+                    continue
+                cur = t
+                for kind, rx, token in compiled:
+                    cur, n = rx.subn(token, cur)
+                    counts[kind].append(n)
+                redacted.append(cur)
+            o = b.copy()
+            for kind, _, _ in compiled:
+                o[f"n_{kind}"] = pd.Series(
+                    counts[kind], index=b.index, dtype="object"
+                )
+            o["text_redacted"] = redacted
+            yield o[names]
+
+    from .dedup import _spread_cpu_stage
+
+    return _spread_cpu_stage(df).mapInPandas(redact, out_schema)
 
 
 def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -568,37 +619,62 @@ def hash_embed(
     normalize. Bridges the text battery to the embedding stack
     (similarity/ANN/dedup operators consume the output directly).
 
-    Scale path: explode tokens -> hash-aggregate (id, bucket) counts
-    (map-side combinable, the shuffle carries (id, bucket, count) —
-    never text) -> per-id map -> O(dim) vector assembly. md5 is
-    computed once per token, and the md5-prefix idiom is the one whose
-    DuckDB parity the sketch oracles already prove. (A shuffle-free
-    HOF-accumulate variant was 10x slower: it rebuilt a dim-wide array
-    per token.)"""
-    toks = nonempty_tokens_col(F.col(text_col))
-    hidx = F.transform(
-        toks,
-        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10)
-        .cast("long") % dim,
+    Scale path (round 6): the bucketing is per-document row-local, so
+    the whole count vector is built in ONE Arrow-batched pass — md5
+    computed once per distinct token via a per-task memo (the md5-
+    prefix value is bit-identical to the JVM conv(substr(md5)) idiom
+    whose DuckDB parity the sketch oracles prove) — replacing the
+    per-occurrence md5 HOF + token explode + two hash aggregations
+    (nothing ever needed to shuffle). The L2 norm and rounding remain
+    the ORIGINAL Spark expressions over the exact integer counts, so
+    every emitted value is bit-identical. Empty and NULL documents
+    yield zero vectors, as before."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cnt_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("__cnts", T.ArrayType(T.LongType()), False),
+        ]
     )
-    # explode_outer keeps empty docs as one null-bucket row, so they
-    # survive to the output as zero vectors without a re-join
-    ex = df.select(F.col(id_col), F.explode_outer(hidx).alias("__j"))
-    cnts = ex.groupBy(id_col, "__j").agg(F.count(F.lit(1)).alias("__c"))
-    vecs = cnts.groupBy(id_col).agg(
-        F.map_from_entries(
-            F.collect_list(
-                F.when(F.col("__j").isNotNull(),
-                       F.struct(F.col("__j"), F.col("__c")))
-            )
-        ).alias("__m")
+
+    def bucket_counts(batches):
+        import hashlib
+        import re
+
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")  # Java \s, exactly
+        memo: dict = {}
+
+        def bidx(tok):
+            got = memo.get(tok)
+            if got is None:
+                got = (
+                    int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:8], 16)
+                    % dim
+                )
+                memo[tok] = got
+            return got
+
+        for b in batches:
+            ids: list = []
+            cnts: list = []
+            for did, t in zip(b[id_col].values, b[text_col].values):
+                c = [0] * dim
+                if t is not None:
+                    for w in ws.split(t.lower().strip(" ")):
+                        if w:
+                            c[bidx(w)] += 1
+                ids.append(did)
+                cnts.append(c)
+            yield pd.DataFrame({id_col: ids, "__cnts": cnts})
+
+    from .dedup import _spread_cpu_stage
+
+    vecs = _spread_cpu_stage(df.select(id_col, text_col)).mapInPandas(
+        bucket_counts, cnt_schema
     )
-    v = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda j: F.coalesce(
-            F.element_at(F.col("__m"), j.cast("long")), F.lit(0)
-        ).cast("double"),
-    )
+    v = F.transform(F.col("__cnts"), lambda x: x.cast("double"))
     norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
     emb = F.when(norm > 0, F.transform(v, lambda x: F.round(x / norm, 6))).otherwise(
         F.transform(v, lambda x: F.lit(0.0))
@@ -896,16 +972,29 @@ def vocab_coverage(
     n_tokens, n_oov, coverage_u)."""
     from pyspark.sql.window import Window
 
-    toks = df.select(
-        F.explode(nonempty_tokens_col(F.col(text_col))).alias("__w")
+    # one corpus pass reduces occurrences to the vocabulary-sized
+    # (token, count) table (map-side combined); PERSISTED — it feeds
+    # both the totals aggregate and the OOV top-N, which previously
+    # re-scanned and re-exploded the corpus (round 6; the ADVICE.md
+    # dual-consumer finding)
+    tc = (
+        df.select(
+            F.explode(nonempty_tokens_col(F.col(text_col))).alias("__w")
+        )
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
     )
     v = vocab.select(
         F.col(token_col).alias("__w")
     ).distinct().withColumn("__in", F.lit(1))
-    j = toks.join(F.broadcast(v), "__w", "left")
+    j = tc.join(F.broadcast(v), "__w", "left")
     tot = j.agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.coalesce(F.sum("__in"), F.lit(0)).cast("long").alias("__hits"),
+        F.coalesce(F.sum("n"), F.lit(0)).alias("n_tokens"),
+        F.coalesce(
+            F.sum(F.when(F.col("__in") == 1, F.col("n")).otherwise(0)),
+            F.lit(0),
+        ).cast("long").alias("__hits"),
     ).select(
         "n_tokens",
         (F.col("n_tokens") - F.col("__hits")).alias("n_oov"),
@@ -915,8 +1004,7 @@ def vocab_coverage(
     )
     oov = (
         j.filter(F.col("__in").isNull())
-        .groupBy("__w")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .select("__w", "n")
         .orderBy(F.col("n").desc(), F.col("__w").asc())
         .limit(int(top_n))
     )

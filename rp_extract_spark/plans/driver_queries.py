@@ -8259,7 +8259,8 @@ def q_fuzzy_match(spark, sf):
     d = _t(spark, sf, "documents")
     vocab = d.select(
         F.explode(nonempty_tokens_col(F.col("text"))).alias("w")
-    ).distinct()
+    ).distinct().persist()  # vocabulary-sized; feeds both join sides —
+    # unpersisted, the corpus explode+distinct ran twice (round 6)
     p = (
         F.conv(F.substring(F.md5(F.concat(F.col("w"), F.lit(":fz"))),
                            1, 1), 16, 10).cast("int")
@@ -10621,7 +10622,8 @@ def q_golden_record(spark, sf):
         "n_chars",
         canonical_url(_synth_url(F.col("doc_id"))).alias("curl"),
         fingerprint(F.col("text")).alias("fp"),
-    )
+    ).persist()  # two consumers (component build + survivorship);
+    # unpersisted, the URL-regex + md5 projection ran twice (round 6)
     labels = multi_signal_dedup(sig, signal_cols=("curl", "fp"))
     out = golden_record(
         sig,

@@ -130,6 +130,34 @@ class _BitWriter:
         return bytes(self.out)
 
 
+def _pack_scan_bits(codes: "list[int]", lens: "list[int]") -> bytes:
+    """MSB-first bit packing of (code, length) symbol pairs with
+    trailing-1 padding to a byte boundary and 0xFF byte stuffing —
+    byte-identical to streaming the pairs through ``_BitWriter`` and
+    flushing, but vectorized (one bit-expansion + np.packbits instead
+    of a Python loop per symbol)."""
+    if not codes:
+        return b""
+    c = np.asarray(codes, dtype=np.int64)
+    ln = np.asarray(lens, dtype=np.int64)
+    total = int(ln.sum())
+    pad = (-total) % 8
+    if pad:
+        c = np.append(c, (1 << pad) - 1)
+        ln = np.append(ln, pad)
+        total += pad
+    offs = np.cumsum(ln) - ln
+    rep_c = np.repeat(c, ln)
+    idx = np.arange(total, dtype=np.int64) - np.repeat(offs, ln)
+    shift = np.repeat(ln, ln) - 1 - idx
+    bits = ((rep_c >> shift) & 1).astype(np.uint8)
+    by = np.packbits(bits)
+    ff = np.flatnonzero(by == 0xFF)
+    if ff.size:
+        by = np.insert(by, ff + 1, 0)
+    return by.tobytes()
+
+
 def _category(v: int) -> int:
     return int(v).bit_length() if v > 0 else int(-v).bit_length()
 
@@ -161,7 +189,13 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 95) -> bytes:
     quant = np.round(coef / q).astype(np.int32)
     zz = quant.reshape(-1, 64)[:, _ZZ]  # row-major block order
 
-    bw = _BitWriter()
+    # collect (code, length) symbol pairs, then pack the whole scan in
+    # one vectorized pass (round 6: the per-symbol _BitWriter.write
+    # loop dominated encode time; _pack_scan_bits produces the
+    # identical byte stream — same MSB-first order, same 1-padding,
+    # same 0xFF byte stuffing)
+    codes: list[int] = []
+    lens: list[int] = []
     prev_dc = 0
     for blk in zz:
         dc = int(blk[0])
@@ -169,9 +203,11 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 95) -> bytes:
         prev_dc = dc
         s = _category(diff)
         code, length = _DC_CODES[s]
-        bw.write(code, length)
+        codes.append(code)
+        lens.append(length)
         if s:
-            bw.write(_amplitude(diff, s), s)
+            codes.append(_amplitude(diff, s))
+            lens.append(s)
         run = 0
         last_nz = np.flatnonzero(blk[1:])
         end = (last_nz[-1] + 1) if last_nz.size else 0
@@ -182,17 +218,21 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 95) -> bytes:
                 continue
             while run > 15:
                 code, length = _AC_CODES[0xF0]  # ZRL
-                bw.write(code, length)
+                codes.append(code)
+                lens.append(length)
                 run -= 16
             s = _category(v)
             code, length = _AC_CODES[(run << 4) | s]
-            bw.write(code, length)
-            bw.write(_amplitude(v, s), s)
+            codes.append(code)
+            lens.append(length)
+            codes.append(_amplitude(v, s))
+            lens.append(s)
             run = 0
         if end < 63:
             code, length = _AC_CODES[0x00]  # EOB
-            bw.write(code, length)
-    scan = bw.flush()
+            codes.append(code)
+            lens.append(length)
+    scan = _pack_scan_bits(codes, lens)
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")

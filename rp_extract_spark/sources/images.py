@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import hashlib
 from collections.abc import Iterator
+from functools import lru_cache
 
 import numpy as np
 import pandas as pd
@@ -126,22 +127,39 @@ def _entity_of(i: int, n_ent: int, hot_entity_fraction: float, seed: int) -> tup
     return i % n_ent, i // n_ent
 
 
+@lru_cache(maxsize=None)
+def _sin_row(w: int, p: int) -> np.ndarray:
+    # identical to 60 * np.sin(2 * np.pi * xx / p) for one mgrid row
+    return 60 * np.sin(2 * np.pi * np.arange(w) / p)
+
+
+@lru_cache(maxsize=None)
+def _cos_col(h: int, p: int) -> np.ndarray:
+    return 40 * np.cos(2 * np.pi * np.arange(h) / p)
+
+
 def _make_image_batch(ids: np.ndarray, n_total: int, seed: int, lossy_fraction: float,
                       hot_phash_fraction: float, hot_entity_fraction: float = 0.0,
                       ) -> pd.DataFrame:
     n_ent = _entity_count(n_total)
-    rows = []
+    cols: dict[str, list] = {
+        "image_id": [], "bytes": [], "w": [], "h": [], "fmt": [],
+        "caption": [], "phash": [], "entity_id": [], "ts": [],
+    }
     for i in ids:
         i = int(i)
         rng = np.random.default_rng(seed + i)
         w = _W_CYCLE[i % len(_W_CYCLE)]
         h = _H_CYCLE[i % len(_H_CYCLE)]
-        # structured content: smooth gradient + sinusoid + noise
-        yy, xx = np.mgrid[0:h, 0:w]
+        # structured content: smooth gradient + sinusoid + noise. The
+        # two trig terms depend only on (dim, period) — memoized 1-D
+        # rows broadcast to the same float64 sums as the old mgrid
+        # form (identical op order), computed once per (w|h, period)
+        # instead of once per image (round 6)
         img = (
             127.5
-            + 60 * np.sin(2 * np.pi * xx / (8 + i % 23))
-            + 40 * np.cos(2 * np.pi * yy / (5 + i % 17))
+            + _sin_row(w, 8 + i % 23)[None, :]
+            + _cos_col(h, 5 + i % 17)[:, None]
             + rng.normal(0, 25, (h, w))
         )
         px = np.clip(img, 0, 255).astype(np.uint8)
@@ -165,20 +183,16 @@ def _make_image_batch(ids: np.ndarray, n_total: int, seed: int, lossy_fraction: 
         else:
             offset = _ts_offsets(ent, k)
         ts = _BASE_TS + np.timedelta64(offset, "s")
-        rows.append(
-            {
-                "image_id": f"img{i:08d}",
-                "bytes": data,
-                "w": w,
-                "h": h,
-                "fmt": "jpeg" if lossy else "png",
-                "caption": f"caption {i} {_WORDS[i % len(_WORDS)]}",
-                "phash": phash,
-                "entity_id": f"e{ent:05d}",
-                "ts": pd.Timestamp(ts),
-            }
-        )
-    return pd.DataFrame(rows)
+        cols["image_id"].append(f"img{i:08d}")
+        cols["bytes"].append(data)
+        cols["w"].append(w)
+        cols["h"].append(h)
+        cols["fmt"].append("jpeg" if lossy else "png")
+        cols["caption"].append(f"caption {i} {_WORDS[i % len(_WORDS)]}")
+        cols["phash"].append(phash)
+        cols["entity_id"].append(f"e{ent:05d}")
+        cols["ts"].append(pd.Timestamp(ts))
+    return pd.DataFrame(cols)
 
 
 def images_df(

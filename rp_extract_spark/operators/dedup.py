@@ -742,8 +742,21 @@ def minhash_lsh_dedup(
     # ALL colliders can still strand overflow duplicates.
     from pyspark.sql.window import Window
 
+    # singleton buckets can never produce a pair (the all-pairs join
+    # needs two members, star edges need overflow) — restrict the rank
+    # window to COLLIDING buckets first (round 6): one map-side-
+    # combined count pass + a join that reuses the window's own
+    # (band, bucket) exchange, in place of sorting every banded row
+    multi = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select("band", "bucket")
+    )
     w = Window.partitionBy("band", "bucket").orderBy(F.col(id_col))
-    ranked = banded.withColumn("__rn", F.row_number().over(w))
+    ranked = banded.join(multi, ["band", "bucket"]).withColumn(
+        "__rn", F.row_number().over(w)
+    )
     head = ranked.filter(F.col("__rn") <= max_bucket_size)
     anchors = ranked.filter(
         (F.col("__rn") == 1) | (F.col("__rn") == max_bucket_size)

@@ -470,7 +470,8 @@ def bm25_rank(
         F.col(id_col),
         toks.alias("__toks"),
         token_count(F.col(text_col)).alias("dl"),
-    )
+    ).persist()  # feeds the stats aggregate AND the scoring scan —
+    # unpersisted, the corpus tokenized twice (round 6)
     stats = d.agg(
         F.count(F.lit(1)).alias("__n"),
         F.avg("dl").alias("__avgdl"),
@@ -531,6 +532,9 @@ def train_unigram_lm(
         df.select(F.explode(toks).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("__cnt"))
+        # vocabulary-sized; feeds the total AND the top-k cut —
+        # unpersisted, the corpus explode ran twice (round 6)
+        .persist()
     )
     tot = counts.agg(F.sum("__cnt").alias("__t"))
     kept = counts.orderBy(F.col("__cnt").desc(), F.col("token").asc()).limit(
@@ -1051,12 +1055,11 @@ def tfidf_keywords(
         F.col(id_col),
         F.explode(nonempty_tokens_col(F.col(text_col))).alias("__w"),
     )
-    tf = tok.groupBy(id_col, "__w").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = (
-        tok.distinct()
-        .groupBy("__w")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
+    # tf rows ARE the distinct (doc, token) pairs, so df derives from
+    # the tf table (one corpus explode instead of two; persisted for
+    # its two consumers — round 6)
+    tf = tok.groupBy(id_col, "__w").agg(F.count(F.lit(1)).alias("tf")).persist()
+    dfreq = tf.groupBy("__w").agg(F.count(F.lit(1)).alias("df"))
     n_docs = int(
         df.filter(F.col(text_col).isNotNull())
         .select(id_col).distinct().count()

@@ -496,7 +496,11 @@ def _ngram_rows_py(
                         grams_out.append(g)
             yield pd.DataFrame({id_col: ids_out, "__g": grams_out})
 
-    return df.select(id_col, text_col).mapInPandas(run, schema)
+    from .dedup import _spread_cpu_stage
+
+    return _spread_cpu_stage(df.select(id_col, text_col)).mapInPandas(
+        run, schema
+    )
 
 
 def decontaminate_ngram(
@@ -561,21 +565,21 @@ def contamination_report(
     cores first (one small parquet file = one split otherwise)."""
     from .dedup import _spread_cpu_stage
 
+    # gram strings from the Arrow pass (exact ngram_col parity, round
+    # 6); md5 digests in Spark over the same strings, so digest joins
+    # are unchanged. Per-doc gram dedup upstream of .distinct() is
+    # count-neutral.
     bgrams = (
-        benchmark.select(
+        _ngram_rows_py(benchmark, text_col, bench_id_col, n)
+        .select(
             F.col(bench_id_col).alias("bench_id"),
-            F.explode(ngram_col(F.col(text_col), n)).alias("__raw"),
+            F.md5("__g").alias("__g"),
         )
-        .select("bench_id", F.md5("__raw").alias("__g"))
         .distinct()
     )
     cgrams = (
-        _spread_cpu_stage(corpus.select(F.col(id_col), F.col(text_col)))
-        .select(
-            F.col(id_col),
-            F.explode(ngram_col(F.col(text_col), n)).alias("__raw"),
-        )
-        .select(id_col, F.md5("__raw").alias("__g"))
+        _ngram_rows_py(corpus, text_col, id_col, n)
+        .select(id_col, F.md5("__g").alias("__g"))
         .distinct()
     )
     hits = (

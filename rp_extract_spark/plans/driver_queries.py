@@ -2857,7 +2857,7 @@ def q_chunk_documents(spark, sf):
     generate_series + list slicing."""
     from ..operators.curation import chunk_documents
 
-    d = _t(spark, sf, "documents")
+    d = _spread(_t(spark, sf, "documents"))  # 1-split scan (round 6)
     return chunk_documents(d, chunk_size=40, overlap=8).orderBy(
         "doc_id", "chunk_idx"
     )
@@ -6353,7 +6353,7 @@ def q_span_corruption(spark, sf):
     the exact mask set."""
     from ..operators.text import span_corruption_plan
 
-    d = _t(spark, sf, "documents")
+    d = _spread(_t(spark, sf, "documents"))  # 1-split scan (round 6)
     return span_corruption_plan(d, "text", "doc_id", span=3,
                                 mask_num=15, mask_den=100,
                                 seed=9).orderBy("doc_id")
@@ -7259,7 +7259,7 @@ def q_mlm_plan(spark, sf):
     masked-char sums witness the exact mask set."""
     from ..operators.text import mlm_mask_plan
 
-    d = _t(spark, sf, "documents")
+    d = _spread(_t(spark, sf, "documents"))  # 1-split scan (round 6)
     return mlm_mask_plan(d, "text", "doc_id", seed=11).orderBy("doc_id")
 
 
@@ -7674,7 +7674,8 @@ def q_coreset(spark, sf):
     ties break by id on both engines."""
     from ..operators.similarity import coreset_kcenter
 
-    e = _t(spark, sf, "embeddings")
+    e = _spread(_t(spark, sf, "embeddings"))  # 1-split scan; each of
+    # the k argmax rounds re-scans it (round 6)
     return coreset_kcenter(e, k=6).orderBy("rank")
 
 
@@ -8354,7 +8355,8 @@ def q_mmr_select(spark, sf):
     (objective DESC, id ASC) tiebreak."""
     from ..operators.similarity import mmr_select
 
-    e = _t(spark, sf, "embeddings")
+    e = _spread(_t(spark, sf, "embeddings"))  # 1-split scan; each
+    # MMR pick re-scans it (round 6)
     key = F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(":mmr")))
     scored = e.withColumn(
         "rel_u",
@@ -9808,9 +9810,9 @@ def q_normalize_text(spark, sf):
     from ..operators.text import normalize_text
 
     d = _t(spark, sf, "documents")
-    noisy = d.select(
+    noisy = _spread(d).select(
         "doc_id", F.expr(_NOISY_TEXT_SQL.format(CHR="char")).alias("text")
-    )
+    )  # 1-split scan: the 6 regex passes ran on ~2 cores (round 6)
     return normalize_text(noisy).orderBy("doc_id")
 
 
